@@ -1,0 +1,487 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** TPC-H-ish core SQL surface (SURVEY.md §2.2 Layer B): scans, projection +
+  * filter (parquet-pushed), every join type, aggregation, rollup / cube /
+  * grouping sets, window functions, set operations, scalar / IN / EXISTS
+  * subqueries, explode, order + limit, conditional aggregation, regexp and
+  * date functions.
+  *
+  * Scale notes (targeting ~100 TB with the same plans):
+  *   - dimension tables (region / nation / supplier / customer / part) are
+  *     broadcast explicitly so fact-side scans never shuffle for the join;
+  *   - aggregations are plain groupBy → Catalyst plans partial aggregation
+  *     (map-side combine) before the single shuffle on the grouping keys;
+  *   - filters are applied on base columns before joins so parquet pushdown
+  *     and column pruning reach the scan.
+  */
+object CoreQueries {
+  import QueryDsl._
+
+  val defs: Map[String, Q] = Map(
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(D2).as("sum_base_price"),
+          sum((dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast(D4)).cast(D4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48 && col("l_shipdate") > lit("2000-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    }),
+
+    "q03_shipping_priority" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum((dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast(D4)).cast(D4).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    }),
+
+    "q04_order_priority" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q05_local_supplier" -> ((s, dir) => {
+      val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = tbl(s, dir, "nation")
+      val cust = tbl(s, dir, "customer")
+      val sup = tbl(s, dir, "supplier")
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = tbl(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast(D4)).cast(D4).as("revenue"))
+    }),
+
+    "q06_revenue_forecast" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast(D4)).cast(D4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q07_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      tbl(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    "q08_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "orders")
+        .withColumn("running_spend", sum(dec2(col("o_totalprice"))).over(w).cast(D2))
+        .select("o_custkey", "o_orderkey", "running_spend")
+    }),
+
+    "q09_rollup" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast(D2).as("total_price"))
+    }),
+
+    "q10_cube" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    "q11_grouping_sets" -> ((s, dir) => {
+      views(s, dir, "lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+      """)
+    }),
+
+    "q12_union_all" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("kind"))
+      val p = tbl(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("kind"))
+      c.unionAll(p)
+    }),
+
+    "q13_union_distinct" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val p = tbl(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.union(p).distinct()
+    }),
+
+    "q14_intersect" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val p = tbl(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersect(p)
+    }),
+
+    "q15_except" -> ((s, dir) => {
+      val all = tbl(s, dir, "nation").select(col("n_nationkey").as("nk"))
+      val sup = tbl(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      all.except(sup)
+    }),
+
+    "q16_scalar_subquery" -> ((s, dir) => {
+      views(s, dir, "part")
+      s.sql("""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT 0.9 * MAX(p_retailprice) FROM part)
+      """)
+    }),
+
+    "q17_in_subquery" -> ((s, dir) => {
+      views(s, dir, "supplier", "nation", "region")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (
+          SELECT n_nationkey FROM nation
+          WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+      """)
+    }),
+
+    "q18_exists_subquery" -> ((s, dir) => {
+      views(s, dir, "customer", "orders")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      """)
+    }),
+
+    "q19_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    "q20_left_join_agg" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    "q21_full_outer" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_nationkey").as("cnk")).distinct()
+      val p = tbl(s, dir, "supplier").select(col("s_nationkey").as("snk")).distinct()
+      c.join(p, col("cnk") === col("snk"), "full_outer")
+        .select(coalesce(col("cnk"), col("snk")).as("nk"),
+          col("cnk").isNotNull.as("has_customer"), col("snk").isNotNull.as("has_supplier"))
+    }),
+
+    "q22_cross_join" -> ((s, dir) => {
+      val r = tbl(s, dir, "region").select("r_name")
+      val n = tbl(s, dir, "nation").select("n_name")
+      r.crossJoin(n)
+    }),
+
+    "q23_explode_tokens" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q24_case_when" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)).as("n_urgent"),
+          sum(when(col("o_orderpriority").startsWith("5"), 1L).otherwise(0L)).as("n_low"),
+          count(lit(1)).as("n_total"))
+    }),
+
+    "q25_regexp_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k_val", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k_val")).as("sum_k"), count(lit(1)).as("n_events"))
+    }),
+
+    "q26_date_trunc" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+    }),
+
+    "q27_having" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 8)
+    }),
+
+    "q28_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    }),
+
+    "q29_orderby_limit" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    "q30_conditional_pivot" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .na.fill(0L, Seq("p1", "p2", "p3", "p4", "p5"))
+    }),
+
+    "q31_year_month" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast(D2).as("total"))
+    }),
+
+    "q32_correlated_scalar" -> ((s, dir) => {
+      views(s, dir, "supplier", "nation")
+      s.sql("""
+        SELECT n_name,
+               (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers
+        FROM nation
+      """)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      FROM lineitem
+      WHERE l_quantity >= 48 AND l_shipdate > TIMESTAMP '2000-06-01'""",
+
+    "q03_shipping_priority" -> """
+      SELECT o_orderkey, o_orderdate,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""",
+
+    "q04_order_priority" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority""",
+
+    "q05_local_supplier" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name""",
+
+    "q06_revenue_forecast" -> """
+      SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q07_window_topk" -> """
+      SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber, l_extendedprice
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+      WHERE rn <= 3""",
+
+    "q08_running_sum" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+      FROM orders""",
+
+    "q09_rollup" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q10_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q11_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())""",
+
+    "q12_union_all" -> """
+      SELECT c_custkey AS id, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier""",
+
+    "q13_union_distinct" -> """
+      SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier""",
+
+    "q14_intersect" -> """
+      SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier""",
+
+    "q15_except" -> """
+      SELECT n_nationkey AS nk FROM nation EXCEPT SELECT s_nationkey AS nk FROM supplier""",
+
+    "q16_scalar_subquery" -> """
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part
+      WHERE p_retailprice > (SELECT 0.9 * MAX(p_retailprice) FROM part)""",
+
+    "q17_in_subquery" -> """
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))""",
+
+    "q18_exists_subquery" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""",
+
+    "q19_anti_join" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q20_left_join_agg" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey""",
+
+    "q21_full_outer" -> """
+      SELECT COALESCE(cnk, snk) AS nk, cnk IS NOT NULL AS has_customer, snk IS NOT NULL AS has_supplier
+      FROM (SELECT DISTINCT c_nationkey AS cnk FROM customer) c
+      FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS snk FROM supplier) s ON cnk = snk""",
+
+    "q22_cross_join" -> """
+      SELECT r_name, n_name FROM region CROSS JOIN nation""",
+
+    "q23_explode_tokens" -> """
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT UNNEST(STR_SPLIT(p_name, ' ')) AS tok FROM part)
+      WHERE tok <> ''
+      GROUP BY tok""",
+
+    "q24_case_when" -> """
+      SELECT o_orderstatus,
+             SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent,
+             SUM(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS n_low,
+             COUNT(*) AS n_total
+      FROM orders
+      GROUP BY o_orderstatus""",
+
+    "q25_regexp_json" -> """
+      SELECT event_type,
+             SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY event_type""",
+
+    "q26_date_trunc" -> """
+      SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      FROM events
+      GROUP BY 1, 2""",
+
+    "q27_having" -> """
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 8""",
+
+    "q28_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+
+    "q29_orderby_limit" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""",
+
+    "q30_conditional_pivot" -> """
+      SELECT o_orderstatus,
+             COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+             COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+             COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+             COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+             COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+      FROM orders
+      GROUP BY o_orderstatus""",
+
+    "q31_year_month" -> """
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      FROM orders
+      GROUP BY 1, 2""",
+
+    "q32_correlated_scalar" -> """
+      SELECT n_name,
+             (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers
+      FROM nation"""
+  )
+}

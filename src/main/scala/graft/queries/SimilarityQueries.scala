@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design:
+  *   - s01 brute-force: the QUERY side (small, bounded) is broadcast; the
+  *     full corpus is scanned once, map-side, with a codegen'd zip_with dot
+  *     product — no shuffle except the final per-query top-k, which moves
+  *     only (query_id, neighbor_id, score) triples. At 100 TB the corpus
+  *     scan parallelizes per input split; nothing accumulates on the driver.
+  *   - s02 IVF: pivots are chosen deterministically (vec_id % stride), every
+  *     vector is assigned to its nearest pivot ONCE (broadcast pivots), and
+  *     each query probes only its 2 nearest pivot buckets — the classic
+  *     inverted-file trade of recall for a ~nlist/nprobe scan reduction.
+  *   - scores are doubles computed in a fixed per-pair loop order →
+  *     bit-deterministic regardless of partitioning.
+  */
+object SimilarityQueries {
+  import QueryDsl._
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "s01_knn_brute" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
+    "s02_knn_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      // deterministic pivot choice: every 50th vector is a coarse centroid
+      val pivots = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("pivot_id"), col("embedding").as("p_emb"))
+      // assign: nearest pivot per vector (one broadcast pass over the corpus)
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("p_score"), asc("pivot_id"))
+      val assigned = emb.crossJoin(broadcast(pivots))
+        .select(col("vec_id"), col("embedding"), col("pivot_id"),
+          cosine(col("embedding"), col("p_emb")).as("p_score"))
+        .withColumn("prn", row_number().over(wAssign))
+        .filter(col("prn") === 1)
+        .select("vec_id", "embedding", "pivot_id")
+      // probe: each query searches its 2 nearest pivot buckets
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("p_score"), asc("pivot_id"))
+      val probes = queries.crossJoin(broadcast(pivots))
+        .select(col("query_id"), col("q_emb"), col("pivot_id"),
+          cosine(col("q_emb"), col("p_emb")).as("p_score"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 2)
+        .select("query_id", "q_emb", "pivot_id")
+      val wRank = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+      assigned.join(probes, "pivot_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
+    "s03_label_centroids" -> ((s, dir) => {
+      // per-label centroid components; decimal sums → deterministic under
+      // any partial-aggregation order (float sums would not be)
+      tbl(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("col").cast("decimal(27,10)")).cast("decimal(38,10)").as("sum_val"))
+    }),
+
+    "s04_norm_stats" -> ((s, dir) => {
+      // embedding L2-norm per vector, bucketed histogram (integer milli-norm)
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, v) => acc + v.cast("double") * v.cast("double"))).as("l2"))
+        .groupBy(col("label"), floor(col("l2") * 10).cast("long").as("norm_decile"))
+        .agg(count(lit(1)).as("n_vectors"))
+    })
+  )
+
+  // float-valued similarity scores are engine-specific; these are covered by
+  // the driver's rows-only check (no DuckDB oracle declared).
+  val oracles: Map[String, String] = Map.empty
+}

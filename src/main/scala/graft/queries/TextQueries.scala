@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization, corpus
+  * stats, quality scoring, language ID (stopword-hit heuristic).
+  *
+  * All operators are pure projections + one aggregation — no UDFs, only
+  * codegen'd `functions._` (higher-order array functions), so they stay
+  * inside WholeStageCodegen and scale linearly with no extra shuffles:
+  * per-document scores are map-side only; the per-language rollups shuffle
+  * once on the (low-cardinality) lang key with partial aggregation.
+  */
+object TextQueries {
+  import QueryDsl._
+
+  /** Whitespace tokens with empties dropped (parity with oracle list_filter). */
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  val defs: Map[String, Q] = Map(
+    "t01_token_count" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("n_tokens"))
+    }),
+
+    "t02_lang_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), size(toks(col("text"))).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))
+    }),
+
+    "t03_quality_score" -> ((s, dir) => {
+      val stopArr = array(stopEn.map(lit): _*)
+      tbl(s, dir, "documents")
+        .withColumn("tokens", toks(col("text")))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("tokens")).as("n_tokens"),
+          size(filter(col("tokens"), t => array_contains(stopArr, t))).as("n_stopwords"),
+          size(array_distinct(col("tokens"))).as("n_unique"))
+        // integer milli-ratios: exact in both engines (no float division)
+        .withColumn("stop_ratio_milli", expr("(1000L * n_stopwords) DIV n_tokens"))
+        .withColumn("uniq_ratio_milli", expr("(1000L * n_unique) DIV n_tokens"))
+    }),
+
+    // Language ID via per-language stopword hits; deterministic argmax
+    // (ties broken by picking the lexicographically LAST language, which is
+    // what max-of-struct(hits, lang) gives in both a rerun and at any scale).
+    "t04_lang_id" -> ((s, dir) => {
+      val markers: Seq[(String, Seq[String])] = Seq(
+        "en" -> Seq("the", "and", "of", "to", "in", "is"),
+        "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+        "es" -> Seq("el", "la", "de", "los", "que", "es"),
+        "fr" -> Seq("le", "la", "les", "et", "des", "est"),
+        "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai"))
+      val d = tbl(s, dir, "documents").withColumn("tokens", toks(col("text")))
+      val scored = markers.foldLeft(d) { case (df, (lg, words)) =>
+        val arr = array(words.map(lit): _*)
+        df.withColumn(s"hits_$lg", size(filter(col("tokens"), t => array_contains(arr, t))))
+      }
+      val structs = array(markers.map { case (lg, _) =>
+        struct(col(s"hits_$lg").as("hits"), lit(lg).as("lg")) }: _*)
+      scored
+        .withColumn("pred_lang", array_max(structs).getField("lg"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+    }),
+
+    "t05_fingerprint" -> ((s, dir) => {
+      // Rolling 64-bit fingerprint over the token sequence (order-sensitive,
+      // unlike a bag-of-words hash): fp = fold(tokens, xxhash64(acc, token)).
+      // Hash-chaining avoids ANSI-mode overflow and is deterministic on
+      // every executor at any parallelism.
+      tbl(s, dir, "documents")
+        .withColumn("tokens", toks(col("text")))
+        .select(col("doc_id"),
+          aggregate(col("tokens"), lit(1469598103934665603L),
+            (acc, t) => xxhash64(acc, t)).as("fingerprint"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_count" -> """
+      SELECT doc_id, lang,
+             CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS INT) AS n_tokens
+      FROM documents""",
+
+    "t02_lang_stats" -> """
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+             SUM(CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS BIGINT)) AS sum_tokens
+      FROM documents
+      GROUP BY lang""",
+
+    "t03_quality_score" -> """
+      SELECT doc_id, n_chars, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(n_stopwords AS INT) AS n_stopwords, CAST(n_unique AS INT) AS n_unique,
+             (1000 * n_stopwords) // n_tokens AS stop_ratio_milli,
+             (1000 * n_unique) // n_tokens AS uniq_ratio_milli
+      FROM (
+        SELECT doc_id, n_chars,
+               LEN(toks) AS n_tokens,
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t))) AS n_stopwords,
+               LEN(LIST_DISTINCT(toks)) AS n_unique
+        FROM (SELECT doc_id, n_chars, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS toks FROM documents))"""
+  )
+}
