@@ -1,0 +1,160 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession, Dataset => ClassicDataset}
+
+/** Public lineage API — same surface as the reference
+  * (SQLFlow.scala:946-966, 856-881): save/print for a whole catalog or a
+  * single Dataset, plain or contracted, through a pluggable sink.
+  *
+  * Additions over the reference: deterministic uids, and
+  * [[SQLFlow.lineageDatasets]] exposing the graph as two DataFrames so
+  * lineage itself is SQL-queryable (useful at fleet scale: one lineage graph
+  * per day of queries is just another table to join).
+  */
+object SQLFlow {
+
+  /** Lineage graph of a single Dataset's optimized plan. */
+  def datasetGraph(ds: Dataset[_], contracted: Boolean = false)
+      : (Seq[FlowNode], Seq[FlowEdge]) = {
+    val cds = ds.asInstanceOf[ClassicDataset[_]]
+    val session = cds.sparkSession
+    val plan = cds.queryExecution.optimizedPlan
+    val rootName = s"query_${math.abs(plan.semanticHash()).toString}"
+    val g = FlowAnalysis.analyze(plan, rootName, FlowNodeType.Query, isCachedFn(session))
+    if (contracted) FlowAnalysis.contract(g) else (g.nodes, g.edges)
+  }
+
+  /** Lineage graph of every (temp) view in the session catalog
+    * (reference EP1: SQLFlow.scala:61-189). View-on-view references are cut
+    * at view boundaries via [[ViewRef]] substitution by semantic hash. */
+  def catalogGraph(spark: SparkSession, contracted: Boolean = false)
+      : (Seq[FlowNode], Seq[FlowEdge]) = {
+    val session = spark.asInstanceOf[ClassicSession]
+    val catalog = session.sessionState.catalog
+
+    // 1. gather analyzed plans: persistent views (re-parsed from viewText)
+    //    and temp views (pre-analyzed)
+    val persistent = for {
+      db <- catalog.listDatabases()
+      ident <- catalog.listTables(db)
+      meta <- scala.util.Try(catalog.getTableMetadata(ident)).toOption.toSeq
+      text <- meta.viewText.toSeq
+      plan <- scala.util.Try {
+        val parsed = session.sessionState.sqlParser.parsePlan(text)
+        session.sessionState.executePlan(parsed).analyzed
+      }.toOption.toSeq
+    } yield (ident.table, plan)
+
+    val temps = catalog.getTempViewNames().flatMap { name =>
+      catalog.getTempView(name).map(v => name -> v.child)
+    }
+    val all: Seq[(String, LogicalPlan)] = persistent ++ temps
+
+    // 2. semanticHash → view name, for subplan-to-view substitution
+    //    (reference: SQLFlow.scala:94-96,150-154)
+    val hashToView: Map[Int, String] =
+      all.map { case (n, p) => p.semanticHash() -> n }.toMap
+
+    val counter = new FlowAnalysis.Counter
+    val cachedFn = isCachedFn(session)
+    val graphs = all.map { case (name, analyzed) =>
+      // cut at OTHER views' boundaries, wrap cached subtrees, then optimize
+      val rewritten = analyzed.transformDown {
+        case p if hashToView.get(p.semanticHash()).exists(_ != name) =>
+          ViewRef(hashToView(p.semanticHash()), p.output, isTemp = true)
+        case p if cachedFn(p) && !p.isInstanceOf[ViewRef] => CachedMarker(p)
+      }
+      val optimized = session.sessionState.optimizer.execute(rewritten)
+      val g = FlowAnalysis.analyze(optimized, name, FlowNodeType.View, cachedFn, counter)
+      if (contracted) { val (n, e) = FlowAnalysis.contract(g); FlowAnalysis.Graph(n, e, g.rootId, Nil) }
+      else g
+    }
+    merge(graphs.map(g => (g.nodes, g.edges)))
+  }
+
+  /** Merge per-view graphs: nodes dedupe by uid (cached flag ORed). */
+  def merge(parts: Seq[(Seq[FlowNode], Seq[FlowEdge])]): (Seq[FlowNode], Seq[FlowEdge]) = {
+    val byId = mutable.LinkedHashMap[String, FlowNode]()
+    parts.flatMap(_._1).foreach { n =>
+      byId.get(n.uniqueId) match {
+        case Some(prev) => if (n.isCached && !prev.isCached) byId(n.uniqueId) = prev.copy(isCached = true)
+        case None => byId(n.uniqueId) = n
+      }
+    }
+    val edges = mutable.LinkedHashSet[FlowEdge]()
+    parts.flatMap(_._2).foreach(edges += _)
+    (byId.values.toSeq, edges.toSeq)
+  }
+
+  private def isCachedFn(session: ClassicSession): LogicalPlan => Boolean = { plan =>
+    scala.util.Try(
+      session.sharedState.cacheManager.lookupCachedData(session, plan).isDefined
+    ).getOrElse(false)
+  }
+
+  // -------------------------------------------------------------------
+  // Reference-parity convenience surface (SQLFlow.scala:946-966)
+  // -------------------------------------------------------------------
+
+  def saveAsSQLFlow(
+      spark: SparkSession,
+      options: Map[String, String] = Map.empty,
+      contracted: Boolean = false,
+      graphSink: FlowBatchSink = GraphVizSink()): Unit = {
+    val (nodes, edges) = catalogGraph(spark, contracted)
+    graphSink.write(nodes, edges, options)
+  }
+
+  def printAsSQLFlow(
+      spark: SparkSession,
+      contracted: Boolean = false,
+      graphFormat: FlowFormat = GraphVizSink()): String = {
+    val (nodes, edges) = catalogGraph(spark, contracted)
+    graphFormat.toGraphString(nodes, edges)
+  }
+
+  /** The lineage graph as (nodes, edges) DataFrames — SQL-queryable. */
+  def lineageDatasets(spark: SparkSession, contracted: Boolean = false)
+      : (Dataset[_], Dataset[_]) = {
+    val session = spark.asInstanceOf[ClassicSession]
+    import session.implicits._
+    val (nodes, edges) = catalogGraph(spark, contracted)
+    val nodeRows = nodes.map(n =>
+      (n.uniqueId, n.ident, n.attributes, n.schemaDDL, n.tpe.label, n.isCached))
+      .toDF("unique_id", "ident", "attributes", "schema_ddl", "node_type", "is_cached")
+    val edgeRows = edges.map(e => (e.fromId, e.fromIdx, e.toId, e.toIdx))
+      .toDF("from_id", "from_idx", "to_id", "to_idx")
+    (nodeRows, edgeRows)
+  }
+}
+
+/** Per-Dataset methods via implicit conversion (reference: SQLFlow.scala:856-881):
+  * {{{
+  *   import org.apache.spark.sql.graft.implicits._
+  *   df.saveAsSQLFlow(Map("outputDirPath" -> "/tmp/flow"))
+  *   println(df.printAsSQLFlow())
+  * }}}
+  */
+object implicits {
+  implicit class SQLFlowHolder[T](ds: Dataset[T]) {
+    def saveAsSQLFlow(
+        options: Map[String, String] = Map.empty,
+        contracted: Boolean = false,
+        graphSink: FlowBatchSink = GraphVizSink()): Unit = {
+      val (nodes, edges) = SQLFlow.datasetGraph(ds, contracted)
+      graphSink.write(nodes, edges, options)
+    }
+
+    def printAsSQLFlow(
+        contracted: Boolean = false,
+        graphFormat: FlowFormat = GraphVizSink()): String = {
+      val (nodes, edges) = SQLFlow.datasetGraph(ds, contracted)
+      graphFormat.toGraphString(nodes, edges)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.plans.logical.Command
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Continuous lineage auditing: appends per-query lineage to a stream sink
+  * after every successful (non-Command) query, stamping duration/timestamp
+  * props on the query node (reference: listeners.scala:49-67).
+  *
+  * Register programmatically
+  * (`spark.listenerManager.register(SQLFlowListener(...))`) or via
+  * `spark.sql.queryExecutionListeners=org.apache.spark.sql.graft.ConfSQLFlowListener`
+  * with `spark.sql.flow.sink.outputDirPath=...` in the session conf.
+  */
+case class SQLFlowListener(
+    graphSink: FlowStreamSink,
+    contracted: Boolean = false,
+    options: Map[String, String] = Map.empty)
+  extends QueryExecutionListener with Logging {
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    qe.optimizedPlan match {
+      case _: Command => // skipped, as the reference does (listeners.scala:51-53)
+      case plan =>
+        try {
+          val rootName = s"query_${math.abs(qe.hashCode).toString}"
+          val g = FlowAnalysis.analyze(plan, rootName, FlowNodeType.Query)
+          val (nodes, edges) =
+            if (contracted) FlowAnalysis.contract(g) else (g.nodes, g.edges)
+          nodes.find(_.tpe == FlowNodeType.Query).foreach { q =>
+            q.props("durationMs") = (durationNs / 1000 / 1000).toString
+            q.props("timestamp") = System.currentTimeMillis().toString
+          }
+          graphSink.append(nodes, edges, options)
+        } catch {
+          // sink failures must never fail the user's query
+          case e: Throwable => logWarning(s"lineage append failed: ${e.getMessage}")
+        }
+    }
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+}
+
+/** Conf-driven variant instantiable by `spark.sql.queryExecutionListeners`
+  * (zero-arg constructor): reads `spark.sql.flow.sink.*` from the active
+  * session at first use. */
+class ConfSQLFlowListener extends QueryExecutionListener with Logging {
+  private lazy val delegate: Option[SQLFlowListener] = {
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val opts = Map("outputDirPath" -> conf.getOption("spark.sql.flow.sink.outputDirPath"))
+      .collect { case (k, Some(v)) => k -> v }
+    if (opts.contains("outputDirPath")) {
+      val contracted = conf.getOption("spark.sql.flow.sink.contracted").exists(_.toBoolean)
+      val sink = conf.getOption("spark.sql.flow.sink.format") match {
+        case Some("cypher") => CypherFileSink()
+        case _ => GraphVizSink()
+      }
+      Some(SQLFlowListener(sink, contracted, opts))
+    } else {
+      logWarning("spark.sql.flow.sink.outputDirPath not set; lineage listener inactive")
+      None
+    }
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    delegate.foreach(_.onSuccess(funcName, qe, durationNs))
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+}

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft._
+import org.apache.spark.sql.graft.implicits._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lineage-engine behavioral tests, mirroring the reference's edge-set
+  * testing approach (SQLFlowTestUtils.scala:43-56): node uids are normalized
+  * (`_<7hex>` → `_x`) and assertions are on the edge SET, so layout and
+  * optimizer noise don't matter. Contracted-mode assertions check true
+  * column provenance (leaf column → query column). */
+class FlowAnalysisSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("flow-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def norm(id: String): String = id.replaceAll("_[0-9a-f]{7}$", "_x")
+
+  private def edgeStrings(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): Set[String] =
+    edges.map(e => FlowEdge(norm(e.fromId), e.fromIdx, norm(e.toId), e.toIdx).show).toSet
+
+  /** contracted leaf→query column pairs as (leafIdent:colName, queryColName) */
+  private def provenance(df: org.apache.spark.sql.DataFrame): Set[(String, String)] = {
+    val (nodes, edges) = SQLFlow.datasetGraph(df, contracted = true)
+    val byId = nodes.map(n => n.uniqueId -> n).toMap
+    val query = nodes.find(_.tpe == FlowNodeType.Query).get
+    edges.flatMap { e =>
+      for {
+        from <- byId.get(e.fromId)
+        i <- e.fromIdx
+        j <- e.toIdx
+      } yield (s"${from.ident}:${from.attributes(i)}", query.attributes(j))
+    }.toSet
+  }
+
+  test("project + filter lineage: only referenced columns feed outputs") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 10)
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+    val p = provenance(df)
+    assert(p.contains(("lineitem.parquet:l_orderkey", "l_orderkey")))
+    assert(p.contains(("lineitem.parquet:l_extendedprice", "disc_price")))
+    assert(p.contains(("lineitem.parquet:l_discount", "disc_price")))
+    assert(!p.contains(("lineitem.parquet:l_extendedprice", "l_orderkey")))
+    assert(!p.contains(("lineitem.parquet:l_tax", "disc_price")))
+  }
+
+  test("aggregate lineage: aggregate inputs and grouping keys map to their slots") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    val p = provenance(df)
+    assert(p.contains(("lineitem.parquet:l_returnflag", "l_returnflag")))
+    assert(p.contains(("lineitem.parquet:l_quantity", "sum_qty")))
+    assert(!p.contains(("lineitem.parquet:l_quantity", "l_returnflag")))
+  }
+
+  test("join lineage: both sides contribute; join keys bridge in contracted mode") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val df = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"))
+    val p = provenance(df)
+    assert(p.contains(("orders.parquet:o_orderkey", "o_orderkey")))
+    assert(p.contains(("customer.parquet:c_name", "c_name")))
+  }
+
+  test("left-semi join: right-side predicate columns feed left output (provenance through predicate)") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val df = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderpriority")
+    val (nodes, edges) = SQLFlow.datasetGraph(df)
+    val byId = nodes.map(n => n.uniqueId -> n).toMap
+    // an edge must exist from a lineitem-side column into the join node
+    val joinIds = nodes.filter(_.ident == "Join").map(_.uniqueId).toSet
+    val fromLineitem = edges.exists { e =>
+      byId.get(e.fromId).exists(_.ident == "lineitem.parquet") &&
+        (joinIds.contains(e.toId) || byId.get(e.toId).exists(_.tpe == FlowNodeType.Plan))
+    }
+    assert(fromLineitem, s"expected lineitem to reach the semi-join:\n${edges.map(_.show).mkString("\n")}")
+    // and contracted provenance carries it to the query output
+    val p = provenance(df)
+    assert(p.contains(("lineitem.parquet:l_orderkey", "o_orderkey")))
+  }
+
+  test("union lineage: each child's column i feeds output i") {
+    val c = spark.read.parquet(s"$sf/customer.parquet").select(col("c_custkey").as("id"))
+    val s2 = spark.read.parquet(s"$sf/supplier.parquet").select(col("s_suppkey").as("id"))
+    val p = provenance(c.unionAll(s2))
+    assert(p.contains(("customer.parquet:c_custkey", "id")))
+    assert(p.contains(("supplier.parquet:s_suppkey", "id")))
+  }
+
+  test("generate (explode) lineage: generator input fans out to generator output") {
+    val df = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("tok"))
+    val p = provenance(df)
+    assert(p.contains(("part.parquet:p_name", "tok")))
+    assert(p.contains(("part.parquet:p_partkey", "p_partkey")))
+    assert(!p.contains(("part.parquet:p_name", "p_partkey")))
+  }
+
+  test("expand (cube) lineage: grouping columns flow through the Expand transpose") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"))
+    val p = provenance(df)
+    assert(p.contains(("lineitem.parquet:l_returnflag", "l_returnflag")))
+    assert(p.contains(("lineitem.parquet:l_linestatus", "l_linestatus")))
+    assert(p.contains(("lineitem.parquet:l_quantity", "sum_qty")))
+  }
+
+  test("window function: partition/order inputs do not pollute value column lineage") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rn", row_number().over(w))
+      .select("o_orderkey", "rn")
+    val p = provenance(df)
+    assert(p.contains(("orders.parquet:o_orderkey", "o_orderkey")))
+  }
+
+  test("scalar subquery in filter: subplan columns feed the compared column") {
+    spark.read.parquet(s"$sf/part.parquet").createOrReplaceTempView("part_v")
+    val df = spark.sql(
+      "SELECT p_partkey, p_retailprice FROM part_v WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v)")
+    val (nodes, edges) = SQLFlow.datasetGraph(df)
+    // the subquery's aggregate subplan must appear and connect into the graph
+    assert(nodes.count(_.ident == "part.parquet") >= 1)
+    val p = provenance(df)
+    assert(p.contains(("part.parquet:p_retailprice", "p_retailprice")))
+  }
+
+  test("uncontracted graph has plan nodes; contracted graph has only leaves + query") {
+    val df = spark.read.parquet(s"$sf/nation.parquet")
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+    val (un, _) = SQLFlow.datasetGraph(df, contracted = false)
+    assert(un.exists(_.tpe == FlowNodeType.Plan))
+    val (cn, ce) = SQLFlow.datasetGraph(df, contracted = true)
+    assert(cn.forall(n => n.tpe != FlowNodeType.Plan))
+    assert(ce.nonEmpty)
+    assert(cn.map(_.tpe).toSet === Set(FlowNodeType.Table, FlowNodeType.Query))
+  }
+
+  test("catalog mode: temp-view chains connect across view boundaries") {
+    val s = spark
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_base")
+    spark.sql("SELECT n_regionkey, count(*) AS n FROM nation_base GROUP BY n_regionkey")
+      .createOrReplaceTempView("nation_agg")
+    val (nodes, edges) = SQLFlow.catalogGraph(spark)
+    val idents = nodes.map(_.ident).toSet
+    assert(idents.contains("nation_base"))
+    assert(idents.contains("nation_agg"))
+    // nation_agg's lineage must reference the nation_base VIEW node, not
+    // re-expand the underlying scan
+    val viewNode = nodes.find(n => n.ident == "nation_base" && n.tpe == FlowNodeType.View)
+    assert(viewNode.isDefined)
+    val reachesAgg = edges.exists(e => e.fromId == viewNode.get.uniqueId)
+    assert(reachesAgg, edges.map(_.show).mkString("\n"))
+    spark.catalog.dropTempView("nation_base")
+    spark.catalog.dropTempView("nation_agg")
+  }
+
+  test("sinks: dot, mermaid, adjacency list, cypher render and save; overwrite semantics") {
+    val df = spark.read.parquet(s"$sf/region.parquet").select("r_name")
+    val (nodes, edges) = SQLFlow.datasetGraph(df)
+    val dot = GraphVizSink().toGraphString(nodes, edges)
+    assert(dot.startsWith("digraph {") && dot.contains("->"))
+    val mmd = MermaidSink().toGraphString(nodes, edges)
+    assert(mmd.startsWith("flowchart LR") && mmd.contains("-->"))
+    val adj = AdjacencyListSink().toGraphString(nodes, edges)
+    assert(adj.contains(" -> "))
+    val cy = CypherFileSink().toGraphString(nodes, edges)
+    assert(cy.contains("MERGE (n:Node") && cy.contains("transformInto"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("flowsink").toString
+    val out = s"$tmp/g1"
+    df.saveAsSQLFlow(Map("outputDirPath" -> out))
+    assert(new java.io.File(s"$out/sqlflow.dot").exists())
+    intercept[IllegalStateException] {
+      df.saveAsSQLFlow(Map("outputDirPath" -> out)) // no overwrite → error
+    }
+    df.saveAsSQLFlow(Map("outputDirPath" -> out, "overwrite" -> "true"))
+    assert(new java.io.File(s"$out/sqlflow.dot").exists())
+  }
+
+  test("listener appends lineage per successful query") {
+    val tmp = java.nio.file.Files.createTempDirectory("flowlistener").toString
+    val listener = SQLFlowListener(GraphVizSink(), options = Map("outputDirPath" -> tmp))
+    spark.listenerManager.register(listener)
+    try {
+      spark.read.parquet(s"$sf/region.parquet").groupBy("r_name").count().collect()
+      // listener fires on the listener-bus thread; poll for its output
+      val deadline = System.currentTimeMillis() + 15000
+      def subdirsNow() = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      while (subdirsNow().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val subdirs = subdirsNow()
+      assert(subdirs.nonEmpty, s"no lineage written under $tmp")
+      val dots = subdirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.endsWith(".dot"))
+      assert(dots.nonEmpty)
+    } finally {
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
+  test("lineage graph is exposed as queryable DataFrames") {
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
+    val (nodesDf, edgesDf) = SQLFlow.lineageDatasets(spark)
+    assert(nodesDf.count() > 0)
+    assert(edgesDf.columns.toSeq === Seq("from_id", "from_idx", "to_id", "to_idx"))
+    spark.catalog.dropTempView("region_v")
+  }
+
+  test("deterministic uids: same plan analyzed twice gives identical graphs") {
+    val df = spark.read.parquet(s"$sf/region.parquet").select("r_name")
+    val g1 = SQLFlow.datasetGraph(df)
+    val g2 = SQLFlow.datasetGraph(df)
+    assert(g1._1.map(_.uniqueId) === g2._1.map(_.uniqueId))
+    assert(g1._2 === g2._2)
+  }
+}
