@@ -23,40 +23,27 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   import QueryDsl._
 
-  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
-
-  /** 3-token shingles as strings: ["a b c", "b c d", ...] (docs shorter than
-    * 3 tokens contribute their full text as the single shingle). */
-  private def shingles(tokens: Column): Column =
-    when(size(tokens) < 3, array(concat_ws(" ", tokens)))
-      .otherwise(transform(sequence(lit(1), size(tokens) - 2),
-        i => concat_ws(" ",
-          element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))
+  import org.apache.spark.sql.graft.functions.{token_shingle_hashes, minhash_signature, simhash64}
 
   private val NumPerm = 32
-
-  /** MinHash signature: for each permutation i, min over shingle hashes of
-    * xxhash64(hash, i). Pure projection over the hashed shingle set. */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumPerm - 1)),
-      i => array_min(transform(sh, h => xxhash64(h, i))))
 
   /** doc_id + sorted distinct shingle-HASH set, materialized once — both LSH
     * banding and Jaccard verification reuse it (at 100 TB this is the
     * "signature table" you would checkpoint rather than recompute per
-    * consumer). Hashing shingles to int64 first makes every downstream
-    * set-intersection a long-compare, not a string-compare, and the shuffled
-    * payload fixed-width. */
+    * consumer). A native Catalyst expression ([[org.apache.spark.sql.graft
+    * .TokenShingleHashes]]) hashes 3-token shingles to int64 in one
+    * codegen'd pass, so downstream set-intersections are long-compares and
+    * the shuffled payload is fixed-width. */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
-      .select(col("doc_id"),
-        array_sort(array_distinct(transform(shingles(toks(col("text"))), sh => xxhash64(sh)))).as("sh"))
+      .select(col("doc_id"), token_shingle_hashes(col("text"), 3).as("sh"))
       .persist()
 
-  /** doc_id + 32-perm MinHash signature, computed once and shared by every
-    * LSH consumer (different band layouts slice the same cached signature). */
+  /** doc_id + 32-perm MinHash signature (native expression, one tight loop
+    * per row), computed once and shared by every LSH consumer (different
+    * band layouts slice the same cached signature). */
   private def sigTable(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), minhashSig(col("sh")).as("sig")).persist()
+    sh.select(col("doc_id"), minhash_signature(col("sh"), NumPerm).as("sig")).persist()
 
   /** Candidate pairs (doc_a < doc_b) from LSH band collisions for a given
     * (bands × rowsPerBand) layout — fewer rows per band → more permissive
@@ -108,17 +95,10 @@ object DedupQueries {
     }),
 
     "d04_simhash" -> ((s, dir) => {
-      // 64-bit SimHash: bit j of the signature is the sign of
-      // sum over tokens of (+1 if bit j of xxhash64(token) else -1).
+      // 64-bit SimHash (native expression): bit j of the signature is the
+      // sign of sum over tokens of (+1 if bit j of xxh64(token) else -1).
       val d = tbl(s, dir, "documents")
-        .withColumn("tokens", toks(col("text")))
-        .withColumn("hashes", expr("transform(tokens, t -> xxhash64(t))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, j) ->
-            |  acc + IF(aggregate(hashes, 0L,
-            |             (a, h) -> a + IF((shiftright(h, j) & 1L) = 1L, 1L, -1L)) > 0,
-            |           shiftleft(1L, j), 0L))""".stripMargin))
-        .select("doc_id", "simhash")
+        .select(col("doc_id"), simhash64(col("text")).as("simhash"))
         .persist() // reused by both sides of the band self-join
       // near-dup candidates: same 16-bit band → hamming distance <= 3
       val banded = d.select(col("doc_id"), col("simhash"),
