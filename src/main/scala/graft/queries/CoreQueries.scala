@@ -287,6 +287,18 @@ object CoreQueries {
                (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers
         FROM nation
       """)
+    }),
+
+    "q33_session_window" -> ((s, dir) => {
+      // gap-based sessions (batch form of the streaming operator): a session
+      // ends when the user is idle >= 5 minutes; end = last event + gap
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
     })
   )
 
@@ -482,6 +494,18 @@ object CoreQueries {
     "q32_correlated_scalar" -> """
       SELECT n_name,
              (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers
-      FROM nation"""
+      FROM nation""",
+
+    "q33_session_window" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      b AS (SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+                        THEN 1 ELSE 0 END AS brk FROM e),
+      s AS (SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM s
+      GROUP BY user_id, sid"""
   )
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table shape.
+  *
+  * The reference has no stream processing (its "stream sink" is incremental
+  * lineage append — SURVEY §2.2); these are the streaming operators a
+  * training-data pipeline needs, built on watermarks + windowed aggregation
+  * and `flatMapGroupsWithState` for custom session state.
+  *
+  * Scale notes: state is partitioned by the grouping key (user_id), so a
+  * 1000-executor cluster shards session state horizontally; watermarks bound
+  * state size by evicting sessions older than the allowed lateness.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  // must be public: the state Encoder's generated code instantiates it
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long (nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over `<dir>/events.parquet` with the nanos→micros
+    * conversion applied (same convention as the batch loader). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Sliding-window event counts with a watermark: the canonical
+    * streaming aggregation (pre-shuffle partial aggregation applies; state
+    * bounded by the 10-minute watermark). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit state: a session closes when no
+    * event arrives within `gapMinutes` (event time). Emits closed sessions. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 5): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, evts: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer[Session]()
+      var cur = state.getOption
+      evts.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) if state.hasTimedOut =>
+          out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+          state.remove()
+        case Some(s) =>
+          state.update(s)
+          if (!state.hasTimedOut) {
+            state.setTimeoutTimestamp(s.last + gapMs)
+          }
+        case None => if (state.hasTimedOut) state.remove()
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.SQLFlow
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One spec per inventory operator: every SparkEntry query must run at
+  * sf0.001 and produce a sane schema; the lineage engine must be able to
+  * analyze every query's optimized plan (robustness across the full
+  * operator surface — joins, windows, subqueries, expand, generate,
+  * mapPartitions, native expressions). */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("queries-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // queries expected to return zero rows at this tiny scale factor
+  private val mayBeEmpty = Set("q19_anti_join", "d03_minhash_lsh", "d04_simhash", "d05_ngram_jaccard")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, "empty schema")
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry() answers the flagship query") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("lineage analysis succeeds on every query plan") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
+      assert(nodes.nonEmpty, s"$name: no lineage nodes")
+      assert(edges.nonEmpty, s"$name: no lineage edges")
+      assert(nodes.exists(_.tpe == org.apache.spark.sql.graft.FlowNodeType.Query), name)
+    }
+  }
+}

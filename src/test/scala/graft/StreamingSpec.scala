@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** Streaming operators driven synchronously: the events parquet acts as a
+  * one-batch file source into a memory sink (processAllAvailable). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("windowed counts with watermark produce one row per (window, type)") {
+    val agg = StreamingOps.windowedCounts(StreamingOps.eventStream(spark, sf))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; with a single batch
+    // the final windows stay open, so compare against the batch equivalent
+    // minus the tail beyond the watermark cutoff
+    val got = spark.table("win_counts")
+    assert(got.columns.toSeq === Seq("w_start", "w_end", "event_type", "n", "sum_value"))
+    val n = got.count()
+    assert(n > 0, "no closed windows emitted")
+    // every emitted row must agree with the batch computation
+    val batch = graft.queries.QueryDsl.events(spark, sf)
+      .groupBy(window(col("ts"), "5 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n").as("n_batch"))
+    val joined = got.join(batch, Seq("w_start", "event_type"), "left")
+    val mismatches = joined.filter(col("n") =!= col("n_batch")).count()
+    assert(mismatches === 0)
+  }
+
+  test("sessionization with flatMapGroupsWithState emits gap-closed sessions") {
+    import spark.implicits._
+    val events = StreamingOps.eventStream(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val sessions = StreamingOps.sessionize(events, gapMinutes = 5)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+    assert(got.count() > 0, "no sessions emitted")
+    // session invariants
+    assert(got.filter(col("session_end") < col("session_start")).count() === 0)
+    assert(got.filter(col("n_events") <= 0).count() === 0)
+    // sessions for one user must not overlap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    val overlaps = got
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end") - expr("INTERVAL 5 MINUTES"))
+      .count()
+    assert(overlaps === 0)
+  }
+}
