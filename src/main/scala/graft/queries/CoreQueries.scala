@@ -44,8 +44,10 @@ object CoreQueries {
       val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = tbl(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
       val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      // no broadcast hint on customer: at 100 TB it is fact-sized; Spark's
+      // size estimation (or AQE) auto-broadcasts it at small scale factors
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(sum((dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
           .cast(D4)).cast(D4).as("revenue"))
@@ -73,9 +75,11 @@ object CoreQueries {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = tbl(s, dir, "lineitem")
+      // broadcast only the genuinely-bounded dims (nation: 25 rows, region: 5
+      // at any scale); customer/supplier grow with SF and are left to AQE
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
