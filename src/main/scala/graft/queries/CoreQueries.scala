@@ -293,6 +293,58 @@ object CoreQueries {
       """)
     }),
 
+    "q34_median_exact" -> ((s, dir) => {
+      // exact interpolated percentiles (sort-based; at 100 TB prefer
+      // approx_percentile — q35 — to avoid the global sort per group)
+      views(s, dir, "orders")
+      s.sql("""
+        SELECT o_orderstatus,
+               percentile(o_totalprice, 0.5) AS median_price,
+               percentile(o_totalprice, 0.9) AS p90_price
+        FROM orders GROUP BY o_orderstatus
+      """)
+    }),
+
+    "q35_sketch_aggs" -> ((s, dir) => {
+      // sketch-based aggregates: the scale path for distinct counts and
+      // quantiles (engine-specific values → rows-only check)
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("price_quantiles"))
+        .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
+          element_at(col("price_quantiles"), 1).as("p50"),
+          element_at(col("price_quantiles"), 2).as("p99"))
+    }),
+
+    "q36_range_source" -> ((s, dir) => {
+      val n = tbl(s, dir, "nation")
+      s.range(0, 25).toDF("id")
+        .join(n, col("id") === col("n_nationkey"), "left")
+        .select(col("id"), col("n_name"))
+    }),
+
+    "q37_values_source" -> ((s, dir) => {
+      views(s, dir, "region")
+      s.sql("""
+        SELECT v.pri, r.r_name
+        FROM (VALUES (0, 'first'), (1, 'second'), (2, 'third')) AS v(rk, pri)
+        JOIN region r ON v.rk = r.r_regionkey
+      """)
+    }),
+
+    "q38_asof_join" -> ((s, dir) => {
+      // custom as-of join operator (LogicalPlan + Strategy + sort-merge
+      // SparkPlan): latest order at-or-before each event, per user
+      val e = events(s, dir).select("event_id", "user_id", "ts")
+      val o = tbl(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+      org.apache.spark.sql.graft.AsOf
+        .join(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("o_orderdate").as("asof_date"))
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -499,6 +551,27 @@ object CoreQueries {
       SELECT n_name,
              (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers
       FROM nation""",
+
+    "q34_median_exact" -> """
+      SELECT o_orderstatus,
+             QUANTILE_CONT(o_totalprice, 0.5) AS median_price,
+             QUANTILE_CONT(o_totalprice, 0.9) AS p90_price
+      FROM orders GROUP BY o_orderstatus""",
+
+    "q36_range_source" -> """
+      SELECT r.range AS id, n_name
+      FROM RANGE(0, 25) r
+      LEFT JOIN nation ON r.range = n_nationkey""",
+
+    "q37_values_source" -> """
+      SELECT v.pri, r.r_name
+      FROM (VALUES (0, 'first'), (1, 'second'), (2, 'third')) AS v(rk, pri)
+      JOIN region r ON v.rk = r.r_regionkey""",
+
+    "q38_asof_join" -> """
+      SELECT event_id, user_id, o_orderdate AS asof_date
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+      ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -85,6 +85,19 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    "d06_dedup_keep_best" -> ((s, dir) => {
+      // cluster by normalized-text hash, keep the "best" doc per cluster
+      // (longest, tie-broken by lowest id) — the usual curation policy
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("text_hash").orderBy(desc("n_chars"), asc("doc_id"))
+      tbl(s, dir, "documents")
+        .select(md5(norm).as("text_hash"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("text_hash", "doc_id", "n_chars")
+    }),
+
     "d03_minhash_lsh" -> ((s, dir) => {
       // near-dup pairs (Jaccard ≥ 0.5): 8 bands × 4 rows — P(candidate) per
       // band = j⁴, so j=0.5 → 1-(1-.0625)^8 ≈ 40%/band-set but j=0.8 → 96%;
@@ -137,6 +150,16 @@ object DedupQueries {
       SELECT MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS text_hash,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents
-      GROUP BY 1"""
+      GROUP BY 1""",
+
+    "d06_dedup_keep_best" -> """
+      SELECT text_hash, doc_id, n_chars
+      FROM (
+        SELECT MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS text_hash,
+               doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      WHERE rk = 1"""
   )
 }

@@ -74,6 +74,19 @@ object TextQueries {
           sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
     }),
 
+    "t06_bigram_freq" -> ((s, dir) => {
+      // corpus bigram frequencies (n-gram language modeling input); the
+      // shuffle key is the bigram string, map-side partial counts apply
+      tbl(s, dir, "documents")
+        .withColumn("tk", toks(col("text")))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+    }),
+
     "t05_fingerprint" -> ((s, dir) => {
       // Rolling 64-bit fingerprint over the token sequence (order-sensitive,
       // unlike a bag-of-words hash): fp = fold(tokens, xxhash64(acc, token)).
@@ -98,6 +111,16 @@ object TextQueries {
              SUM(CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS BIGINT)) AS sum_tokens
       FROM documents
       GROUP BY lang""",
+
+    "t06_bigram_freq" -> """
+      SELECT bigram, COUNT(*) AS n
+      FROM (
+        SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-1),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM (SELECT LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> '') AS tk FROM documents)
+        WHERE LEN(tk) >= 2)
+      GROUP BY bigram
+      HAVING COUNT(*) >= 5""",
 
     "t03_quality_score" -> """
       SELECT doc_id, n_chars, CAST(n_tokens AS INT) AS n_tokens,

@@ -1,0 +1,152 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** As-of join — an operator Spark lacks natively (reference pattern: custom
+  * LogicalPlan + SparkStrategy + SparkPlan, the "(c)" tier of the custom-op
+  * preference order).
+  *
+  * For every left row, picks the single right row with the same key and the
+  * LARGEST right-time <= left-time (left-outer semantics: unmatched left rows
+  * keep nulls). Same semantics as DuckDB/Pandas `ASOF LEFT JOIN`.
+  *
+  * Scale design: both sides are hash-partitioned on the key (co-partitioned
+  * by `EnsureRequirements`) and sorted (key, time) — the merge is then a
+  * single forward pass per partition, O(|L|+|R|), with O(1) state (the
+  * current candidate row). No per-key buffering, no window materialization:
+  * at 100 TB this behaves exactly like a sort-merge join.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => other.asInstanceOf[Number].longValue()
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = BindReferences.bindReference(leftKey, AttributeSeq(leftOut))
+    val lt = BindReferences.bindReference(leftTime, AttributeSeq(leftOut))
+    val rk = BindReferences.bindReference(rightKey, AttributeSeq(rightOut))
+    val rt = BindReferences.bindReference(rightTime, AttributeSeq(rightOut))
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+
+      var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var cand: InternalRow = null // copy of best right row for current key
+      var candKey = 0L
+
+      lIter.map { lRow =>
+        val key = asLong(lk.eval(lRow))
+        val time = asLong(lt.eval(lRow))
+        if (cand != null && candKey != key) cand = null
+        var advancing = true
+        while (advancing && rNext != null) {
+          val rKeyV = asLong(rk.eval(rNext))
+          if (rKeyV < key || (rKeyV == key && asLong(rt.eval(rNext)) <= time)) {
+            if (rKeyV == key) { cand = rNext.copy(); candKey = key }
+            rNext = if (rIter.hasNext) rIter.next() else null
+          } else {
+            advancing = false
+          }
+        }
+        toUnsafe(joiner(lRow, if (cand != null) cand else nullRight))
+      }
+    }
+  }
+}
+
+/** DataFrame-facing API: resolves key/time columns by name, builds the
+  * logical node, and registers the planner strategy on first use. */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val l = left.asInstanceOf[ClassicDataset[_]]
+    val r = right.asInstanceOf[ClassicDataset[_]]
+    val session = l.sparkSession
+    if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in [${plan.output.map(_.name).mkString(", ")}]"))
+    def check(a: Attribute, what: String): Attribute = a.dataType match {
+      case LongType | TimestampType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.TimestampNTZType => a
+      case dt => throw new IllegalArgumentException(s"$what must be integral/timestamp, got $dt")
+    }
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    val node = AsOfJoin(lp, rp,
+      check(resolve(lp, leftKey), "leftKey"), check(resolve(rp, rightKey), "rightKey"),
+      check(resolve(lp, leftTime), "leftTime"), check(resolve(rp, rightTime), "rightTime"))
+    ClassicDataset.ofRows(session, node)
+  }
+}
+
+/** `SparkSessionExtensions` hook for cluster-wide registration via
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AsOf
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom as-of join: semantics + plan shape. */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("asof-spec")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("picks the latest right row at-or-before each left time, per key") {
+    import spark.implicits._
+    val quotes = Seq( // key, time, price
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0),
+      (2L, ts("2024-01-01 10:30:00"), 200.0)
+    ).toDF("q_key", "q_ts", "price")
+    val trades = Seq( // key, time
+      (1L, ts("2024-01-01 10:30:00")), // → 100.0
+      (1L, ts("2024-01-01 11:00:00")), // exact match → 110.0
+      (1L, ts("2024-01-01 13:00:00")), // → 120.0
+      (2L, ts("2024-01-01 10:00:00")), // before any quote → null
+      (3L, ts("2024-01-01 10:00:00"))  // unknown key → null
+    ).toDF("t_key", "t_ts")
+
+    val got = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+      .select("t_key", "t_ts", "price")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toSet
+    assert(got === Set(
+      (1L, ts("2024-01-01 10:30:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 13:00:00"), 120.0),
+      (2L, ts("2024-01-01 10:00:00"), null),
+      (3L, ts("2024-01-01 10:00:00"), null)))
+  }
+
+  test("survives multi-partition shuffles (co-partitioned merge)") {
+    import spark.implicits._
+    // many keys across partitions; right side = step function per key
+    val right = spark.range(0, 200)
+      .select((col("id") % 20).as("k"), (col("id") * 1000).as("rt"), col("id").as("payload"))
+    val left = spark.range(0, 1000)
+      .select((col("id") % 20).as("k"), (col("id") * 250).as("lt"))
+    val got = AsOf.join(left, right, "k", "k", "lt", "rt")
+    // every match must satisfy rt <= lt and be the max such rt for (k, lt)
+    val bad = got.filter(col("rt").isNotNull && col("rt") > col("lt")).count()
+    assert(bad === 0)
+    // cross-check a sample against the compose-with-window equivalent
+    val viaWindow = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.rt") <= col("l.lt"), "left")
+      .groupBy(col("l.k").as("k"), col("l.lt").as("lt"))
+      .agg(max(col("r.rt")).as("expected_rt"))
+    val joined = got.join(viaWindow, Seq("k", "lt"))
+      .filter(coalesce(col("rt"), lit(-1L)) =!= coalesce(col("expected_rt"), lit(-1L)))
+    assert(joined.count() === 0)
+  }
+
+  test("rejects non-orderable key/time types with a clear error") {
+    import spark.implicits._
+    val l = Seq(("a", 1L)).toDF("k", "t")
+    val r = Seq(("a", 1L)).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "k", "t", "t")
+    }
+    assert(e.getMessage.contains("must be integral/timestamp"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(l.select(col("t").as("k2")), r, "missing", "k", "t", "t")
+    }
+    assert(e2.getMessage.contains("not found"))
+  }
+}
