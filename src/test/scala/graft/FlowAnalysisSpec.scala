@@ -222,6 +222,52 @@ class FlowAnalysisSpec extends AnyFunSuite {
     spark.catalog.dropTempView("region_v")
   }
 
+  test("cached plans are flagged isCached (cache-placement signal)") {
+    val base = spark.read.parquet(s"$sf/region.parquet").groupBy("r_name").count()
+    base.cache()
+    base.count() // materialize so the optimized plan swaps in InMemoryRelation
+    try {
+      val df2 = base.filter(col("count") > 0)
+      val (nodes, _) = SQLFlow.datasetGraph(df2)
+      assert(nodes.exists(_.isCached), nodes.mkString("\n"))
+    } finally base.unpersist()
+  }
+
+  test("catalog mode enumerates persistent views (re-parsed from viewText)") {
+    spark.sql(s"CREATE OR REPLACE VIEW pview AS " +
+      s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet`")
+    try {
+      val (nodes, edges) = SQLFlow.catalogGraph(spark)
+      val v = nodes.find(n => n.ident == "pview" && n.tpe == FlowNodeType.View)
+      assert(v.isDefined, nodes.mkString("\n"))
+      assert(v.get.attributes === Seq("r_regionkey", "r_name"))
+      // the view's columns must trace back to the parquet scan
+      val scan = nodes.find(_.ident == "region.parquet")
+      assert(scan.isDefined)
+      assert(edges.exists(_.toId == v.get.uniqueId))
+    } finally spark.sql("DROP VIEW IF EXISTS pview")
+  }
+
+  test("contracted catalog mode keeps only leaf->view column edges") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("cn_base")
+    spark.sql("SELECT n_regionkey, count(*) AS n FROM cn_base GROUP BY n_regionkey")
+      .createOrReplaceTempView("cn_agg")
+    try {
+      val (nodes, edges) = SQLFlow.catalogGraph(spark, contracted = true)
+      assert(nodes.forall(_.tpe != FlowNodeType.Plan), nodes.mkString("\n"))
+      val agg = nodes.find(_.ident == "cn_agg").get
+      val base = nodes.find(_.ident == "cn_base").get
+      // cn_agg's n_regionkey column comes from cn_base's n_regionkey column
+      val baseIdx = base.attributes.indexOf("n_regionkey")
+      val aggIdx = agg.attributes.indexOf("n_regionkey")
+      assert(edges.contains(FlowEdge(base.uniqueId, Some(baseIdx), agg.uniqueId, Some(aggIdx))),
+        edges.map(_.show).mkString("\n"))
+    } finally {
+      spark.catalog.dropTempView("cn_base")
+      spark.catalog.dropTempView("cn_agg")
+    }
+  }
+
   test("deterministic uids: same plan analyzed twice gives identical graphs") {
     val df = spark.read.parquet(s"$sf/region.parquet").select("r_name")
     val g1 = SQLFlow.datasetGraph(df)
