@@ -22,14 +22,12 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityQueries {
   import QueryDsl._
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns: native codegen'd
+    * expression (one tight loop per pair, double accumulation in fixed
+    * order — deterministic and ~10x the interpreted zip_with/aggregate
+    * equivalent). */
+  private def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.functions.vec_cosine(a, b)
 
   val defs: Map[String, Q] = Map(
     "s01_knn_brute" -> ((s, dir) => {

@@ -318,7 +318,9 @@ object FlowAnalysis {
   def contract(g: Graph): (Seq[FlowNode], Seq[FlowEdge]) = {
     val keepTypes: Set[FlowNodeType] =
       Set(FlowNodeType.Table, FlowNodeType.View, FlowNodeType.LeafPlan)
-    val leafIds = g.nodes.filter(n => keepTypes(n.tpe)).map(_.uniqueId).toSet
+    // the root may itself be a View node — never treat it as a source
+    val leafIds =
+      g.nodes.filter(n => keepTypes(n.tpe) && n.uniqueId != g.rootId).map(_.uniqueId).toSet
 
     // adjacency: (nodeId, Option[col]) -> targets
     type P = (String, Option[Int])

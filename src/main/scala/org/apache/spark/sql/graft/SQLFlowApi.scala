@@ -56,16 +56,39 @@ object SQLFlow {
     val all: Seq[(String, LogicalPlan)] = persistent ++ temps
 
     // 2. semanticHash → view name, for subplan-to-view substitution
-    //    (reference: SQLFlow.scala:94-96,150-154)
+    //    (reference: SQLFlow.scala:94-96,150-154); sorted for determinism
     val hashToView: Map[Int, String] =
-      all.map { case (n, p) => p.semanticHash() -> n }.toMap
+      all.sortBy(_._1).map { case (n, p) => p.semanticHash() -> n }.toMap
 
+    // trivial subplans (bare scans / alias-only wrappers) are excluded from
+    // substitution — two views that are both just "scan t" must not collapse
+    // into each other (reference blacklist: SQLFlow.scala:103-107)
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Project, SubqueryAlias}
+    def trivial(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case SubqueryAlias(_, c) => trivial(c)
+      case Project(ps, c) if ps.forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Attribute]) => trivial(c)
+      case _ => false
+    }
+
+    val viewNames = all.map(_._1).toSet
     val counter = new FlowAnalysis.Counter
     val cachedFn = isCachedFn(session)
     val graphs = all.map { case (name, analyzed) =>
-      // cut at OTHER views' boundaries, wrap cached subtrees, then optimize
+      // cut at OTHER views' boundaries — BY NAME for explicit view
+      // references (SubqueryAlias/View wrappers in analyzed plans), by
+      // semantic hash only as the DataFrame-chain fallback (reference:
+      // SQLFlow.scala:133-154) — then wrap cached subtrees and optimize
+      import org.apache.spark.sql.catalyst.plans.logical.View
       val rewritten = analyzed.transformDown {
-        case p if hashToView.get(p.semanticHash()).exists(_ != name) =>
+        case s @ SubqueryAlias(ident, _)
+            if viewNames.contains(ident.name) && ident.name != name =>
+          ViewRef(ident.name, s.output, isTemp = true)
+        case v: View
+            if viewNames.contains(v.desc.identifier.table) && v.desc.identifier.table != name =>
+          ViewRef(v.desc.identifier.table, v.output, isTemp = v.isTempView)
+        case p if !trivial(p) && hashToView.get(p.semanticHash()).exists(_ != name) =>
           ViewRef(hashToView(p.semanticHash()), p.output, isTemp = true)
         case p if cachedFn(p) && !p.isInstanceOf[ViewRef] => CachedMarker(p)
       }

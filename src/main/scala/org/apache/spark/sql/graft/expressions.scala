@@ -120,6 +120,41 @@ object ShingleOps {
   }
 }
 
+/** Vector math over float-array embedding columns. */
+object VecOps {
+  /** Cosine similarity accumulated in double, fixed ascending order →
+    * bit-deterministic on every executor. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+case class FloatVecCosine(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.VecOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class TokenShingleHashes(child: Expression, n: Int = 3)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -175,6 +210,10 @@ object functions {
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
 
+  def vec_cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecCosine(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Make the expressions callable from SQL (temp functions). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -185,5 +224,7 @@ object functions {
       exprs => MinHashSignature(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
   }
 }

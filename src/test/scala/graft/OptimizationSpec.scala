@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewOps
+
+/** Scale-technique specs: salting equivalence, bucketed co-located joins
+  * (no shuffle), and plan-shape checks (pushdown reaching the scan). */
+class OptimizationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    .config("spark.ui.enabled", "false")
+    .appName("opt-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_orderpriority")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select("l_orderkey", "l_quantity", "o_orderpriority")
+    val salted = SkewOps.saltedJoin(li, o, "l_orderkey", "o_orderkey", buckets = 8)
+      .select("l_orderkey", "l_quantity", "o_orderpriority")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("salted collect_set merges to the same sets as plain collect_set") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val plain = o.groupBy("o_custkey")
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("o_orderpriority_set"))
+    val salted = SkewOps.saltedCollectSet(o, "o_custkey", "o_orderpriority", buckets = 4)
+    val diff = plain.join(salted, "o_custkey")
+      .filter(plain("o_orderpriority_set") =!= salted("o_orderpriority_set"))
+    assert(diff.count() === 0)
+  }
+
+  test("key histogram surfaces heavy hitters in order") {
+    val h = SkewOps.keyHistogram(
+      spark.read.parquet(s"$sf/lineitem.parquet"), "l_returnflag", topK = 3).collect()
+    assert(h.length === 3)
+    assert(h.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bkt")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_bkt")
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$planStr")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+
+  test("filters and projections are pushed to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") >= 48)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48.0)]"), scan)
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
+  }
+}
