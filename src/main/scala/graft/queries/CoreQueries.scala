@@ -345,6 +345,30 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderdate").as("asof_date"))
     }),
 
+    "q39_window_funcs" -> ((s, dir) => {
+      // lead/lag/first/ntile over a fully-deterministic order
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    "q40_string_funcs" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 4).as("prefix4"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+          (instr(col("p_name"), "widget") > 0).as("is_widget"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"))
+        .filter(col("p_name").like("%e%"))
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -572,6 +596,27 @@ object CoreQueries {
       SELECT event_id, user_id, o_orderdate AS asof_date
       FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
       ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+
+    "q39_window_funcs" -> """
+      SELECT o_custkey, o_orderkey,
+             LAG(o_totalprice, 1) OVER w AS prev_price,
+             LEAD(o_totalprice, 1) OVER w AS next_price,
+             FIRST_VALUE(o_orderkey) OVER w AS first_order,
+             CAST(NTILE(4) OVER w AS INT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q40_string_funcs" -> """
+      SELECT p_partkey,
+             UPPER(p_name) AS uname,
+             SUBSTRING(p_name, 1, 4) AS prefix4,
+             CAST(LENGTH(p_name) AS INT) AS name_len,
+             CONCAT_WS('/', p_brand, p_type) AS brand_type,
+             LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+             POSITION('widget' IN p_name) > 0 AS is_widget,
+             TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up
+      FROM part
+      WHERE p_name LIKE '%e%'""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -85,6 +85,8 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    "d07_embedding_neardup" -> ((s, dir) => embeddingNearDup(s, dir)),
+
     "d06_dedup_keep_best" -> ((s, dir) => {
       // cluster by normalized-text hash, keep the "best" doc per cluster
       // (longest, tie-broken by lowest id) — the usual curation policy
@@ -139,6 +141,32 @@ object DedupQueries {
         .filter(col("jaccard_milli") >= 300)
     })
   )
+
+  import org.apache.spark.sql.graft.functions.{vec_cosine, vec_srp}
+
+  private val embeddingNearDup: Q = (s, dir) => {
+    // embedding-cosine near-dup: 32-plane SRP sketch per vector (one long),
+    // band into 4x8-bit buckets, verify candidates with exact cosine.
+    // Shuffle payload: (band, byte, vec_id) — never the vectors.
+    // The 0.2 report threshold keeps output meaningful on this synthetic
+    // corpus (max pairwise cosine ≈ 0.48 — no true near-dups exist);
+    // production would use ~0.95.
+    val emb = tbl(s, dir, "embeddings")
+    val sk = emb.select(col("vec_id"), col("embedding"), vec_srp(col("embedding"), 32).as("sk"))
+      .persist()
+    val banded = sk.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sk, b * 8) & 255L)")))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_val"))
+    val cand = banded.withColumnsRenamed(Map("vec_id" -> "vec_a"))
+      .join(banded.withColumnsRenamed(Map("vec_id" -> "vec_b")), Seq("band_id", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(sk.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+      .join(sk.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), vec_cosine(col("e_a"), col("e_b")).as("cos"))
+      .filter(col("cos") >= 0.2)
+  }
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> """

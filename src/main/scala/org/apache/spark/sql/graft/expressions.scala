@@ -155,6 +155,45 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-random-projection (SRP) sketch of a float vector: bit p of the
+  * result is the sign of dot(v, r_p), where plane r_p's components are
+  * pseudo-random in [-1, 1) derived from xxh64(p, dim-index) — fully
+  * deterministic, no stored plane matrix, O(planes·dim) per row. Hamming
+  * distance between sketches estimates angular distance, so banding the
+  * sketch gives LSH buckets for cosine near-duplicate detection. */
+object SrpOps {
+  def srp(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // map xxh64(plane, i) to [-1, 1)
+        val h = XXH64.hashLong((p.toLong << 32) | i, ShingleOps.Seed)
+        val r = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+        dot += v.getFloat(i).toDouble * r
+        i += 1
+      }
+      if (dot > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
+case class FloatVecSrp(child: Expression, planes: Int = 32) extends UnaryExpression {
+  require(planes > 0 && planes <= 64, "planes must be in [1, 64]")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    SrpOps.srp(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.SrpOps.srp($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TokenShingleHashes(child: Expression, n: Int = 3)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -213,6 +252,9 @@ object functions {
   def vec_cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecCosine(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def vec_srp(c: Column, planes: Int = 32): Column =
+    ExpressionUtils.column(FloatVecSrp(ExpressionUtils.expression(c), planes))
 
   /** Make the expressions callable from SQL (temp functions). */
   def registerAll(spark: SparkSession): Unit = {

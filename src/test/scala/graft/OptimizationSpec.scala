@@ -70,6 +70,43 @@ class OptimizationSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-style partitioned writes enable partition pruning at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("part-prune").toString
+    spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("order_year") === 1997)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [isnotnull(order_year"), planStr)
+    // only the 1997 directory is read
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("order_year=1997")), files.mkString("\n"))
+  }
+
+  test("typed Aggregator (UDAF surface) matches the declarative equivalent") {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    // weighted-sum pair aggregator: (sum of qty*price, sum of qty)
+    val wsum = new Aggregator[(Double, Double), (Double, Double), (Double, Double)] {
+      def zero = (0.0, 0.0)
+      def reduce(b: (Double, Double), a: (Double, Double)) = (b._1 + a._1 * a._2, b._2 + a._1)
+      def merge(x: (Double, Double), y: (Double, Double)) = (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Double, Double)) = r
+      def bufferEncoder: Encoder[(Double, Double)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+      def outputEncoder: Encoder[(Double, Double)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    }
+    spark.udf.register("wsum", org.apache.spark.sql.functions.udaf(wsum))
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_udaf")
+    val got = spark.sql(
+      "SELECT l_returnflag, wsum(l_quantity, l_extendedprice) AS ws FROM li_udaf GROUP BY l_returnflag")
+      .selectExpr("l_returnflag", "round(ws._1, 2) AS wsum", "round(ws._2, 2) AS qty")
+    val expected = spark.sql(
+      """SELECT l_returnflag, round(sum(l_quantity * l_extendedprice), 2) AS wsum,
+        |       round(sum(l_quantity), 2) AS qty FROM li_udaf GROUP BY l_returnflag""".stripMargin)
+    assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0)
+    spark.catalog.dropTempView("li_udaf")
+  }
+
   test("filters and projections are pushed to the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_quantity") >= 48)

@@ -22,7 +22,8 @@ class QueriesSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // queries expected to return zero rows at this tiny scale factor
-  private val mayBeEmpty = Set("q19_anti_join", "d03_minhash_lsh", "d04_simhash", "d05_ngram_jaccard")
+  private val mayBeEmpty = Set("q19_anti_join", "d03_minhash_lsh", "d04_simhash",
+    "d05_ngram_jaccard", "d07_embedding_neardup")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
