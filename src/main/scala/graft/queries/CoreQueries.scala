@@ -369,6 +369,24 @@ object CoreQueries {
         .filter(col("p_name").like("%e%"))
     }),
 
+    "q41_range_join" -> ((s, dir) => {
+      // banded range join: event pairs of the same user within 60 seconds.
+      // A raw theta join is O(n²) per user; bucketing time into 60 s bands
+      // and exploding one side into [b-1, b, b+1] turns it into an equi-join
+      // on (user_id, bucket) — the standard interval-join decomposition.
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"))
+      val a = e.select(col("event_id").as("event_a"), col("user_id"), col("sec").as("sec_a"))
+        .withColumn("bucket", explode(expr(
+          "array(sec_a DIV 60 - 1, sec_a DIV 60, sec_a DIV 60 + 1)")))
+      val b = e.select(col("event_id").as("event_b"), col("user_id"), col("sec").as("sec_b"))
+        .withColumn("bucket", expr("sec_b DIV 60"))
+      a.join(b, Seq("user_id", "bucket"))
+        .filter(col("event_a") < col("event_b") && abs(col("sec_b") - col("sec_a")) <= 60)
+        .select(col("user_id"), col("event_a"), col("event_b"),
+          (col("sec_b") - col("sec_a")).as("diff_sec"))
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -617,6 +635,16 @@ object CoreQueries {
              TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up
       FROM part
       WHERE p_name LIKE '%e%'""",
+
+    "q41_range_join" -> """
+      SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+             CAST(FLOOR(EPOCH(CAST(b.ts AS TIMESTAMP))) AS BIGINT)
+               - CAST(FLOOR(EPOCH(CAST(a.ts AS TIMESTAMP))) AS BIGINT) AS diff_sec
+      FROM events a
+      JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND ABS(CAST(FLOOR(EPOCH(CAST(b.ts AS TIMESTAMP))) AS BIGINT)
+               - CAST(FLOOR(EPOCH(CAST(a.ts AS TIMESTAMP))) AS BIGINT)) <= 60""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
