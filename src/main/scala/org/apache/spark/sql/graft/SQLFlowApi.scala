@@ -53,7 +53,14 @@ object SQLFlow {
     val temps = catalog.getTempViewNames().flatMap { name =>
       catalog.getTempView(name).map(v => name -> v.child)
     }
-    val all: Seq[(String, LogicalPlan)] = persistent ++ temps
+    // global temp views too (the reference does NOT support these —
+    // README.md:273); named with their database prefix
+    val globalDb = session.sessionState.conf.getConfString(
+      "spark.sql.globalTempDatabase", "global_temp")
+    val globals = catalog.globalTempViewManager.listViewNames("*").flatMap { name =>
+      catalog.getGlobalTempView(name).map(v => s"$globalDb.$name" -> v.child)
+    }
+    val all: Seq[(String, LogicalPlan)] = persistent ++ temps ++ globals
 
     // 2. semanticHash → view name, for subplan-to-view substitution
     //    (reference: SQLFlow.scala:94-96,150-154); sorted for determinism

@@ -268,6 +268,32 @@ class FlowAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("global temp views appear in the catalog graph (reference gap closed)") {
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceGlobalTempView("gview")
+    try {
+      val (nodes, _) = SQLFlow.catalogGraph(spark)
+      assert(nodes.exists(n => n.ident == "global_temp.gview" && n.tpe == FlowNodeType.View),
+        nodes.map(_.ident).mkString(", "))
+    } finally spark.catalog.dropGlobalTempView("gview")
+  }
+
+  test("conf-driven listener activates from spark.sql.flow.sink.* settings") {
+    val tmp = java.nio.file.Files.createTempDirectory("conflistener").toString
+    spark.conf.set("spark.sql.flow.sink.outputDirPath", tmp)
+    val listener = new ConfSQLFlowListener
+    spark.listenerManager.register(listener)
+    try {
+      spark.read.parquet(s"$sf/nation.parquet").select("n_name").collect()
+      val deadline = System.currentTimeMillis() + 15000
+      def files() = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      while (files().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(files().nonEmpty, s"conf-driven listener wrote nothing under $tmp")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.unset("spark.sql.flow.sink.outputDirPath")
+    }
+  }
+
   test("deterministic uids: same plan analyzed twice gives identical graphs") {
     val df = spark.read.parquet(s"$sf/region.parquet").select("r_name")
     val g1 = SQLFlow.datasetGraph(df)
