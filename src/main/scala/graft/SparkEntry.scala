@@ -21,7 +21,33 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++ lineageEntry
+
+  /** The lineage engine itself, exercised over every query plan in the
+    * inventory (the reference's own workload is exactly this: per-plan graph
+    * extraction). Emits one row per query with its graph size — analysis is
+    * driver-side by design, like the reference. */
+  private def lineageEntry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z01_lineage_extraction" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.SQLFlow
+      val base = CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+        SimilarityQueries.defs ++ MultimodalQueries.defs
+      // representative panel covering every operator family (full-inventory
+      // robustness is covered by QueriesSpec; the panel keeps this entry a
+      // bounded bench line-item)
+      val panel = Seq("q01_pricing_summary", "q05_local_supplier", "q07_window_topk",
+        "q10_cube", "q12_union_all", "q16_scalar_subquery", "q19_anti_join",
+        "q23_explode_tokens", "q38_asof_join", "d03_minhash_lsh",
+        "s01_knn_brute", "m03_feature_extract")
+      val rows = panel.sorted.map(n => n -> base(n)).map { case (name, fn) =>
+        val df = fn(s, dir) // one QueryExecution: optimize once, analyze twice
+        val (nodes, edges) = SQLFlow.datasetGraph(df)
+        val (cn, ce) = SQLFlow.datasetGraph(df, contracted = true)
+        (name, nodes.size, edges.size, cn.size, ce.size)
+      }
+      import s.implicits._
+      rows.toDF("query", "n_nodes", "n_edges", "n_contracted_nodes", "n_contracted_edges")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
