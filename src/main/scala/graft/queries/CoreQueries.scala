@@ -387,6 +387,13 @@ object CoreQueries {
           (col("sec_b") - col("sec_a")).as("diff_sec"))
     }),
 
+    "q42_skyline" -> ((s, dir) => {
+      // Pareto-optimal parts: biggest size for the lowest price
+      graft.operators.SkylineOps.skyline(
+        tbl(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+        maximize = Seq("p_size"), minimize = Seq("p_retailprice"))
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -645,6 +652,14 @@ object CoreQueries {
         ON a.user_id = b.user_id AND a.event_id < b.event_id
        AND ABS(CAST(FLOOR(EPOCH(CAST(b.ts AS TIMESTAMP))) AS BIGINT)
                - CAST(FLOOR(EPOCH(CAST(a.ts AS TIMESTAMP))) AS BIGINT)) <= 60""",
+
+    "q42_skyline" -> """
+      SELECT p_partkey, p_size, p_retailprice
+      FROM part a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+          AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
