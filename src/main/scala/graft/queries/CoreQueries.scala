@@ -394,6 +394,33 @@ object CoreQueries {
         maximize = Seq("p_size"), minimize = Seq("p_retailprice"))
     }),
 
+    "q43_right_outer" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      val c = tbl(s, dir, "customer")
+      o.join(c, col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big_orders"))
+    }),
+
+    "q44_natural_join" -> ((s, dir) => {
+      views(s, dir, "nation", "region")
+      s.sql("""
+        SELECT n_name, r_name
+        FROM (SELECT n_nationkey, n_name, n_regionkey AS rk FROM nation)
+        NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region)
+      """)
+    }),
+
+    "q45_date_arith" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("due_date"),
+          datediff(lit("2002-01-01").cast("timestamp"), col("o_orderdate")).as("age_days"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"),
+          last_day(col("o_orderdate")).as("month_end"))
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -660,6 +687,26 @@ object CoreQueries {
         SELECT 1 FROM part b
         WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
           AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""",
+
+    "q43_right_outer" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+      FROM (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+      RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_custkey""",
+
+    "q44_natural_join" -> """
+      SELECT n_name, r_name
+      FROM (SELECT n_nationkey, n_name, n_regionkey AS rk FROM nation)
+      NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region)""",
+
+    "q45_date_arith" -> """
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+             CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS age_days,
+             CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow,
+             CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+             LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+      FROM orders""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
