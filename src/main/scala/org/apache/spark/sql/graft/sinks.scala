@@ -92,7 +92,21 @@ case class GraphVizSink() extends FlowBatchSink with FlowStreamSink with FlowFor
       options: Map[String, String]): Unit = {
     val dir = prepareDir(options)
     val prefix = options.getOrElse("filenamePrefix", "sqlflow")
-    writeFile(dir, s"$prefix.dot", toGraphString(nodes, edges))
+    val dot = writeFile(dir, s"$prefix.dot", toGraphString(nodes, edges))
+    // optional image rendering via the external `dot` binary (reference:
+    // basicSinks.scala:169-176); silently degrades to .dot-only when the
+    // binary is not installed
+    options.get("imgFormat").foreach { fmt =>
+      try {
+        val out = new File(dir, s"$prefix.$fmt")
+        val p = new ProcessBuilder("dot", s"-T$fmt", dot.getAbsolutePath,
+          "-o", out.getAbsolutePath).redirectErrorStream(true).start()
+        if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+      } catch {
+        case _: java.io.IOException =>
+          System.err.println(s"[sqlflow] graphviz `dot` not available; wrote ${dot.getPath} only")
+      }
+    }
   }
 
   /** Listener mode: fresh timestamped subdir per query
