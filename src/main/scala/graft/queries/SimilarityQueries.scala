@@ -77,6 +77,17 @@ object SimilarityQueries {
         .select("query_id", "rank", "neighbor_id")
     }),
 
+    "s05_kmeans_ivf" -> ((s, dir) => {
+      // trained IVF: 3 iterations of spherical k-means, then per-cluster
+      // population + mean similarity (integer milli for hash stability)
+      val (assigned, _) = graft.operators.KMeansOps.sphericalKMeans(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+      assigned
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum((col("sim") * 1000).cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_sim_milli"))
+    }),
+
     "s03_label_centroids" -> ((s, dir) => {
       // per-label centroid components; decimal sums → deterministic under
       // any partial-aggregation order (float sums would not be)

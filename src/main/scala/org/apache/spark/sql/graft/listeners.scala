@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.catalyst.plans.logical.Command
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.command.{CreateDataSourceTableAsSelectCommand, DataWritingCommand}
+import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Continuous lineage auditing: appends per-query lineage to a stream sink
@@ -21,23 +23,40 @@ case class SQLFlowListener(
   extends QueryExecutionListener with Logging {
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    qe.optimizedPlan match {
-      case _: Command => // skipped, as the reference does (listeners.scala:51-53)
-      case plan =>
-        try {
-          val rootName = s"query_${math.abs(qe.hashCode).toString}"
-          val g = FlowAnalysis.analyze(plan, rootName, FlowNodeType.Query)
-          val (nodes, edges) =
-            if (contracted) FlowAnalysis.contract(g) else (g.nodes, g.edges)
-          nodes.find(_.tpe == FlowNodeType.Query).foreach { q =>
-            q.props("durationMs") = (durationNs / 1000 / 1000).toString
-            q.props("timestamp") = System.currentTimeMillis().toString
-          }
-          graphSink.append(nodes, edges, options)
-        } catch {
-          // sink failures must never fail the user's query
-          case e: Throwable => logWarning(s"lineage append failed: ${e.getMessage}")
+    // write-command lineage (INSERT / CTAS / save): the reference skips ALL
+    // commands (its Issue #5); we extract the command's source query and
+    // point it at the write target instead
+    val planAndRoot: Option[(LogicalPlan, String, FlowNodeType)] = qe.optimizedPlan match {
+      case d: DataWritingCommand =>
+        val target = d match {
+          case i: InsertIntoHadoopFsRelationCommand =>
+            i.catalogTable.map(_.qualifiedName).getOrElse(i.outputPath.getName)
+          case ct: CreateDataSourceTableAsSelectCommand => ct.table.qualifiedName
+          case other => other.nodeName
         }
+        // the command's child is analyzed but not optimized — optimize here
+        val optimized = scala.util.Try(
+          org.apache.spark.sql.SparkSession.active
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+            .sessionState.optimizer.execute(d.query)).getOrElse(d.query)
+        Some((optimized, target, FlowNodeType.Table))
+      case _: Command => None // other commands skipped, as the reference does
+      case plan => Some((plan, s"query_${math.abs(qe.hashCode).toString}", FlowNodeType.Query))
+    }
+    planAndRoot.foreach { case (plan, rootName, rootType) =>
+      try {
+        val g = FlowAnalysis.analyze(plan, rootName, rootType)
+        val (nodes, edges) =
+          if (contracted) FlowAnalysis.contract(g) else (g.nodes, g.edges)
+        nodes.find(_.uniqueId == g.rootId).foreach { q =>
+          q.props("durationMs") = (durationNs / 1000 / 1000).toString
+          q.props("timestamp") = System.currentTimeMillis().toString
+        }
+        graphSink.append(nodes, edges, options)
+      } catch {
+        // sink failures must never fail the user's query
+        case e: Throwable => logWarning(s"lineage append failed: ${e.getMessage}")
+      }
     }
   }
 

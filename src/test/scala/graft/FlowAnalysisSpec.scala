@@ -17,6 +17,7 @@ class FlowAnalysisSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.ui.enabled", "false")
     .appName("flow-spec")
     .getOrCreate()
@@ -291,6 +292,29 @@ class FlowAnalysisSpec extends AnyFunSuite {
     } finally {
       spark.listenerManager.unregister(listener)
       spark.conf.unset("spark.sql.flow.sink.outputDirPath")
+    }
+  }
+
+  test("write commands produce lineage into the target table (reference Issue #5 closed)") {
+    val tmp = java.nio.file.Files.createTempDirectory("cmdlineage").toString
+    val listener = SQLFlowListener(GraphVizSink(), options = Map("outputDirPath" -> tmp))
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql("DROP TABLE IF EXISTS cmd_sink")
+      spark.read.parquet(s"$sf/region.parquet")
+        .groupBy("r_name").count()
+        .write.mode("overwrite").saveAsTable("cmd_sink")
+      val deadline = System.currentTimeMillis() + 15000
+      def dots() = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.endsWith(".dot"))
+      while (dots().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val contents = dots().map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      assert(contents.exists(c => c.contains("cmd_sink") && c.contains("region.parquet")),
+        s"no write-command lineage found in:\n${contents.mkString("\n---\n")}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.sql("DROP TABLE IF EXISTS cmd_sink")
     }
   }
 
