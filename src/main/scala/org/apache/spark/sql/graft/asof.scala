@@ -27,8 +27,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
@@ -48,19 +48,19 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -77,9 +77,9 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
-    val lk = BindReferences.bindReference(leftKey, AttributeSeq(leftOut))
+    val lks = leftKeys.map(BindReferences.bindReference(_, AttributeSeq(leftOut)))
     val lt = BindReferences.bindReference(leftTime, AttributeSeq(leftOut))
-    val rk = BindReferences.bindReference(rightKey, AttributeSeq(rightOut))
+    val rks = rightKeys.map(BindReferences.bindReference(_, AttributeSeq(rightOut)))
     val rt = BindReferences.bindReference(rightTime, AttributeSeq(rightOut))
     val outAttrs = output
 
@@ -88,19 +88,27 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightOut.size)
       val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
 
+      def keyOf(row: InternalRow, ks: Seq[Expression]): Array[Long] = {
+        val a = new Array[Long](ks.length)
+        var i = 0
+        while (i < a.length) { a(i) = asLong(ks(i).eval(row)); i += 1 }
+        a
+      }
+
       var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
       var cand: InternalRow = null // copy of best right row for current key
-      var candKey = 0L
+      var candKey: Array[Long] = null
 
       lIter.map { lRow =>
-        val key = asLong(lk.eval(lRow))
+        val key = keyOf(lRow, lks)
         val time = asLong(lt.eval(lRow))
-        if (cand != null && candKey != key) cand = null
+        if (cand != null && !java.util.Arrays.equals(candKey, key)) cand = null
         var advancing = true
         while (advancing && rNext != null) {
-          val rKeyV = asLong(rk.eval(rNext))
-          if (rKeyV < key || (rKeyV == key && asLong(rt.eval(rNext)) <= time)) {
-            if (rKeyV == key) { cand = rNext.copy(); candKey = key }
+          val rKeyV = keyOf(rNext, rks)
+          val cmp = java.util.Arrays.compare(rKeyV, key)
+          if (cmp < 0 || (cmp == 0 && asLong(rt.eval(rNext)) <= time)) {
+            if (cmp == 0) { cand = rNext.copy(); candKey = key }
             rNext = if (rIter.hasNext) rIter.next() else null
           } else {
             advancing = false
@@ -117,7 +125,15 @@ case class AsOfJoinExec(
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame =
+    joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime)
+
+  /** Composite-key variant: keys compare lexicographically. */
+  def joinMulti(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String): DataFrame = {
+    require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+      "leftKeys/rightKeys must be non-empty and the same length")
     val l = left.asInstanceOf[ClassicDataset[_]]
     val r = right.asInstanceOf[ClassicDataset[_]]
     val session = l.sparkSession
@@ -137,7 +153,8 @@ object AsOf {
     val lp = l.queryExecution.analyzed
     val rp = r.queryExecution.analyzed
     val node = AsOfJoin(lp, rp,
-      check(resolve(lp, leftKey), "leftKey"), check(resolve(rp, rightKey), "rightKey"),
+      leftKeys.map(k => check(resolve(lp, k), "leftKey")),
+      rightKeys.map(k => check(resolve(rp, k), "rightKey")),
       check(resolve(lp, leftTime), "leftTime"), check(resolve(rp, rightTime), "rightTime"))
     ClassicDataset.ofRows(session, node)
   }

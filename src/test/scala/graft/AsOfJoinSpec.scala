@@ -68,6 +68,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("composite keys join on the full key tuple") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, 20L, ts("2024-01-01 10:00:00"), 200.0),
+      (2L, 10L, ts("2024-01-01 10:00:00"), 300.0)
+    ).toDF("k1", "k2", "q_ts", "price")
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 11:00:00")), // → 100.0 (exact tuple match)
+      (1L, 20L, ts("2024-01-01 11:00:00")), // → 200.0
+      (2L, 20L, ts("2024-01-01 11:00:00"))  // no such tuple → null
+    ).toDF("k1", "k2", "t_ts")
+    val got = AsOf.joinMulti(trades, quotes, Seq("k1", "k2"), Seq("k1", "k2"), "t_ts", "q_ts")
+      .select(trades("k1"), trades("k2"), col("price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toSet
+    assert(got === Set((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 20L, null)))
+  }
+
   test("rejects non-orderable key/time types with a clear error") {
     import spark.implicits._
     val l = Seq(("a", 1L)).toDF("k", "t")

@@ -107,6 +107,20 @@ class OptimizationSpec extends AnyFunSuite {
     spark.catalog.dropTempView("li_udaf")
   }
 
+  test("orc/csv/json round-trips preserve rows (schema-explicit reads)") {
+    import graft.sources.Formats
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = src.schema
+    Seq("parquet", "orc", "csv", "json").foreach { fmt =>
+      val path = java.nio.file.Files.createTempDirectory(s"fmt-$fmt").toString + "/t"
+      Formats.write(src, path, fmt)
+      val back = Formats.read(spark, path, fmt, schema)
+      assert(back.count() === src.count(), fmt)
+      assert(back.exceptAll(src).count() === 0, s"$fmt round-trip lost rows")
+      assert(back.schema === schema, fmt)
+    }
+  }
+
   test("filters and projections are pushed to the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_quantity") >= 48)
