@@ -421,6 +421,18 @@ object CoreQueries {
           last_day(col("o_orderdate")).as("month_end"))
     }),
 
+    "q46_null_semantics" -> ((s, dir) => {
+      views(s, dir, "lineitem")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf,
+               l_discount <=> l_tax AS disc_eq_tax,
+               IFNULL(NULLIF(l_quantity, 1.0), -1.0) AS qty_or_neg
+        FROM lineitem
+        WHERE l_quantity < 3
+      """)
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -707,6 +719,14 @@ object CoreQueries {
              CAST(QUARTER(o_orderdate) AS INT) AS qtr,
              LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
       FROM orders""",
+
+    "q46_null_semantics" -> """
+      SELECT l_orderkey, l_linenumber,
+             COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf,
+             l_discount IS NOT DISTINCT FROM l_tax AS disc_eq_tax,
+             IFNULL(NULLIF(l_quantity, 1.0), -1.0) AS qty_or_neg
+      FROM lineitem
+      WHERE l_quantity < 3""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -318,6 +318,19 @@ class FlowAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("exact edge set for a fixed plan (reference-style normalized compare)") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val (nodes, edges) = SQLFlow.datasetGraph(df)
+    val got = edgeStrings(nodes, edges)
+    val queryId = norm(nodes.find(_.tpe == FlowNodeType.Query).get.uniqueId)
+    assert(got === Set(
+      s""""LocalRelation_x":0 -> "Aggregate_x":0""",
+      s""""Aggregate_x":0 -> "$queryId":0""",
+      s""""Aggregate_x":1 -> "$queryId":1"""), got.mkString("\n"))
+  }
+
   test("deterministic uids: same plan analyzed twice gives identical graphs") {
     val df = spark.read.parquet(s"$sf/region.parquet").select("r_name")
     val g1 = SQLFlow.datasetGraph(df)
