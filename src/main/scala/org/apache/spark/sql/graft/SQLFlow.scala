@@ -101,9 +101,16 @@ object FlowAnalysis {
           case other => (other.nodeName, FlowNodeType.LeafPlan, cached(leaf), false)
         }
         val id = if (stable) ident else ctx.nextId(ident)
-        val node = FlowNode(id, ident, leaf.output.map(_.name), schemaDDL(leaf), tpe, isCached)
-        stats(leaf).foreach { case (k, v) => node.props(k) = v }
-        ctx.nodes += node
+        // a stable-uid table scanned twice in one plan is ONE graph node
+        if (!(stable && ctx.nodes.exists(_.uniqueId == id))) {
+          val node = FlowNode(id, ident, leaf.output.map(_.name), schemaDDL(leaf), tpe, isCached)
+          stats(leaf).foreach { case (k, v) => node.props(k) = v }
+          ctx.nodes += node
+        } else if (isCached) {
+          ctx.nodes.zipWithIndex.find(_._1.uniqueId == id).foreach { case (n, i) =>
+            ctx.nodes(i) = n.copy(isCached = true)
+          }
+        }
         (id, AttributeMap(leaf.output.zipWithIndex.map { case (a, i) => a -> Binding(id, i) }))
 
       case CachedMarker(child) =>
