@@ -28,9 +28,13 @@ object KMeansOps {
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
 
+    // the working set is scanned once per iteration for assignment and once
+    // for the update — materialize it
+    val data = df.select(col(idCol), col(vecCol)).persist()
+
     def assignTo(centroids: DataFrame): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(desc("sim"), asc("cluster"))
-      df.select(col(idCol), col(vecCol))
+      data
         .crossJoin(broadcast(centroids))
         .select(col(idCol), col(vecCol), col("cluster"),
           vec_cosine(col(vecCol), col("c_vec")).as("sim"))
@@ -41,7 +45,7 @@ object KMeansOps {
 
     // deterministic init: centroid c = the lowest-id vector with id % k == c
     val wInit = Window.partitionBy("cluster").orderBy(idCol)
-    var centroids = df
+    var centroids = data
       .select((col(idCol) % k).cast("int").as("cluster"), col(idCol), col(vecCol).as("c_vec"))
       .withColumn("rn", row_number().over(wInit))
       .filter(col("rn") === 1)
