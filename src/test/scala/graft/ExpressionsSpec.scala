@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the native Catalyst expressions, driven through the Column
+  * API (codegen path) rather than direct eval. */
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("expr-spec")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("token_shingle_hashes: sorted distinct hash sets; short docs get one shingle") {
+    val df = Seq(
+      "a b c d",        // 2 shingles of 3 tokens
+      "a b",            // shorter than n -> 1 shingle
+      "",               // empty -> 1 sentinel
+      "x x x x x"       // repeated shingle "x x x" deduped -> 1
+    ).toDF("t").select(token_shingle_hashes($"t", 3).as("sh"))
+    val got = df.collect().map(_.getSeq[Long](0))
+    assert(got(0).length === 2)
+    assert(got(1).length === 1)
+    assert(got(2).length === 1)
+    assert(got(3).length === 1, "identical shingles must dedupe")
+    got.foreach(s => assert(s == s.sorted, "hash set must be sorted"))
+  }
+
+  test("minhash_signature: length = perms; equal sets give equal signatures; " +
+      "similar sets agree on more positions than dissimilar ones") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and never"),
+      ("c", "completely different words in this one nothing shared at all xyz")
+    ).toDF("id", "t")
+      .select($"id", minhash_signature(token_shingle_hashes($"t", 3), 32).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("a").length === 32)
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count { case (p, q) => p == q }
+    assert(agree(m("a"), m("a")) === 32)
+    assert(agree(m("a"), m("b")) > agree(m("a"), m("c")))
+  }
+
+  test("simhash64: identical texts collide; token order does not matter; disjoint texts differ") {
+    val df = Seq(
+      ("a", "alpha beta gamma delta"),
+      ("b", "delta gamma beta alpha"), // bag-of-words -> same simhash
+      ("c", "epsilon zeta eta theta iota kappa")
+    ).toDF("id", "t").select($"id", simhash64($"t").as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") === m("b"))
+    assert(m("a") !== m("c"))
+  }
+
+  test("vec_cosine: self-similarity 1.0, orthogonal 0.0, opposite -1.0, zero-vector safe") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0)
+    ).toDF("a", "b", "expected")
+    val bad = df.filter(abs(vec_cosine($"a", $"b") - $"expected") > 1e-9).count()
+    assert(bad === 0)
+  }
+
+  test("vec_srp: deterministic; similar vectors have closer sketches than dissimilar") {
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => math.cos(i * 3 + 1).toFloat)
+    val df = Seq(("base", base), ("near", near), ("far", far))
+      .toDF("id", "v").select($"id", vec_srp($"v", 32).as("s"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m("base"), m("near")) < hamming(m("base"), m("far")))
+    // rerun gives identical sketches
+    val m2 = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === m2)
+  }
+}
