@@ -433,6 +433,15 @@ object CoreQueries {
       """)
     }),
 
+    "q47_array_agg" -> ((s, dir) => {
+      // array-valued aggregation: sorted distinct sets are the only
+      // deterministic form of collect_set at any parallelism
+      tbl(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          sort_array(collect_set(year(col("o_orderdate")))).as("active_years"))
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -727,6 +736,13 @@ object CoreQueries {
              IFNULL(NULLIF(l_quantity, 1.0), -1.0) AS qty_or_neg
       FROM lineitem
       WHERE l_quantity < 3""",
+
+    "q47_array_agg" -> """
+      SELECT o_custkey,
+             LIST_SORT(LIST_DISTINCT(LIST(o_orderpriority))) AS priorities,
+             LIST_SORT(LIST_DISTINCT(LIST(CAST(YEAR(o_orderdate) AS INT)))) AS active_years
+      FROM orders
+      GROUP BY o_custkey""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
