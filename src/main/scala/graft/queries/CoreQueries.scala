@@ -442,6 +442,25 @@ object CoreQueries {
           sort_array(collect_set(year(col("o_orderdate")))).as("active_years"))
     }),
 
+    "q48_rank_stats" -> ((s, dir) => {
+      // rank-family window functions: exact rational arithmetic in both
+      // engines (percent_rank = (rank-1)/(n-1)) → bit-identical doubles
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+    }),
+
+    "q49_multiset_ops" -> ((s, dir) => {
+      val a = tbl(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val b = tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("k"))
+      a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_remaining"))
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -743,6 +762,23 @@ object CoreQueries {
              LIST_SORT(LIST_DISTINCT(LIST(CAST(YEAR(o_orderdate) AS INT)))) AS active_years
       FROM orders
       GROUP BY o_custkey""",
+
+    "q48_rank_stats" -> """
+      SELECT o_orderkey, o_orderstatus,
+             CAST(RANK() OVER w AS INT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+             PERCENT_RANK() OVER w AS prank,
+             CUME_DIST() OVER w AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""",
+
+    "q49_multiset_ops" -> """
+      SELECT k, COUNT(*) AS n_remaining
+      FROM (
+        SELECT l_suppkey AS k FROM lineitem
+        EXCEPT ALL
+        SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+      GROUP BY k""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
