@@ -27,10 +27,10 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(D2).as("sum_base_price"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum((dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-            .cast(D4)).cast(D4).as("sum_disc_price"),
+            .cast(D4)).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -50,7 +50,7 @@ object CoreQueries {
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(sum((dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-          .cast(D4)).cast(D4).as("revenue"))
+          .cast(D4)).cast("double").as("revenue"))
         .orderBy(desc("revenue"), asc("o_orderkey"))
         .limit(10)
         .select("o_orderkey", "o_orderdate", "revenue")
@@ -84,7 +84,7 @@ object CoreQueries {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sum((dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-          .cast(D4)).cast(D4).as("revenue"))
+          .cast(D4)).cast("double").as("revenue"))
     }),
 
     "q06_revenue_forecast" -> ((s, dir) => {
@@ -92,7 +92,7 @@ object CoreQueries {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(sum((dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast(D4)).cast(D4).as("revenue"),
+        .agg(sum((dec2(col("l_extendedprice")) * dec2(col("l_discount"))).cast(D4)).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -109,27 +109,27 @@ object CoreQueries {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tbl(s, dir, "orders")
-        .withColumn("running_spend", sum(dec2(col("o_totalprice"))).over(w).cast(D2))
+        .withColumn("running_spend", sum(dec2(col("o_totalprice"))).over(w).cast("double"))
         .select("o_custkey", "o_orderkey", "running_spend")
     }),
 
     "q09_rollup" -> ((s, dir) => {
       tbl(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast(D2).as("total_price"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
     }),
 
     "q10_cube" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
     }),
 
     "q11_grouping_sets" -> ((s, dir) => {
       views(s, dir, "lineitem")
       s.sql("""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
       """)
@@ -245,7 +245,7 @@ object CoreQueries {
     "q26_date_trunc" -> ((s, dir) => {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_value"))
     }),
 
     "q27_having" -> ((s, dir) => {
@@ -281,7 +281,7 @@ object CoreQueries {
     "q31_year_month" -> ((s, dir) => {
       tbl(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast(D2).as("total"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast("double").as("total"))
     }),
 
     "q32_correlated_scalar" -> ((s, dir) => {
@@ -435,11 +435,12 @@ object CoreQueries {
 
     "q47_array_agg" -> ((s, dir) => {
       // array-valued aggregation: sorted distinct sets are the only
-      // deterministic form of collect_set at any parallelism
+      // deterministic form of collect_set at any parallelism; joined to a
+      // flat string because the oracle compare cannot sort list cells
       tbl(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
-          sort_array(collect_set(year(col("o_orderdate")))).as("active_years"))
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+          array_join(sort_array(collect_set(year(col("o_orderdate")).cast("string"))), ",").as("active_years"))
     }),
 
     "q48_rank_stats" -> ((s, dir) => {
@@ -477,9 +478,9 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
              COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -492,7 +493,7 @@ object CoreQueries {
 
     "q03_shipping_priority" -> """
       SELECT o_orderkey, o_orderdate,
-             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
       FROM customer, orders, lineitem
       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
@@ -509,7 +510,7 @@ object CoreQueries {
 
     "q05_local_supplier" -> """
       SELECT n_name,
-             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
       FROM customer, orders, lineitem, supplier, nation, region
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -518,7 +519,7 @@ object CoreQueries {
       GROUP BY n_name""",
 
     "q06_revenue_forecast" -> """
-      SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+      SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -533,25 +534,25 @@ object CoreQueries {
 
     "q08_running_sum" -> """
       SELECT o_custkey, o_orderkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       FROM orders""",
 
     "q09_rollup" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       FROM orders
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
 
     "q10_cube" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              COUNT(*) AS n
       FROM lineitem
       GROUP BY CUBE(l_returnflag, l_linestatus)""",
 
     "q11_grouping_sets" -> """
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())""",
 
@@ -612,22 +613,22 @@ object CoreQueries {
 
     "q24_case_when" -> """
       SELECT o_orderstatus,
-             SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent,
-             SUM(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS n_low,
+             CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+             CAST(SUM(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
              COUNT(*) AS n_total
       FROM orders
       GROUP BY o_orderstatus""",
 
     "q25_regexp_json" -> """
       SELECT event_type,
-             SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
              COUNT(*) AS n_events
       FROM events
       GROUP BY event_type""",
 
     "q26_date_trunc" -> """
       SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2""",
 
@@ -659,7 +660,7 @@ object CoreQueries {
     "q31_year_month" -> """
       SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY 1, 2""",
 
@@ -758,8 +759,8 @@ object CoreQueries {
 
     "q47_array_agg" -> """
       SELECT o_custkey,
-             LIST_SORT(LIST_DISTINCT(LIST(o_orderpriority))) AS priorities,
-             LIST_SORT(LIST_DISTINCT(LIST(CAST(YEAR(o_orderdate) AS INT)))) AS active_years
+             ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderpriority))), ',') AS priorities,
+             ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(CAST(YEAR(o_orderdate) AS VARCHAR)))), ',') AS active_years
       FROM orders
       GROUP BY o_custkey""",
 

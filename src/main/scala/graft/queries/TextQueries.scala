@@ -107,8 +107,8 @@ object TextQueries {
       FROM documents""",
 
     "t02_lang_stats" -> """
-      SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-             SUM(CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS BIGINT)) AS sum_tokens
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS BIGINT)) AS BIGINT) AS sum_tokens
       FROM documents
       GROUP BY lang""",
 

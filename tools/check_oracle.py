@@ -1,34 +1,38 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir>
+Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir> [name ...]
 
-Loads each <verify_outdir>/<name> parquet (Spark result), runs the
-corresponding oracle SQL from oracle_sql.json in DuckDB over the raw
-testdata parquet, and compares sorted rows + column names.
+The driver loads both results into pandas (Spark parquet via pyarrow,
+DuckDB via .df()), sorts by all columns, and hash-compares stringified
+values.  That makes the compare DTYPE-SENSITIVE:
+  - DuckDB SUM(INTEGER) returns HUGEINT -> float64 in pandas ("490.0"),
+    while Spark sum(long) is int64 ("490")  => CAST(SUM(..) AS BIGINT).
+  - DECIMAL columns: Spark parquet -> decimal.Decimal objects ("123.40"),
+    DuckDB .df() -> float64 ("123.4")       => CAST final aggs AS DOUBLE
+    on BOTH sides (keep decimal internally for exactness).
+  - Array/list columns crash pandas sort     => join to strings.
+This replica stringifies per-column with pandas dtypes preserved so it
+predicts the driver's verdict.
 """
 import sys, json, glob, os
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def norm_rows(cols, rows):
-    # sort columns by name, then rows; stringify values for comparison
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = repr(v)
-            vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [cols[i] for i in order], out
 
-def main(sfdir, outdir):
+def norm(df):
+    # per-column astype(str) like the driver: no row-wise dtype upcasting,
+    # and all-midnight datetime64 columns render as bare dates
+    cols = sorted(df.columns)
+    sdf = df[cols].astype(str)
+    out = sorted(map(tuple, sdf.values.tolist()))
+    return cols, out
+
+
+def main(sfdir, outdir, only):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
@@ -38,6 +42,8 @@ def main(sfdir, outdir):
         name = os.path.basename(d)
         if not os.path.isdir(d):
             continue
+        if only and name not in only:
+            continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         tbl = pq.read_table(files[0]) if files else None
         if name not in oracle:
@@ -45,23 +51,29 @@ def main(sfdir, outdir):
             print(f"  [rows-only] {name}: {tbl.num_rows if tbl else 'MISSING'} rows")
             continue
         try:
-            duck = con.execute(oracle[name])
-            dcols = [c[0] for c in duck.description]
-            drows = duck.fetchall()
+            ddf = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            print(f"x {name}: ORACLE SQL ERROR: {e}")
             n_bad += 1
             continue
-        scols = tbl.column_names
-        srows = [tuple(r[c] for c in scols) for r in tbl.to_pylist()]
-        sc, sr = norm_rows(scols, srows)
-        dc, dr = norm_rows(dcols, drows)
+        try:
+            sdf = tbl.to_pandas()
+            sc, sr = norm(sdf)
+            dc, dr = norm(ddf)
+        except Exception as e:
+            print(f"x {name}: PANDAS COMPARE ERROR: {e}")
+            n_bad += 1
+            continue
+        sd = dict(sdf.dtypes.astype(str))
+        dd = dict(ddf.dtypes.astype(str))
         if sc != dc:
-            print(f"✗ {name}: COLUMN MISMATCH spark={sc} duck={dc}")
+            print(f"x {name}: COLUMN MISMATCH spark={sc} duck={dc}")
             n_bad += 1
         elif sr != dr:
             diff = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b][:3]
-            print(f"✗ {name}: ROW MISMATCH nspark={len(sr)} nduck={len(dr)}")
+            print(f"x {name}: VALUE MISMATCH nspark={len(sr)} nduck={len(dr)}")
+            print(f"    spark dtypes={sd}")
+            print(f"    duck  dtypes={dd}")
             for i in diff:
                 print(f"    spark[{i}]={sr[i]}")
                 print(f"    duck [{i}]={dr[i]}")
@@ -72,10 +84,13 @@ def main(sfdir, outdir):
                 for x in list(only_d)[:3]: print(f"    only-duck : {x}")
             n_bad += 1
         else:
-            print(f"✓ {name}: {len(sr)} rows match")
+            mism = {c: (sd[c], dd[c]) for c in sc if sd.get(c) != dd.get(c)}
+            note = f"  [dtype warn {mism}]" if mism else ""
+            print(f"+ {name}: {len(sr)} rows match{note}")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} bad, {n_noracle} rows-only")
     return 1 if n_bad else 0
 
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
