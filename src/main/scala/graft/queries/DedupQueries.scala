@@ -139,6 +139,26 @@ object DedupQueries {
       val sh = shingleTable(s, dir)
       verifyJaccard(lshCandidates(sigTable(sh), bands = 16, rowsPerBand = 2), sh)
         .filter(col("jaccard_milli") >= 300)
+    }),
+
+    "d08_jaccard_exact_join" -> ((s, dir) => {
+      // EXACT similarity self-join (Jaccard ≥ 0.5) via prefix filtering —
+      // sound AND complete, unlike the LSH paths (d03/d05), so it carries a
+      // brute-force DuckDB oracle. Lemma: jaccard(A,B) ≥ t ⇒ |A∩B| ≥
+      // ceil(t·|A|), so B must contain one of A's first |A|−ceil(t·|A|)+1
+      // elements in any fixed total order (here: ascending shingle hash).
+      // Probing the full inverted index with only prefix shingles cuts
+      // candidates ~2× at t=0.5 and never misses a qualifying pair; the
+      // shuffle moves only (hash, doc_id, set_size) triples.
+      val sh = shingleTable(s, dir)
+      val full = sh.select(col("doc_id").as("doc_b"), explode(col("sh")).as("e"))
+      val pref = sh.select(col("doc_id").as("doc_a"),
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - ceil(size(col("sh")) * 0.5) + 1).cast("int"))).as("e"))
+      val cand = pref.join(full, "e")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      verifyJaccard(cand, sh).filter(col("jaccard_milli") >= 500)
     })
   )
 
@@ -188,6 +208,29 @@ object DedupQueries {
                ROW_NUMBER() OVER (PARTITION BY MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
                                   ORDER BY n_chars DESC, doc_id) AS rk
         FROM documents)
-      WHERE rk = 1"""
+      WHERE rk = 1""",
+
+    // Brute-force O(n²) exact-Jaccard oracle for d08. Shingle sets mirror
+    // ShingleOps.shingleHashes in the string domain: 3-token windows,
+    // distinct; <3-token docs contribute one whole-text shingle; empty docs
+    // one sentinel. Jaccard over 64-bit shingle hashes equals Jaccard over
+    // the string shingles (collisions are ~2^-64).
+    "d08_jaccard_exact_join" -> """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEN(LIST_INTERSECT(a.s, b.s)) AS ni,
+               LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s)) AS nu
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, (1000 * ni) // nu AS jaccard_milli
+      FROM pairs
+      WHERE (1000 * ni) // nu >= 500"""
   )
 }

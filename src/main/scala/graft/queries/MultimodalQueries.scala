@@ -37,12 +37,13 @@ object MultimodalQueries {
     "m02_frame_sample" -> ((s, dir) => {
       // STUB decode: pretend each 100-byte block is a "frame"; sample every
       // 4th frame and emit a per-frame fingerprint (deterministic fake of a
-      // frame-level feature). Real impl would decode via codec per frame.
+      // frame-level feature; md5 of "id:frame" for oracle parity). Real impl
+      // would decode via codec per frame.
       mediaTable(s, dir)
         .withColumn("n_frames", (length(col("content")).cast("long") / 100L).cast("long") + 1)
         .select(col("media_id"), col("n_frames"),
           explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_id"))
-        .withColumn("frame_sig", xxhash64(col("media_id"), col("frame_id")))
+        .withColumn("frame_sig", md5(concat_ws(":", col("media_id"), col("frame_id"))))
     }),
 
     "m03_feature_extract" -> ((s, dir) => {
@@ -79,6 +80,16 @@ object MultimodalQueries {
              CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
              SHA256(text) AS sha256,
              source
-      FROM documents"""
+      FROM documents""",
+
+    // m03 stays rows-only: its features come from a JVM-side stub encoder
+    // (mapPartitions), deliberately not expressible in SQL.
+    "m02_frame_sample" -> """
+      SELECT media_id, n_frames,
+             UNNEST(GENERATE_SERIES(0, n_frames - 1, 4)) AS frame_id,
+             md5(media_id || ':' || UNNEST(GENERATE_SERIES(0, n_frames - 1, 4))) AS frame_sig
+      FROM (SELECT doc_id AS media_id,
+                   OCTET_LENGTH(ENCODE(text)) // 100 + 1 AS n_frames
+            FROM documents)"""
   )
 }

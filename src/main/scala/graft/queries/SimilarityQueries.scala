@@ -89,13 +89,16 @@ object SimilarityQueries {
     }),
 
     "s03_label_centroids" -> ((s, dir) => {
-      // per-label centroid components; decimal sums → deterministic under
-      // any partial-aggregation order (float sums would not be)
+      // per-label centroid components, accumulated as integer milli-values:
+      // floor(v·1000) is one IEEE multiply + floor (bit-identical in any
+      // engine, no decimal rounding mode involved) and the long sums are
+      // exact and associative → deterministic under any partial-aggregation
+      // order (raw float sums would not be).
       tbl(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos"))
         .agg(count(lit(1)).as("n"),
-          sum(col("col").cast("decimal(27,10)")).cast("decimal(38,10)").as("sum_val"))
+          sum(floor(col("col").cast("double") * 1000)).as("sum_milli"))
     }),
 
     "s04_norm_stats" -> ((s, dir) => {
@@ -109,7 +112,34 @@ object SimilarityQueries {
     })
   )
 
-  // float-valued similarity scores are engine-specific; these are covered by
-  // the driver's rows-only check (no DuckDB oracle declared).
-  val oracles: Map[String, String] = Map.empty
+  // Oracles: ranks/deciles/decimal-sums are integer- or exactly-determined
+  // outputs, so they hash-match DuckDB's list functions even though the
+  // intermediate cosines are floats. s02 (IVF probing) and s05 (iterative
+  // k-means) are engine-defined approximations → rows-only.
+  val oracles: Map[String, String] = Map(
+    "s01_knn_brute" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.q_emb, e.embedding) AS score
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+
+    "s03_label_centroids" -> """
+      SELECT label, CAST(p.pos AS INT) AS pos, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[p.pos+1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_milli
+      FROM embeddings, (SELECT UNNEST(RANGE(64)) AS pos) p
+      GROUP BY 1, 2""",
+
+    "s04_norm_stats" -> """
+      SELECT label,
+             CAST(FLOOR(SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 10) AS BIGINT) AS norm_decile,
+             COUNT(*) AS n_vectors
+      FROM embeddings
+      GROUP BY 1, 2"""
+  )
 }

@@ -88,15 +88,15 @@ object TextQueries {
     }),
 
     "t05_fingerprint" -> ((s, dir) => {
-      // Rolling 64-bit fingerprint over the token sequence (order-sensitive,
-      // unlike a bag-of-words hash): fp = fold(tokens, xxhash64(acc, token)).
-      // Hash-chaining avoids ANSI-mode overflow and is deterministic on
-      // every executor at any parallelism.
+      // Rolling fingerprint over the token sequence (order-sensitive, unlike
+      // a bag-of-words hash): fp = fold(tokens, md5(acc || token)). Hash
+      // chaining avoids ANSI-mode overflow, is deterministic on every
+      // executor at any parallelism, and md5 is cross-engine (oracle parity).
       tbl(s, dir, "documents")
         .withColumn("tokens", toks(col("text")))
         .select(col("doc_id"),
-          aggregate(col("tokens"), lit(1469598103934665603L),
-            (acc, t) => xxhash64(acc, t)).as("fingerprint"))
+          aggregate(col("tokens"), lit("graftseed"),
+            (acc, t) => md5(concat(acc, t))).as("fingerprint"))
     })
   )
 
@@ -132,6 +132,32 @@ object TextQueries {
                LEN(toks) AS n_tokens,
                LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t))) AS n_stopwords,
                LEN(LIST_DISTINCT(toks)) AS n_unique
-        FROM (SELECT doc_id, n_chars, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS toks FROM documents))"""
+        FROM (SELECT doc_id, n_chars, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS toks FROM documents))""",
+
+    // argmax as GREATEST over zero-padded "hits|lang" strings: numeric on
+    // hits, ties to the lexicographically-last language — exactly the
+    // semantics of Spark's array_max over struct(hits, lang)
+    "t04_lang_id" -> """
+      WITH d AS (SELECT lang, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      h AS (SELECT lang,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['the','and','of','to','in','is'], t))) AS h_en,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['der','die','und','das','ist','nicht'], t))) AS h_de,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['el','la','de','los','que','es'], t))) AS h_es,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['le','la','les','et','des','est'], t))) AS h_fr,
+        LEN(LIST_FILTER(tk, t -> LIST_CONTAINS(['de','le','shi','bu','wo','zai'], t))) AS h_zh
+        FROM d),
+      p AS (SELECT lang, STR_SPLIT(GREATEST(
+          printf('%010d|%s', h_en, 'en'), printf('%010d|%s', h_de, 'de'),
+          printf('%010d|%s', h_es, 'es'), printf('%010d|%s', h_fr, 'fr'),
+          printf('%010d|%s', h_zh, 'zh')), '|')[2] AS pred_lang FROM h)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM p GROUP BY lang""",
+
+    "t05_fingerprint" -> """
+      SELECT doc_id,
+             list_reduce(list_prepend('graftseed', LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')),
+                         (acc, x) -> md5(acc || x)) AS fingerprint
+      FROM documents"""
   )
 }
