@@ -32,43 +32,53 @@ object KMeansOps {
     // for the update — materialize it
     val data = df.select(col(idCol), col(vecCol)).persist()
 
-    def assignTo(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(desc("sim"), asc("cluster"))
+    // Assignment against DRIVER-SIDE centroids embedded as literals: one
+    // narrow map-side projection per iteration (array_max over k
+    // struct(sim, -cluster) entries) — no crossJoin, no window shuffle.
+    // Ties: max sim, then lowest cluster id (= max of (sim, -cluster)).
+    def assignTo(cents: Seq[(Int, Seq[Float])]): DataFrame = {
+      val scored = array(cents.map { case (c, v) =>
+        struct(
+          vec_cosine(col(vecCol), typedLit(v)).as("sim"),
+          lit(-c).as("negc"))
+      }: _*)
       data
-        .crossJoin(broadcast(centroids))
-        .select(col(idCol), col(vecCol), col("cluster"),
-          vec_cosine(col(vecCol), col("c_vec")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
+        .withColumn("best", array_max(scored))
+        .select(col(idCol), col(vecCol),
+          (-col("best.negc")).as("cluster"), col("best.sim").as("sim"))
     }
 
     // deterministic init: centroid c = the lowest-id vector with id % k == c
     val wInit = Window.partitionBy("cluster").orderBy(idCol)
-    var centroids = data
+    var centroids: Seq[(Int, Seq[Float])] = data
       .select((col(idCol) % k).cast("int").as("cluster"), col(idCol), col(vecCol).as("c_vec"))
       .withColumn("rn", row_number().over(wInit))
       .filter(col("rn") === 1)
       .select("cluster", "c_vec")
+      .collect().toSeq.map(r => r.getInt(0) -> r.getSeq[Float](1))
 
-    var assigned: DataFrame = null
     for (_ <- 0 until iters) {
-      assigned = assignTo(centroids)
-      // update: per-(cluster, dim) decimal mean → new centroid vector
-      val means = assigned
+      // update: ONE partial-aggregated shuffle per iteration on
+      // (cluster, pos); the k×dim per-dimension mean rows are tiny, so the
+      // centroid arrays are assembled driver-side instead of paying a
+      // second exchange for collect_list
+      centroids = assignTo(centroids)
         .select(col("cluster"), posexplode(col(vecCol)))
         .groupBy("cluster", "pos")
-        .agg((sum(col("col").cast("decimal(27,10)")) / count(lit(1))).as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("cluster"),
-          expr("transform(dims, d -> CAST(d.m AS FLOAT))").as("c_vec"))
-      // collect k tiny rows; re-broadcast as a flat literal frame
-      val rows = means.collect().toSeq
-      centroids = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.map(r => Row(r.getInt(0), r.getSeq[Float](1))), 1),
-        means.schema)
+        .agg(sum(col("col").cast("decimal(27,10)")).as("s"), count(lit(1)).as("n"))
+        .collect().toSeq
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1))
+            .map(r => (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat).toSeq
+        }.toSeq
     }
-    (assignTo(centroids).drop(vecCol), centroids)
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(centroids.map { case (c, v) => Row(c, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("c_vec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType), nullable = false))))
+    (assignTo(centroids).drop(vecCol), centDf)
   }
 }

@@ -183,6 +183,45 @@ object SrpOps {
   }
 }
 
+/** One-pass text normalization for dedup keys: ASCII-lowercase, drop every
+  * byte outside [a-z0-9 ], collapse space runs, trim. Equivalent (on any
+  * input whose case-folding stays 1:1, e.g. ASCII) to the regex pipeline
+  * lower → replace `[^a-z0-9 ]` → replace ` +` → trim, but a single byte
+  * loop instead of two backtracking regex passes per document. */
+object NormalizeOps {
+  def normalize(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val out = new Array[Byte](in.length)
+    var w = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < in.length) {
+      var b = in(i)
+      if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && w > 0) { out(w) = ' '; w += 1 }
+        pendingSpace = false
+        out(w) = b
+        w += 1
+      } else if (b == ' ') {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeOps.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.NormalizeOps.normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class FloatVecSrp(child: Expression, planes: Int = 32) extends UnaryExpression {
   require(planes > 0 && planes <= 64, "planes must be in [1, 64]")
   override def dataType: DataType = LongType
@@ -256,6 +295,9 @@ object functions {
   def vec_srp(c: Column, planes: Int = 32): Column =
     ExpressionUtils.column(FloatVecSrp(ExpressionUtils.expression(c), planes))
 
+  def normalize_text(c: Column): Column =
+    ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(c)))
+
   /** Make the expressions callable from SQL (temp functions). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -268,5 +310,7 @@ object functions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("normalize_text",
+      exprs => NormalizeText(exprs.head), "built-in")
   }
 }

@@ -70,6 +70,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("normalize_text: equivalent to the lower/strip/collapse/trim regex pipeline") {
+    val samples = Seq(
+      "Hello, World!  This  is--a TEST 123.",
+      "  leading and trailing  ",
+      "ALL CAPS AND PUNCT!!!",
+      "no-change here 42",
+      "",
+      "!!!",
+      "a    b\tc",       // tab is stripped (not a space), no split
+      "Mixed   0n3 Tw0  "
+    ).toDF("t")
+    val regexForm = trim(regexp_replace(regexp_replace(lower($"t"), "[^a-z0-9 ]", ""), " +", " "))
+    val bad = samples.filter(normalize_text($"t") =!= regexForm).count()
+    assert(bad === 0)
+  }
+
   test("vec_srp: deterministic; similar vectors have closer sketches than dissimilar") {
     val base = Array.tabulate(64)(i => math.sin(i).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
