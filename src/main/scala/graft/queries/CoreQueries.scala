@@ -462,6 +462,102 @@ object CoreQueries {
       a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_remaining"))
     }),
 
+    "q50_unpivot" -> ((s, dir) => {
+      // wide → long reshaping (Spark 4 melt/unpivot → Expand under the hood)
+      tbl(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+    }),
+
+    "q51_lateral" -> ((s, dir) => {
+      // correlated LATERAL derived table (decorrelated by Catalyst into a
+      // join — no per-row re-execution)
+      views(s, dir, "region", "nation")
+      s.sql("""
+        SELECT r_name, l.n_nations
+        FROM region r
+        JOIN LATERAL (SELECT COUNT(*) AS n_nations FROM nation WHERE n_regionkey = r.r_regionkey) l
+      """)
+    }),
+
+    "q52_stats_agg" -> ((s, dir) => {
+      // sample variance / stddev from EXACT decimal power sums; the final
+      // arithmetic runs in doubles from exact inputs, so it is the same
+      // IEEE computation in any engine (built-in stddev would diverge in
+      // the last bits: Welford vs single-pass accumulation)
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sx"),
+          sum((dec2(col("o_totalprice")) * dec2(col("o_totalprice"))).cast("decimal(38,4)"))
+            .cast("double").as("sxx"))
+        .select(col("o_orderstatus"), col("n"),
+          (col("sx") / col("n")).as("avg_price"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd_price"))
+    }),
+
+    "q53_levenshtein" -> ((s, dir) => {
+      // edit distance between each part name and the previous name of the
+      // same brand — the dedup-blocking pattern (window + string function)
+      val w = Window.partitionBy("p_brand").orderBy("p_partkey")
+      tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          levenshtein(col("p_name"), lag(col("p_name"), 1).over(w)).as("edit_prev"))
+    }),
+
+    "q54_bitwise_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(bit_and(col("l_partkey")).as("pk_and"),
+          bit_or(col("l_partkey")).as("pk_or"),
+          bit_xor(col("l_partkey")).as("pk_xor"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q55_multi_distinct" -> ((s, dir) => {
+      // several COUNT(DISTINCT ...) in one aggregate → Catalyst's
+      // Expand-based rewrite (one shuffle, grouping-id discriminated)
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q56_arg_minmax" -> ((s, dir) => {
+      // max_by/min_by (DuckDB arg_max/arg_min); s_acctbal is unique per
+      // nation in the fixture, so the argmax is well-defined
+      tbl(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(max_by(col("s_name"), col("s_acctbal")).as("richest"),
+          min_by(col("s_name"), col("s_acctbal")).as("poorest"),
+          max(dec2(col("s_acctbal"))).cast("double").as("max_bal"))
+    }),
+
+    "q57_string_agg" -> ((s, dir) => {
+      // order-insensitive string aggregation: sort before joining — the only
+      // deterministic listagg at any parallelism
+      tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .groupBy("o_orderpriority")
+        .agg(array_join(sort_array(collect_list(col("o_orderkey").cast("string"))), "|").as("keys"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q58_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_high"), sum(col("k")).as("sum_k"))
+    }),
+
     "q33_session_window" -> ((s, dir) => {
       // gap-based sessions (batch form of the streaming operator): a session
       // ends when the user is idle >= 5 minutes; end = last event + gap
@@ -780,6 +876,76 @@ object CoreQueries {
         EXCEPT ALL
         SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
       GROUP BY k""",
+
+    "q50_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, name AS metric, value
+      FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+                     FROM lineitem WHERE l_quantity >= 49)
+            ON l_quantity, l_extendedprice, l_discount, l_tax
+            INTO NAME name VALUE value)""",
+
+    "q51_lateral" -> """
+      SELECT r_name, l.n_nations
+      FROM region r,
+      LATERAL (SELECT COUNT(*) AS n_nations FROM nation WHERE n_regionkey = r.r_regionkey) l""",
+
+    "q52_stats_agg" -> """
+      SELECT o_orderstatus, n,
+             sx / n AS avg_price,
+             (sxx - sx * sx / n) / (n - 1) AS var_price,
+             SQRT((sxx - sx * sx / n) / (n - 1)) AS sd_price
+      FROM (
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+        FROM orders
+        GROUP BY o_orderstatus)""",
+
+    "q53_levenshtein" -> """
+      SELECT p_partkey, p_brand,
+             CAST(LEVENSHTEIN(p_name, LAG(p_name, 1) OVER (PARTITION BY p_brand ORDER BY p_partkey)) AS INT) AS edit_prev
+      FROM part""",
+
+    "q54_bitwise_agg" -> """
+      SELECT l_suppkey,
+             BIT_AND(l_partkey) AS pk_and,
+             BIT_OR(l_partkey) AS pk_or,
+             BIT_XOR(l_partkey) AS pk_xor,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_suppkey""",
+
+    "q55_multi_distinct" -> """
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_orderkey) AS n_orders,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag""",
+
+    "q56_arg_minmax" -> """
+      SELECT s_nationkey,
+             ARG_MAX(s_name, s_acctbal) AS richest,
+             ARG_MIN(s_name, s_acctbal) AS poorest,
+             CAST(MAX(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+      FROM supplier
+      GROUP BY s_nationkey""",
+
+    "q57_string_agg" -> """
+      SELECT o_orderpriority,
+             ARRAY_TO_STRING(LIST_SORT(LIST(CAST(o_orderkey AS VARCHAR))), '|') AS keys,
+             COUNT(*) AS n
+      FROM orders
+      WHERE o_totalprice > 450000.0
+      GROUP BY o_orderpriority""",
+
+    "q58_json_extract" -> """
+      SELECT event_type, COUNT(*) AS n_high,
+             CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      WHERE k > 50
+      GROUP BY event_type""",
 
     "q33_session_window" -> """
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
