@@ -57,6 +57,24 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming deduplication: first arrival per key wins, state bounded by
+    * the watermark (the streaming form of d01 exact dedup — the projection
+    * to the key columns keeps the emitted rows deterministic under any
+    * arrival order). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+
+  /** Stream-static enrichment join: the static dimension is read per
+    * micro-batch and broadcast — no stream-side state, the standard shape
+    * for joining a firehose against a slowly-changing dimension. */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("c_name"))
+
   /** Gap-based sessionization with explicit state: a session closes when no
     * event arrives within `gapMinutes` (event time). Emits closed sessions. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 5): Dataset[Session] = {

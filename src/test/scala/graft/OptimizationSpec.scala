@@ -121,6 +121,21 @@ class OptimizationSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-distinct aggregate plans a single Expand, not one shuffle per distinct") {
+    val plan = graft.SparkEntry.queries("q55_multi_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"multi-distinct should need at most 2 exchanges:\n$plan")
+  }
+
+  test("d08 exact join broadcasts the size table (no shuffle for the size lookups)") {
+    val plan = graft.SparkEntry.queries("d08_jaccard_exact_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"size lookups must be broadcast joins:\n$plan")
+  }
+
   test("filters and projections are pushed to the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_quantity") >= 48)

@@ -44,6 +44,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("streaming dropDuplicates matches the batch distinct over the same keys") {
+    val dd = StreamingOps.dedupStream(StreamingOps.eventStream(spark, sf))
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_stream")
+    val batch = graft.queries.QueryDsl.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+    assert(got.count() === batch.count())
+    assert(got.exceptAll(batch).count() === 0)
+  }
+
+  test("stream-static broadcast join enriches every event exactly once") {
+    val dim = spark.read.parquet(s"$sf/customer.parquet").select("c_custkey", "c_name")
+    val joined = StreamingOps.enrichStream(StreamingOps.eventStream(spark, sf), dim)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+    val nEvents = graft.queries.QueryDsl.events(spark, sf).count()
+    assert(got.count() === nEvents, "left join must preserve stream cardinality")
+    assert(got.filter(col("c_name").isNull).count() <
+      got.count(), "some events must actually enrich")
+  }
+
   test("sessionization with flatMapGroupsWithState emits gap-closed sessions") {
     import spark.implicits._
     val events = StreamingOps.eventStream(spark, sf)
