@@ -172,6 +172,14 @@ object SQLFlow {
   */
 object implicits {
   implicit class SQLFlowHolder[T](ds: Dataset[T]) {
+    /** Scala analogue of the reference's Python `@auto_tracking` decorator
+      * (python/sqlflow.py:51-133): registers the Dataset as a temp view
+      * named `name` so catalog-mode lineage connects DataFrame chains
+      * across pipeline stages, and returns the Dataset for fluent use. */
+    def track(name: String): Dataset[T] = {
+      ds.createOrReplaceTempView(name)
+      ds
+    }
     def saveAsSQLFlow(
         options: Map[String, String] = Map.empty,
         contracted: Boolean = false,

@@ -172,6 +172,24 @@ class FlowAnalysisSpec extends AnyFunSuite {
     spark.catalog.dropTempView("nation_agg")
   }
 
+  test("track() chains DataFrames through catalog lineage like @auto_tracking") {
+    import org.apache.spark.sql.graft.implicits._
+    // first stage must be non-trivial: bare scans are blacklisted from
+    // subplan-to-view substitution (two views over the same scan must not
+    // collapse), exactly like the reference's blacklist
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 1000.0)
+      .track("tracked_orders")
+    base.groupBy("o_orderstatus").count().track("tracked_counts")
+    val (nodes, edges) = SQLFlow.catalogGraph(spark)
+    val byIdent = nodes.groupBy(_.ident)
+    assert(byIdent.contains("tracked_orders") && byIdent.contains("tracked_counts"))
+    val src = byIdent("tracked_orders").head.uniqueId
+    assert(edges.exists(_.fromId == src), "tracked stages must connect")
+    spark.catalog.dropTempView("tracked_orders")
+    spark.catalog.dropTempView("tracked_counts")
+  }
+
   test("sinks: dot, mermaid, adjacency list, cypher render and save; overwrite semantics") {
     val df = spark.read.parquet(s"$sf/region.parquet").select("r_name")
     val (nodes, edges) = SQLFlow.datasetGraph(df)
