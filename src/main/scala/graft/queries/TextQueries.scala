@@ -87,6 +87,21 @@ object TextQueries {
         .filter(col("n") >= 5)
     }),
 
+    "t07_hash_split" -> ((s, dir) => {
+      // deterministic train/val/test split: bucket = first 4 hex digits of
+      // md5(doc_id) → stable across engines, reruns, and cluster layouts
+      // (the sampling story at 100 TB: never TABLESAMPLE for splits, which
+      // is partition-order dependent — hash the key)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+      tbl(s, dir, "documents")
+        .withColumn("split",
+          when(bucket % 100 < 80, "train")
+            .when(bucket % 100 < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "t05_fingerprint" -> ((s, dir) => {
       // Rolling fingerprint over the token sequence (order-sensitive, unlike
       // a bag-of-words hash): fp = fold(tokens, md5(acc || token)). Hash
@@ -153,6 +168,18 @@ object TextQueries {
       SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
       FROM p GROUP BY lang""",
+
+    "t07_hash_split" -> """
+      SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM (
+        SELECT n_chars,
+               CASE WHEN b % 100 < 80 THEN 'train'
+                    WHEN b % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT n_chars,
+                     CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b
+              FROM documents))
+      GROUP BY split""",
 
     "t05_fingerprint" -> """
       SELECT doc_id,
