@@ -39,12 +39,20 @@ object SparkEntry {
         "q10_cube", "q12_union_all", "q16_scalar_subquery", "q19_anti_join",
         "q23_explode_tokens", "q38_asof_join", "d03_minhash_lsh",
         "s01_knn_brute", "m03_feature_extract")
-      val rows = panel.sorted.map(n => n -> base(n)).map { case (name, fn) =>
-        val df = fn(s, dir) // one QueryExecution: optimize once, analyze twice
-        val (nodes, edges) = SQLFlow.datasetGraph(df)
-        val (cn, ce) = SQLFlow.datasetGraph(df, contracted = true)
-        (name, nodes.size, edges.size, cn.size, ce.size)
-      }
+      // per-plan analysis is embarrassingly parallel (SURVEY §4): build and
+      // analyze the panel concurrently on the driver; results sorted by name
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val rows = Await.result(
+        Future.traverse(panel.sorted.map(n => n -> base(n))) { case (name, fn) =>
+          Future {
+            val df = fn(s, dir) // one QueryExecution: optimize once, analyze twice
+            val (nodes, edges) = SQLFlow.datasetGraph(df)
+            val (cn, ce) = SQLFlow.datasetGraph(df, contracted = true)
+            (name, nodes.size, edges.size, cn.size, ce.size)
+          }
+        }, Duration.Inf)
       import s.implicits._
       rows.toDF("query", "n_nodes", "n_edges", "n_contracted_nodes", "n_contracted_edges")
     }))
