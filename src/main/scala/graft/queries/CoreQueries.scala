@@ -496,9 +496,12 @@ object CoreQueries {
           sum((dec2(col("o_totalprice")) * dec2(col("o_totalprice"))).cast("decimal(38,4)"))
             .cast("double").as("sxx"))
         .select(col("o_orderstatus"), col("n"),
-          (col("sx") / col("n")).as("avg_price"),
-          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd_price"))
+          round(col("sx") / col("n"), 6).as("avg_price"),
+          // rounded far coarser than the one-ulp divergence of huge-decimal
+          // → double casts (beyond 2^53, DuckDB's int128→double + /10^scale
+          // double-rounds where BigDecimal rounds once)
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 0).as("var_price"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4).as("sd_price"))
     }),
 
     "q53_levenshtein" -> ((s, dir) => {
@@ -891,9 +894,9 @@ object CoreQueries {
 
     "q52_stats_agg" -> """
       SELECT o_orderstatus, n,
-             sx / n AS avg_price,
-             (sxx - sx * sx / n) / (n - 1) AS var_price,
-             SQRT((sxx - sx * sx / n) / (n - 1)) AS sd_price
+             ROUND(sx / n, 6) AS avg_price,
+             ROUND((sxx - sx * sx / n) / (n - 1), 0) AS var_price,
+             ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 4) AS sd_price
       FROM (
         SELECT o_orderstatus, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
