@@ -43,6 +43,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("sketch aggregates stay within advertised error of the exact answers") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q35_sketch_aggs")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("orders"),
+        countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      // approx_count_distinct default rsd = 5%; allow 3 sigma
+      assert(math.abs(a.getLong(1) - e.getLong(1)).toDouble / e.getLong(1) < 0.15, flag)
+      assert(math.abs(a.getLong(2) - e.getLong(2)).toDouble / e.getLong(2) < 0.15, flag)
+      // approx_percentile(1000 accuracy) on ~2k rows per group: generous band
+      assert(math.abs(a.getDouble(3) - e.getDouble(3)) / e.getDouble(3) < 0.10, flag)
+    }
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
