@@ -63,6 +63,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH near-dup pairs are a subset of the exact similarity join (soundness)") {
+    // d03 (MinHash-LSH, jaccard >= 0.5) may MISS pairs (recall < 1), but
+    // every pair it reports must also be found by d08's sound-and-complete
+    // exact join at the same threshold
+    val lsh = SparkEntry.queries("d03_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b", "jaccard_milli")
+    val exact = SparkEntry.queries("d08_jaccard_exact_join")(spark, sf)
+      .select("doc_a", "doc_b", "jaccard_milli")
+    assert(lsh.exceptAll(exact).count() === 0,
+      "LSH reported a pair the exact join does not confirm")
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
