@@ -462,6 +462,22 @@ object CoreQueries {
       a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_remaining"))
     }),
 
+    "q59_topk_bounded" -> ((s, dir) => {
+      // same result as q07's window top-3, but via the custom bounded
+      // TypedImperativeAggregate: map-side state is capped at k rows per
+      // supplier, so the shuffle moves k·keys·partitions rows instead of
+      // the whole table (the window form shuffles and sorts every row)
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      tbl(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(top_k_struct(struct(
+          (col("l_extendedprice") * -1).as("neg_price"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")), 3).as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.l_orderkey"), col("col.l_linenumber"), col("col.l_extendedprice"))
+    }),
+
     "q50_unpivot" -> ((s, dir) => {
       // wide → long reshaping (Spark 4 melt/unpivot → Expand under the hood)
       tbl(s, dir, "lineitem")
@@ -879,6 +895,13 @@ object CoreQueries {
         EXCEPT ALL
         SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
       GROUP BY k""",
+
+    "q59_topk_bounded" -> """
+      SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber, l_extendedprice
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+      WHERE rn <= 3""",
 
     "q50_unpivot" -> """
       SELECT l_orderkey, l_linenumber, name AS metric, value

@@ -298,6 +298,13 @@ object functions {
   def normalize_text(c: Column): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(c)))
 
+  /** Bounded top-k aggregate over a struct column (k smallest under the
+    * struct's lexicographic order; lead with a negated field for "top by x
+    * desc"). Map-side partial state is capped at k rows per key. */
+  def top_k_struct(c: Column, k: Int): Column =
+    ExpressionUtils.column(TopKStruct(ExpressionUtils.expression(c), k)
+      .toAggregateExpression())
+
   /** Make the expressions callable from SQL (temp functions). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -1,0 +1,114 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+
+/** Bounded top-k aggregate: keeps the k SMALLEST struct values under the
+  * struct's natural (lexicographic) ordering — encode "top by x descending"
+  * as a leading `-x` field. The buffer never exceeds k rows, so partial
+  * (map-side) aggregation ships k rows per key per partition instead of the
+  * whole group; a window `row_number() <= k` would shuffle and sort EVERY
+  * row. At 100 TB this is the difference between a bounded-state combiner
+  * and a full-data window materialization.
+  *
+  * Returns the k rows as an ascending-sorted ARRAY<STRUCT> (posexplode for
+  * ranks 1..k).
+  */
+case class TopKStruct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[UnsafeRow]] {
+
+  require(k > 0, "k must be positive")
+  private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+
+  @transient private lazy val ordering: Ordering[InternalRow] =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .createNaturalAscendingOrdering(structType.fields.map(_.dataType).toSeq)
+  @transient private lazy val proj: UnsafeProjection = UnsafeProjection.create(structType)
+
+  /** Max-heap of the current k smallest: head = largest kept, evicted first. */
+  override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
+    new java.util.PriorityQueue[UnsafeRow](k + 1, ordering.reverse.asInstanceOf[Ordering[UnsafeRow]])
+
+  private def insert(buf: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit = {
+    if (buf.size < k) {
+      buf.add(row)
+    } else if (ordering.compare(row, buf.peek()) < 0) {
+      buf.poll()
+      buf.add(row)
+    }
+  }
+
+  override def update(
+      buf: java.util.PriorityQueue[UnsafeRow], input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, proj(v.asInstanceOf[InternalRow]).copy())
+    buf
+  }
+
+  override def merge(
+      buf: java.util.PriorityQueue[UnsafeRow],
+      other: java.util.PriorityQueue[UnsafeRow]): java.util.PriorityQueue[UnsafeRow] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.PriorityQueue[UnsafeRow]): Any = {
+    val arr = buf.toArray(new Array[UnsafeRow](buf.size))
+    java.util.Arrays.sort(arr, ordering.asInstanceOf[java.util.Comparator[UnsafeRow]])
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[UnsafeRow]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val bytes = r.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[UnsafeRow] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(structType.length)
+      row.pointTo(rowBytes, len)
+      buf.add(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStruct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStruct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "top_k_struct"
+}

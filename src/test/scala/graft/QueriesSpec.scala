@@ -75,6 +75,15 @@ class QueriesSpec extends AnyFunSuite {
       "LSH reported a pair the exact join does not confirm")
   }
 
+  test("bounded top-k aggregate equals the window row_number formulation") {
+    val windowed = SparkEntry.queries("q07_window_topk")(spark, sf)
+    val bounded = SparkEntry.queries("q59_topk_bounded")(spark, sf)
+      .select(windowed.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(bounded.count() === windowed.count())
+    assert(bounded.exceptAll(windowed).count() === 0)
+    assert(windowed.exceptAll(bounded).count() === 0)
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
