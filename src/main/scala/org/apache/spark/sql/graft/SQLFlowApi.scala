@@ -50,15 +50,22 @@ object SQLFlow {
       }.toOption.toSeq
     } yield (ident.table, plan)
 
+    // SQL-created temp views store the PARSED plan (viewText is re-resolved
+    // on access since Spark 3.1); DataFrame-created ones store analyzed
+    // plans — normalize by analyzing when unresolved
+    def analyzed(p: LogicalPlan): Option[LogicalPlan] =
+      if (p.resolved) Some(p)
+      else scala.util.Try(session.sessionState.executePlan(p).analyzed).toOption
+
     val temps = catalog.getTempViewNames().flatMap { name =>
-      catalog.getTempView(name).map(v => name -> v.child)
+      catalog.getTempView(name).flatMap(v => analyzed(v.child)).map(name -> _)
     }
     // global temp views too (the reference does NOT support these —
     // README.md:273); named with their database prefix
     val globalDb = session.sessionState.conf.getConfString(
       "spark.sql.globalTempDatabase", "global_temp")
     val globals = catalog.globalTempViewManager.listViewNames("*").flatMap { name =>
-      catalog.getGlobalTempView(name).map(v => s"$globalDb.$name" -> v.child)
+      catalog.getGlobalTempView(name).flatMap(v => analyzed(v.child)).map(s"$globalDb.$name" -> _)
     }
     val all: Seq[(String, LogicalPlan)] = persistent ++ temps ++ globals
 
