@@ -42,18 +42,22 @@ class GoldenFlowSpec extends AnyFunSuite {
         try {
           Files.readString(input.toPath).split(";").map(_.trim).filter(_.nonEmpty)
             .foreach(spark.sql(_))
-          val dot = SQLFlow.printAsSQLFlow(spark)
-          val goldenFile = new File(base, s"results/$name.dot")
-          val normalized = dot.linesIterator.map(_.trim).filter(_.nonEmpty)
-            .toSeq.sorted.mkString("\n")
-          if (regenerate) {
-            Files.writeString(goldenFile.toPath, normalized)
-          } else {
-            assert(goldenFile.exists(), s"golden missing: $goldenFile " +
-              "(regenerate with SPARK_GENERATE_GOLDEN_FILES=1)")
-            val expected = Files.readString(goldenFile.toPath)
-            assert(normalized === expected,
-              s"lineage snapshot drifted for $name")
+          // plain and contracted snapshots, like the reference's corpus
+          Seq(false -> s"results/$name.dot",
+              true -> s"results/$name.contracted.dot").foreach { case (contracted, rel) =>
+            val dot = SQLFlow.printAsSQLFlow(spark, contracted = contracted)
+            val goldenFile = new File(base, rel)
+            val normalized = dot.linesIterator.map(_.trim).filter(_.nonEmpty)
+              .toSeq.sorted.mkString("\n")
+            if (regenerate) {
+              Files.writeString(goldenFile.toPath, normalized)
+            } else {
+              assert(goldenFile.exists(), s"golden missing: $goldenFile " +
+                "(regenerate with SPARK_GENERATE_GOLDEN_FILES=1)")
+              val expected = Files.readString(goldenFile.toPath)
+              assert(normalized === expected,
+                s"lineage snapshot drifted for $rel")
+            }
           }
         } finally dropAllTempViews()
       }
