@@ -478,6 +478,33 @@ object CoreQueries {
           col("col.l_orderkey"), col("col.l_linenumber"), col("col.l_extendedprice"))
     }),
 
+    "q60_stack" -> ((s, dir) => {
+      // stack() UDTF — the other Generate variant besides explode
+      views(s, dir, "part")
+      s.sql("""
+        SELECT p_partkey, kind, val
+        FROM part
+        LATERAL VIEW stack(2, 'size', CAST(p_size AS DOUBLE), 'price', p_retailprice) AS kind, val
+        WHERE p_partkey < 100
+      """)
+    }),
+
+    "q61_explode_outer" -> ((s, dir) => {
+      // outer generate: rows with no long tokens survive with NULL
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode_outer(filter(split(col("text"), " "), t => length(t) >= 10)).as("long_tok"))
+    }),
+
+    "q62_map_ops" -> ((s, dir) => {
+      // map construction + lookup + cardinality (oracle is the direct
+      // projection — proves the map round-trip, not DuckDB's MAP type)
+      tbl(s, dir, "part")
+        .select(col("p_partkey"),
+          element_at(map(lit("brand"), col("p_brand"), lit("type"), col("p_type")), "type").as("t"),
+          size(map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))).as("n_entries"))
+    }),
+
     "q50_unpivot" -> ((s, dir) => {
       // wide → long reshaping (Spark 4 melt/unpivot → Expand under the hood)
       tbl(s, dir, "lineitem")
@@ -902,6 +929,20 @@ object CoreQueries {
                    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
             FROM lineitem)
       WHERE rn <= 3""",
+
+    "q60_stack" -> """
+      SELECT p_partkey, 'size' AS kind, CAST(p_size AS DOUBLE) AS val FROM part WHERE p_partkey < 100
+      UNION ALL
+      SELECT p_partkey, 'price' AS kind, p_retailprice AS val FROM part WHERE p_partkey < 100""",
+
+    "q61_explode_outer" -> """
+      SELECT doc_id,
+             UNNEST(CASE WHEN LEN(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS long_tok
+      FROM (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> LEN(t) >= 10) AS l
+            FROM documents)""",
+
+    "q62_map_ops" -> """
+      SELECT p_partkey, p_type AS t, 2 AS n_entries FROM part""",
 
     "q50_unpivot" -> """
       SELECT l_orderkey, l_linenumber, name AS metric, value
