@@ -478,6 +478,16 @@ object CoreQueries {
           col("col.l_orderkey"), col("col.l_linenumber"), col("col.l_extendedprice"))
     }),
 
+    "q63_grouping_id" -> ((s, dir) => {
+      // grouping_id()/grouping() discriminators over a rollup — the Expand
+      // metadata columns, exact integers in both engines
+      tbl(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"))
+    }),
+
     "q60_stack" -> ((s, dir) => {
       // stack() UDTF — the other Generate variant besides explode
       views(s, dir, "part")
@@ -929,6 +939,13 @@ object CoreQueries {
                    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
             FROM lineitem)
       WHERE rn <= 3""",
+
+    "q63_grouping_id" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
 
     "q60_stack" -> """
       SELECT p_partkey, 'size' AS kind, CAST(p_size AS DOUBLE) AS val FROM part WHERE p_partkey < 100
