@@ -70,6 +70,25 @@ object DedupQueries {
       .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
       .select("doc_a", "doc_b", "jaccard_milli")
 
+  /** Exact Jaccard ≥ 0.5 self-join (d08's core, reused by d09): |A∩B| is
+    * counted directly on the inverted-index self-join, sizes arrive via a
+    * broadcast — no shingle array is ever shuffled. */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val post = sh.select(col("doc_id"), explode(col("sh")).as("e"))
+    post.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+      .join(post.withColumnsRenamed(Map("doc_id" -> "doc_b")), "e")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))), "doc_a")
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))), "doc_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
+      .filter(col("jaccard_milli") >= 500)
+      .select("doc_a", "doc_b", "jaccard_milli")
+  }
+
   val defs: Map[String, Q] = Map(
     "d01_dedup_exact" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -153,19 +172,41 @@ object DedupQueries {
       // them, and set sizes arrive via a broadcast. At larger scale the
       // lever is a document-frequency stoplist / prefix filter on the
       // posting lists; at bench scale Σ df² ≈ 2.8 M rows — cheap.
-      val sh = shingleTable(s, dir)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val post = sh.select(col("doc_id"), explode(col("sh")).as("e"))
-      post.withColumnsRenamed(Map("doc_id" -> "doc_a"))
-        .join(post.withColumnsRenamed(Map("doc_id" -> "doc_b")), "e")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-        .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))), "doc_a")
-        .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))), "doc_b")
-        .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
-        .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
-        .filter(col("jaccard_milli") >= 500)
-        .select("doc_a", "doc_b", "jaccard_milli")
+      exactJaccardPairs(s, dir)
+    }),
+
+    "d09_dup_components" -> ((s, dir) => {
+      // duplicate-cluster assignment: connected components over the exact
+      // near-dup pair graph (jaccard ≥ 0.5), each doc labeled with the MIN
+      // doc_id of its component — the step that turns pairwise near-dups
+      // into "keep one per cluster" decisions. Iterative min-label
+      // propagation (the DataFrame form of large-star/small-star): each
+      // round is one join + aggregation on (id, comp); components here are
+      // tiny cliques so it converges in 2-3 rounds, and the driver loop is
+      // bounded. At 100 TB the same loop runs with checkpointing between
+      // rounds to cut the growing plan.
+      val pairs = exactJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .persist()
+      var labels = edges.select(col("doc_a").as("id")).distinct()
+        .withColumn("comp", col("id")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 10) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("doc_b"), col("comp").as("nbr_comp")), "doc_b")
+          .groupBy(col("doc_a").as("id"))
+          .agg(min(col("nbr_comp")).as("nbr_min"))
+        val next = labels.join(nbrMin, "id")
+          .select(col("id"), least(col("comp"), col("nbr_min")).as("comp"))
+          .persist()
+        changed = next.join(labels.withColumnsRenamed(Map("comp" -> "old_comp")), "id")
+          .filter(col("comp") =!= col("old_comp")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("comp").as("component"))
     })
   )
 
@@ -238,6 +279,33 @@ object DedupQueries {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, (1000 * ni) // nu AS jaccard_milli
       FROM pairs
-      WHERE (1000 * ni) // nu >= 500"""
+      WHERE (1000 * ni) // nu >= 500""",
+
+    // connected components via recursive reachability: component = MIN doc
+    // id reachable from each node over the (symmetrized) near-dup pairs
+    "d09_dup_components" -> """
+      WITH RECURSIVE
+      tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (1000 * LEN(LIST_INTERSECT(a.s, b.s)))
+              // (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 500),
+      edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+      reach(src, node) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a)
+      SELECT src AS doc_id, MIN(node) AS component
+      FROM reach
+      GROUP BY src"""
   )
 }
