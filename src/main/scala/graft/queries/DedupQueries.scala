@@ -179,34 +179,11 @@ object DedupQueries {
       // duplicate-cluster assignment: connected components over the exact
       // near-dup pair graph (jaccard ≥ 0.5), each doc labeled with the MIN
       // doc_id of its component — the step that turns pairwise near-dups
-      // into "keep one per cluster" decisions. Iterative min-label
-      // propagation (the DataFrame form of large-star/small-star): each
-      // round is one join + aggregation on (id, comp); components here are
-      // tiny cliques so it converges in 2-3 rounds, and the driver loop is
-      // bounded. At 100 TB the same loop runs with checkpointing between
-      // rounds to cut the growing plan.
-      val pairs = exactJaccardPairs(s, dir).select("doc_a", "doc_b")
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .persist()
-      var labels = edges.select(col("doc_a").as("id")).distinct()
-        .withColumn("comp", col("id")).persist()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 10) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("doc_b"), col("comp").as("nbr_comp")), "doc_b")
-          .groupBy(col("doc_a").as("id"))
-          .agg(min(col("nbr_comp")).as("nbr_min"))
-        val next = labels.join(nbrMin, "id")
-          .select(col("id"), least(col("comp"), col("nbr_min")).as("comp"))
-          .persist()
-        changed = next.join(labels.withColumnsRenamed(Map("comp" -> "old_comp")), "id")
-          .filter(col("comp") =!= col("old_comp")).count()
-        labels = next
-        iter += 1
-      }
-      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      // into "keep one per cluster" decisions. GraphOps picks driver-side
+      // union-find for bounded pair sets and distributed min-label
+      // propagation (localCheckpoint between rounds) beyond.
+      graft.operators.GraphOps.connectedComponents(
+        exactJaccardPairs(s, dir).select("doc_a", "doc_b"))
     })
   )
 

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graph-ops-spec")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}, self-contained node via pair {30,30}
+  private def pairs = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+    (10L, 11L), (11L, 12L), (10L, 12L),
+    (20L, 21L), (30L, 30L)).toDF("doc_a", "doc_b")
+
+  private val expected = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+    10L -> 10L, 11L -> 10L, 12L -> 10L,
+    20L -> 20L, 21L -> 20L, 30L -> 30L)
+
+  test("driver union-find path labels components with their min id") {
+    val got = GraphOps.connectedComponents(pairs, maxDriverPairs = 1000000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("distributed min-label propagation path produces identical labels") {
+    val got = GraphOps.connectedComponents(pairs, maxDriverPairs = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+}
