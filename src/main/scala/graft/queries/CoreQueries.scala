@@ -478,6 +478,20 @@ object CoreQueries {
           col("col.l_orderkey"), col("col.l_linenumber"), col("col.l_extendedprice"))
     }),
 
+    "q64_range_frame" -> ((s, dir) => {
+      // time-based RANGE frame (vs q08's ROWS frame): per-user rolling
+      // 10-minute event-value sum — frame bounds follow the ORDER BY value,
+      // not row positions
+      events(s, dir).createOrReplaceTempView("events_ts")
+      s.sql("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_10m
+        FROM events_ts
+      """)
+    }),
+
     "q63_grouping_id" -> ((s, dir) => {
       // grouping_id()/grouping() discriminators over a rollup — the Expand
       // metadata columns, exact integers in both engines
@@ -939,6 +953,13 @@ object CoreQueries {
                    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
             FROM lineitem)
       WHERE rn <= 3""",
+
+    "q64_range_frame" -> """
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_10m
+      FROM events""",
 
     "q63_grouping_id" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

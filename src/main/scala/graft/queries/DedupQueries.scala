@@ -87,6 +87,7 @@ object DedupQueries {
       .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
       .filter(col("jaccard_milli") >= 500)
       .select("doc_a", "doc_b", "jaccard_milli")
+      .persist() // d08 materializes it, d09 (components) reuses
   }
 
   val defs: Map[String, Q] = Map(
