@@ -71,6 +71,30 @@ class StreamingSpec extends AnyFunSuite {
       got.count(), "some events must actually enrich")
   }
 
+  test("listener captures lineage of foreachBatch batch plans (streaming audit)") {
+    import org.apache.spark.sql.graft.{GraphVizSink, SQLFlowListener}
+    val outDir = java.nio.file.Files.createTempDirectory("stream-audit").toString
+    val listener = SQLFlowListener(GraphVizSink(),
+      options = Map("outputDirPath" -> outDir))
+    spark.listenerManager.register(listener)
+    try {
+      val q = StreamingOps.eventStream(spark, sf)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // a real batch action inside the micro-batch: aggregate + count
+          batch.groupBy("event_type").count().count()
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      // the QueryExecutionListener fires on the listener-bus thread
+      def files() = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      val deadline = System.currentTimeMillis() + 10000
+      while (files().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(files().nonEmpty, "no lineage appended for foreachBatch plans")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("sessionization with flatMapGroupsWithState emits gap-closed sessions") {
     import spark.implicits._
     val events = StreamingOps.eventStream(spark, sf)
