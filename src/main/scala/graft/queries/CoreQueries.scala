@@ -478,6 +478,19 @@ object CoreQueries {
           col("col.l_orderkey"), col("col.l_linenumber"), col("col.l_extendedprice"))
     }),
 
+    "q65_correlated_agg_subquery" -> ((s, dir) => {
+      // correlated aggregate subquery in a predicate (the reference's
+      // in/exists-subquery-aggregate corpus family): suppliers richer than
+      // their nation's average
+      views(s, dir, "supplier")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+      """)
+    }),
+
     "q64_range_frame" -> ((s, dir) => {
       // time-based RANGE frame (vs q08's ROWS frame): per-user rolling
       // 10-minute event-value sum — frame bounds follow the ORDER BY value,
@@ -953,6 +966,12 @@ object CoreQueries {
                    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
             FROM lineitem)
       WHERE rn <= 3""",
+
+    "q65_correlated_agg_subquery" -> """
+      SELECT s_suppkey, s_name
+      FROM supplier s
+      WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)""",
 
     "q64_range_frame" -> """
       SELECT event_id, user_id,

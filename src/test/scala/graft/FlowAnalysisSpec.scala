@@ -190,6 +190,28 @@ class FlowAnalysisSpec extends AnyFunSuite {
     spark.catalog.dropTempView("tracked_counts")
   }
 
+  test("sample/limit/tail-shaped plans flow identity lineage (default rule)") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .sample(withReplacement = false, 0.5, seed = 42)
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+    val (nodes, edges) = SQLFlow.datasetGraph(df)
+    val table = nodes.find(_.tpe == FlowNodeType.Table).get
+    val query = nodes.find(_.tpe == FlowNodeType.Query).get
+    // both output columns must trace back to the scan through Sample/Limit
+    def reaches(fromId: String, toId: String): Boolean = {
+      val adj = edges.groupBy(_.fromId).view.mapValues(_.map(_.toId).toSet).toMap
+      var seen = Set(fromId)
+      var frontier = Set(fromId)
+      while (frontier.nonEmpty && !seen.contains(toId)) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen.contains(toId)
+    }
+    assert(reaches(table.uniqueId, query.uniqueId))
+  }
+
   test("sinks: dot, mermaid, adjacency list, cypher render and save; overwrite semantics") {
     val df = spark.read.parquet(s"$sf/region.parquet").select("r_name")
     val (nodes, edges) = SQLFlow.datasetGraph(df)
