@@ -22,8 +22,10 @@ class QueriesSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // queries expected to return zero rows at this tiny scale factor
+  // (q65: at sf0.001 most nations have a single supplier, whose balance
+  // equals its own average — strictly-greater finds nothing)
   private val mayBeEmpty = Set("q19_anti_join", "d03_minhash_lsh", "d04_simhash",
-    "d05_ngram_jaccard", "d07_embedding_neardup")
+    "d05_ngram_jaccard", "d07_embedding_neardup", "q65_correlated_agg_subquery")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
