@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized (seeded) property tests for the custom Catalyst pieces:
+  * generated inputs driven through the real Column/codegen path, checked
+  * against reference formulations built from Spark built-ins. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("property-spec")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val alphabet = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ "  ..,,--!!__//\t"
+
+  private def randString(): String =
+    Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+
+  test("normalize_text equals the regex pipeline on 500 random ASCII strings") {
+    val strings = Seq.fill(500)(randString())
+    val df = strings.toDF("t")
+    val regexForm = trim(regexp_replace(regexp_replace(lower($"t"), "[^a-z0-9 ]", ""), " +", " "))
+    val bad = df.filter(normalize_text($"t") =!= regexForm)
+    assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+  }
+
+  test("top_k_struct equals sort-ascending take(k) across random groups and k") {
+    for (trial <- 0 until 5) {
+      val k = 1 + rnd.nextInt(8)
+      val rows = Seq.fill(300)((rnd.nextInt(6), rnd.nextLong() % 1000))
+      val df = rows.toDF("g", "v")
+      val got = df.groupBy("g")
+        .agg(top_k_struct(struct($"v"), k).as("top"))
+        .select($"g", explode($"top.v").as("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toList.sorted
+      val expected = rows.groupBy(_._1).toList.flatMap { case (g, vs) =>
+        vs.map(_._2).sorted.take(k).map(g -> _)
+      }.sorted
+      assert(got === expected, s"trial=$trial k=$k")
+    }
+  }
+}
