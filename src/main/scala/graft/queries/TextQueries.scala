@@ -102,6 +102,25 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    "t08_doc_top_terms" -> ((s, dir) => {
+      // characteristic terms per document: top-3 by (term frequency desc,
+      // document frequency asc, term asc) — tf-idf's ranking without the
+      // float logarithm (ln differs by ulps across libms), so the result
+      // is exactly reproducible in any engine. Uses the bounded top-k
+      // aggregate: k rows per doc survive map-side.
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      val tf = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(df, "term")
+        .groupBy("doc_id")
+        .agg(top_k_struct(struct((col("tf") * -1).as("neg_tf"), col("df"), col("term")), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.term"), (col("col.neg_tf") * -1).as("tf"), col("col.df"))
+    }),
+
     "t05_fingerprint" -> ((s, dir) => {
       // Rolling fingerprint over the token sequence (order-sensitive, unlike
       // a bag-of-words hash): fp = fold(tokens, md5(acc || token)). Hash
@@ -180,6 +199,20 @@ object TextQueries {
                      CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b
               FROM documents))
       GROUP BY split""",
+
+    "t08_doc_top_terms" -> """
+      WITH tf AS (
+        SELECT doc_id, UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS term
+        FROM documents),
+      tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+      dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY term)
+      SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      FROM (
+        SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+               ROW_NUMBER() OVER (PARTITION BY tfc.doc_id
+                                  ORDER BY tfc.tf DESC, dfc.df, tfc.term) AS rank
+        FROM tfc JOIN dfc USING (term))
+      WHERE rank <= 3""",
 
     "t05_fingerprint" -> """
       SELECT doc_id,
