@@ -75,6 +75,23 @@ object StreamingOps {
     events.join(broadcast(dim), col("user_id") === col("c_custkey"), "left_outer")
       .select(col("event_id"), col("user_id"), col("event_type"), col("c_name"))
 
+  /** Stream-stream self-join: pairs of events of the same user within
+    * `gapMinutes` — the canonical interval join. Watermarks on BOTH sides +
+    * the time-range condition let Spark bound each side's join state; the
+    * state store is sharded by user_id, so it scales horizontally like the
+    * sessionization state. */
+  def pairsWithinGap(events: DataFrame, gapMinutes: Int = 1): DataFrame = {
+    val a = events.select(col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts")).withWatermark("a_ts", "10 minutes")
+    val b = events.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts")).withWatermark("b_ts", "10 minutes")
+    a.join(b, expr(
+      s"""user_id = b_user AND a_id < b_id AND
+          b_ts BETWEEN a_ts AND a_ts + INTERVAL $gapMinutes MINUTES"""))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("diff_sec"))
+  }
+
   /** Gap-based sessionization with explicit state: a session closes when no
     * event arrives within `gapMinutes` (event time). Emits closed sessions. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 5): Dataset[Session] = {

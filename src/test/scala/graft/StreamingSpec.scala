@@ -71,6 +71,24 @@ class StreamingSpec extends AnyFunSuite {
       got.count(), "some events must actually enrich")
   }
 
+  test("stream-stream interval self-join matches the batch formulation") {
+    val joined = StreamingOps.pairsWithinGap(StreamingOps.eventStream(spark, sf), gapMinutes = 1)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("pairs_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pairs_stream")
+    val e = graft.queries.QueryDsl.events(spark, sf)
+    val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val batch = a.join(b, expr(
+      "user_id = b_user AND a_id < b_id AND b_ts BETWEEN a_ts AND a_ts + INTERVAL 1 MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("diff_sec"))
+    assert(got.count() === batch.count())
+    assert(got.exceptAll(batch).count() === 0)
+  }
+
   test("listener captures lineage of foreachBatch batch plans (streaming audit)") {
     import org.apache.spark.sql.graft.{GraphVizSink, SQLFlowListener}
     val outDir = java.nio.file.Files.createTempDirectory("stream-audit").toString
