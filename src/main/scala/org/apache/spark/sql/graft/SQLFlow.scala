@@ -157,7 +157,8 @@ object FlowAnalysis {
   private def stats(leaf: LeafNode): Seq[(String, String)] =
     try {
       val st = leaf.computeStats()
-      Seq("sizeInBytes" -> st.sizeInBytes.toString) ++
+      Seq("sizeInBytes" -> st.sizeInBytes.toString,
+        "semanticHash" -> leaf.semanticHash().toString) ++
         st.rowCount.map(rc => "rowCount" -> rc.toString)
     } catch { case _: Throwable => Nil }
 
