@@ -29,6 +29,9 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val first = runAll()
+    // drop caches persisted by pass 1 (shingle/signature/pair tables): the
+    // min must measure re-execution with warm JIT, not cache scans
+    spark.catalog.clearCache()
     val second = runAll()
     val results = first.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -47,6 +47,7 @@ object GraphOps {
       }
       val nodes = edges.select(col("doc_a").as("id")).distinct()
         .collect().map(_.getLong(0))
+      edges.unpersist()
       val rows = nodes.map(n => (n, find(n))).toSeq
       import spark.implicits._
       rows.toDF("doc_id", "component")
@@ -54,16 +55,32 @@ object GraphOps {
       var labels = edges.select(col("doc_a").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint()
-      for (_ <- 0 until rounds) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("doc_b"), col("comp").as("nbr_comp")), "doc_b")
-          .groupBy(col("doc_a").as("id"))
-          .agg(min(col("nbr_comp")).as("nbr_min"))
-        labels = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-          .localCheckpoint()
+      // blocks of `rounds` propagation steps, then one convergence probe on
+      // the block's LAST step: min-propagation is monotone, so a round that
+      // changed nothing proves the fixpoint — correct for ANY component
+      // diameter, and the probe costs one extra action per block
+      var converged = false
+      var blocks = 0
+      while (!converged && blocks < 16) {
+        var prev = labels
+        for (_ <- 0 until rounds) {
+          prev = labels
+          val nbrMin = edges
+            .join(labels.select(col("id").as("doc_b"), col("comp").as("nbr_comp")), "doc_b")
+            .groupBy(col("doc_a").as("id"))
+            .agg(min(col("nbr_comp")).as("nbr_min"))
+          labels = labels.join(nbrMin, Seq("id"), "left")
+            .select(col("id"), least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+            .localCheckpoint()
+        }
+        converged = labels
+          .join(prev.withColumnsRenamed(Map("comp" -> "old_comp")), "id")
+          .filter(col("comp") =!= col("old_comp")).isEmpty
+        blocks += 1
       }
-      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      val out = labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      edges.unpersist()
+      out
     }
   }
 }

@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Shared helpers for the query inventory.
   *
-  * Oracle-parity rules (the driver hash-compares Spark vs DuckDB results):
+  * Oracle-parity rules (the driver hash-compares Spark vs DuckDB results
+  * THROUGH PANDAS — see BUILD_NOTES.md "pandas-dtype sensitive"):
   *   - Never sum raw doubles: cast to DECIMAL first. Decimal addition is
   *     exact and associative, so results are deterministic under any
   *     partial-aggregation / partition order on a 1000-executor cluster,
   *     and bit-identical to DuckDB's decimal arithmetic.
-  *   - Cast every final aggregate to a FIXED decimal type in BOTH engines
-  *     so scale/precision (and therefore value hashes) line up.
+  *   - Cast every final decimal aggregate to DOUBLE in BOTH engines (NOT to
+  *     a decimal type: Spark parquet decimals reach pandas as Decimal
+  *     objects, DuckDB's as float64, and "123.40" != "123.4"). One
+  *     correctly-rounded conversion of an exact value is deterministic.
+  *     Caveat past ~2^53: DuckDB's DECIMAL→DOUBLE double-rounds — round()
+  *     final statistics coarser than the ulp noise there (see q52).
+  *   - Integer sums: CAST(SUM(..) AS BIGINT) in DuckDB (HUGEINT → float64).
   *   - Alias every computed column identically in Spark and the oracle SQL.
   */
 object QueryDsl {

@@ -57,15 +57,17 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming deduplication: first arrival per key wins, state bounded by
-    * the watermark (the streaming form of d01 exact dedup — the projection
-    * to the key columns keeps the emitted rows deterministic under any
-    * arrival order). */
+  /** Streaming deduplication: first arrival per key wins WITHIN the
+    * watermark horizon — dropDuplicatesWithinWatermark keeps per-key state
+    * evictable (plain dropDuplicates without the event-time column in the
+    * keys would grow state forever), trading bounded state for possible
+    * re-emission of a key after its state expires. The projection to the
+    * key columns keeps emitted rows deterministic under any arrival order. */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("event_type"), col("ts"))
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
 
   /** Stream-static enrichment join: the static dimension is read per
@@ -85,9 +87,13 @@ object StreamingOps {
       col("ts").as("a_ts")).withWatermark("a_ts", "10 minutes")
     val b = events.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
       col("ts").as("b_ts")).withWatermark("b_ts", "10 minutes")
+    // each unordered pair emits once with a = the earlier event; the id
+    // comparison breaks same-timestamp ties only (an `a_id < b_id` guard
+    // alone would silently drop pairs whose ids are not time-ordered)
     a.join(b, expr(
-      s"""user_id = b_user AND a_id < b_id AND
-          b_ts BETWEEN a_ts AND a_ts + INTERVAL $gapMinutes MINUTES"""))
+      s"""user_id = b_user AND
+          b_ts BETWEEN a_ts AND a_ts + INTERVAL $gapMinutes MINUTES AND
+          (b_ts > a_ts OR (b_ts = a_ts AND a_id < b_id)) AND a_id != b_id"""))
       .select(col("user_id"), col("a_id"), col("b_id"),
         (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("diff_sec"))
   }

@@ -157,8 +157,15 @@ object FlowAnalysis {
   private def stats(leaf: LeafNode): Seq[(String, String)] =
     try {
       val st = leaf.computeStats()
-      Seq("sizeInBytes" -> st.sizeInBytes.toString,
-        "semanticHash" -> leaf.semanticHash().toString) ++
+      // semanticHash only where canonicalization is ExprId-stable (relation
+      // leaves); ViewRef and friends would hash their raw attribute ids and
+      // change on every session
+      val hash = leaf match {
+        case _: LogicalRelation | _: HiveTableRelation =>
+          Seq("semanticHash" -> leaf.semanticHash().toString)
+        case _ => Nil
+      }
+      Seq("sizeInBytes" -> st.sizeInBytes.toString) ++ hash ++
         st.rowCount.map(rc => "rowCount" -> rc.toString)
     } catch { case _: Throwable => Nil }
 

@@ -38,4 +38,13 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  test("distributed path converges on chains longer than one round block") {
+    // chain 1-2-...-9 with rounds=2: needs the convergence loop, not the
+    // fixed block, to reach the fixpoint
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = GraphOps.connectedComponents(chain, maxDriverPairs = 0, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 9L).map(_ -> 1L).toMap)
+  }
 }

@@ -53,8 +53,11 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("dedup_stream")
     val batch = graft.queries.QueryDsl.events(spark, sf)
       .select("user_id", "event_type").distinct()
-    assert(got.count() === batch.count())
-    assert(got.exceptAll(batch).count() === 0)
+    // withinWatermark may re-emit a key after its state expires: the emitted
+    // DISTINCT key set must equal the batch distinct exactly
+    assert(got.distinct().count() === batch.count())
+    assert(got.distinct().exceptAll(batch).count() === 0)
+    assert(got.count() >= batch.count())
   }
 
   test("stream-static broadcast join enriches every event exactly once") {
@@ -82,11 +85,16 @@ class StreamingSpec extends AnyFunSuite {
     val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
     val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
     val batch = a.join(b, expr(
-      "user_id = b_user AND a_id < b_id AND b_ts BETWEEN a_ts AND a_ts + INTERVAL 1 MINUTES"))
+      """user_id = b_user AND b_ts BETWEEN a_ts AND a_ts + INTERVAL 1 MINUTES AND
+         (b_ts > a_ts OR (b_ts = a_ts AND a_id < b_id)) AND a_id != b_id"""))
       .select(col("user_id"), col("a_id"), col("b_id"),
         (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("diff_sec"))
     assert(got.count() === batch.count())
     assert(got.exceptAll(batch).count() === 0)
+    // pair emission must not depend on id/time order agreement: every
+    // unordered close pair appears exactly once
+    val undirected = batch.select(least(col("a_id"), col("b_id")), greatest(col("a_id"), col("b_id")))
+    assert(undirected.distinct().count() === batch.count())
   }
 
   test("listener captures lineage of foreachBatch batch plans (streaming audit)") {
