@@ -33,6 +33,24 @@ class PropertySpec extends AnyFunSuite {
     assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
   }
 
+  test("top_k_struct survives the sort-based aggregation fallback (many groups)") {
+    // ObjectHashAggregate falls back to sort-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // distinct keys per partition — that path round-trips the buffer
+    // through serialize/deserialize
+    val n = 5000
+    val rows = (0 until n).map(i => (i % 1000, (i * 2654435761L) % 10000))
+    val df = rows.toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(top_k_struct(struct($"v"), 2).as("top"))
+      .select($"g", explode($"top.v").as("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList.sorted
+    val expected = rows.groupBy(_._1).toList.flatMap { case (g, vs) =>
+      vs.map(_._2).sorted.take(2).map(g -> _)
+    }.sorted
+    assert(got === expected)
+  }
+
   test("top_k_struct equals sort-ascending take(k) across random groups and k") {
     for (trial <- 0 until 5) {
       val k = 1 + rnd.nextInt(8)
