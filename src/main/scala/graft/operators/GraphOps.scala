@@ -22,6 +22,7 @@ object GraphOps {
       pairs: DataFrame,
       maxDriverPairs: Long = 1000000L,
       rounds: Int = 6): DataFrame = {
+    require(rounds > 0, "rounds must be positive (0 would trivially 'converge' on identity labels)")
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .union(pairs.select(col("doc_b").cast("long"), col("doc_a").cast("long")))
@@ -61,7 +62,8 @@ object GraphOps {
       // diameter, and the probe costs one extra action per block
       var converged = false
       var blocks = 0
-      while (!converged && blocks < 16) {
+      var older: DataFrame = null
+      while (!converged && blocks < 64) {
         var prev = labels
         for (_ <- 0 until rounds) {
           prev = labels
@@ -72,12 +74,22 @@ object GraphOps {
           labels = labels.join(nbrMin, Seq("id"), "left")
             .select(col("id"), least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
             .localCheckpoint()
+          // drop checkpoint snapshots older than `prev` (still needed for
+          // the convergence probe) — otherwise every round pins a full
+          // label-set copy in the block manager
+          if (older != null) older.unpersist()
+          older = prev
         }
         converged = labels
           .join(prev.withColumnsRenamed(Map("comp" -> "old_comp")), "id")
           .filter(col("comp") =!= col("old_comp")).isEmpty
         blocks += 1
       }
+      // never return silently-wrong labels: min-label propagation moves a
+      // component's min at least one hop per round, so rounds*64 bounds any
+      // realistic diameter — beyond that, fail loudly
+      require(converged,
+        s"connectedComponents did not converge within ${rounds * 64} propagation rounds")
       val out = labels.select(col("id").as("doc_id"), col("comp").as("component"))
       edges.unpersist()
       out

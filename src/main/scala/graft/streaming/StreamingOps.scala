@@ -46,7 +46,7 @@ object StreamingOps {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
-  /** Sliding-window event counts with a watermark: the canonical
+  /** Tumbling-window event counts with a watermark: the canonical
     * streaming aggregation (pre-shuffle partial aggregation applies; state
     * bounded by the 10-minute watermark). */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -95,7 +95,11 @@ object StreamingOps {
           b_ts BETWEEN a_ts AND a_ts + INTERVAL $gapMinutes MINUTES AND
           (b_ts > a_ts OR (b_ts = a_ts AND a_id < b_id)) AND a_id != b_id"""))
       .select(col("user_id"), col("a_id"), col("b_id"),
-        (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("diff_sec"))
+        // micros-exact difference, then truncate once (per-side
+        // unix_timestamp would floor each timestamp independently and be
+        // off by one for sub-second gaps)
+        ((unix_micros(col("b_ts")) - unix_micros(col("a_ts"))) / 1000000L)
+          .cast("long").as("diff_sec"))
   }
 
   /** Gap-based sessionization with explicit state: a session closes when no
@@ -112,11 +116,21 @@ object StreamingOps {
       evts.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
-          case Some(s) =>
+          case Some(s) if t > s.last + gapMs =>
+            // gap elapsed after the session: close it, open a new one
             out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
             cur = Some(SessionState(t, t, 1, e.value))
+          case Some(s) if t < s.start - gapMs =>
+            // stray LATE event (within watermark, cross-batch) too far
+            // before the open session: emit it as its own closed session
+            // rather than dragging the session bounds backward
+            out += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+          case Some(s) =>
+            // merge, extending bounds in BOTH directions — a late event
+            // inside [start - gap, last + gap] must never move `last`
+            // backward (that would emit session_end < session_start)
+            cur = Some(s.copy(start = math.min(s.start, t), last = math.max(s.last, t),
+              n = s.n + 1, total = s.total + e.value))
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }
@@ -127,9 +141,8 @@ object StreamingOps {
           state.remove()
         case Some(s) =>
           state.update(s)
-          if (!state.hasTimedOut) {
-            state.setTimeoutTimestamp(s.last + gapMs)
-          }
+          // timed-out invocations carry no events and are fully handled above
+          state.setTimeoutTimestamp(s.last + gapMs)
         case None => if (state.hasTimedOut) state.remove()
       }
       out.iterator

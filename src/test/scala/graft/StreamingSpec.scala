@@ -88,7 +88,8 @@ class StreamingSpec extends AnyFunSuite {
       """user_id = b_user AND b_ts BETWEEN a_ts AND a_ts + INTERVAL 1 MINUTES AND
          (b_ts > a_ts OR (b_ts = a_ts AND a_id < b_id)) AND a_id != b_id"""))
       .select(col("user_id"), col("a_id"), col("b_id"),
-        (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts"))).as("diff_sec"))
+        ((unix_micros(col("b_ts")) - unix_micros(col("a_ts"))) / 1000000L)
+          .cast("long").as("diff_sec"))
     assert(got.count() === batch.count())
     assert(got.exceptAll(batch).count() === 0)
     // pair emission must not depend on id/time order agreement: every
