@@ -101,9 +101,19 @@ object FlowAnalysis {
           case other => (other.nodeName, FlowNodeType.LeafPlan, cached(leaf), false)
         }
         val id = if (stable) ident else ctx.nextId(ident)
+        // stable relations expose their FULL table schema and bind the
+        // (possibly column-pruned) scan output by field name — two scans of
+        // the same table pruned differently must agree on column indices,
+        // or the merged node's edges point at the wrong columns
+        val fullSchema: Option[Seq[String]] = leaf match {
+          case r: LogicalRelation => scala.util.Try(r.relation.schema.map(_.name).toSeq).toOption
+          case h: HiveTableRelation => Some(h.tableMeta.schema.map(_.name).toSeq)
+          case _ => None
+        }
+        val attrs = fullSchema.getOrElse(leaf.output.map(_.name))
         // a stable-uid table scanned twice in one plan is ONE graph node
         if (!(stable && ctx.nodes.exists(_.uniqueId == id))) {
-          val node = FlowNode(id, ident, leaf.output.map(_.name), schemaDDL(leaf), tpe, isCached)
+          val node = FlowNode(id, ident, attrs, schemaDDL(leaf), tpe, isCached)
           stats(leaf).foreach { case (k, v) => node.props(k) = v }
           ctx.nodes += node
         } else if (isCached) {
@@ -111,7 +121,10 @@ object FlowAnalysis {
             ctx.nodes(i) = n.copy(isCached = true)
           }
         }
-        (id, AttributeMap(leaf.output.zipWithIndex.map { case (a, i) => a -> Binding(id, i) }))
+        (id, AttributeMap(leaf.output.zipWithIndex.map { case (a, i) =>
+          val idx = fullSchema.map(_.indexOf(a.name)).filter(_ >= 0).getOrElse(i)
+          a -> Binding(id, idx)
+        }))
 
       case CachedMarker(child) =>
         // transparent: flags the child subtree's node as cached

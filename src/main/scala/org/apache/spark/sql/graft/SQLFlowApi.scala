@@ -39,6 +39,7 @@ object SQLFlow {
 
     // 1. gather analyzed plans: persistent views (re-parsed from viewText)
     //    and temp views (pre-analyzed)
+    val currentDb = catalog.getCurrentDatabase
     val persistent = for {
       db <- catalog.listDatabases()
       ident <- catalog.listTables(db)
@@ -46,9 +47,17 @@ object SQLFlow {
       text <- meta.viewText.toSeq
       plan <- scala.util.Try {
         val parsed = session.sessionState.sqlParser.parsePlan(text)
-        session.sessionState.executePlan(parsed).analyzed
+        // resolve in the view's OWN database: unqualified table references
+        // in the stored text mean that namespace, not the session's current
+        val prev = catalog.getCurrentDatabase
+        try {
+          catalog.setCurrentDatabase(db)
+          session.sessionState.executePlan(parsed).analyzed
+        } finally catalog.setCurrentDatabase(prev)
       }.toOption.toSeq
-    } yield (ident.table, plan)
+      // qualify views outside the current database so same-named views in
+      // different databases get distinct node uids
+    } yield (if (db == currentDb) ident.table else s"$db.${ident.table}", plan)
 
     // SQL-created temp views store the PARSED plan (viewText is re-resolved
     // on access since Spark 3.1); DataFrame-created ones store analyzed
@@ -95,7 +104,7 @@ object SQLFlow {
       // semantic hash only as the DataFrame-chain fallback (reference:
       // SQLFlow.scala:133-154) — then wrap cached subtrees and optimize
       import org.apache.spark.sql.catalyst.plans.logical.View
-      val rewritten = analyzed.transformDown {
+      val substituted = analyzed.transformDown {
         case s @ SubqueryAlias(ident, _)
             if viewNames.contains(ident.name) && ident.name != name =>
           ViewRef(ident.name, s.output, isTemp = true)
@@ -104,9 +113,16 @@ object SQLFlow {
           ViewRef(v.desc.identifier.table, v.output, isTemp = v.isTempView)
         case p if !trivial(p) && hashToView.get(p.semanticHash()).exists(_ != name) =>
           ViewRef(hashToView(p.semanticHash()), p.output, isTemp = true)
-        case p if cachedFn(p) && !p.isInstanceOf[ViewRef] => CachedMarker(p)
       }
-      val optimized = session.sessionState.optimizer.execute(rewritten)
+      // cached-subtree wrap as a MANUAL one-shot recursion: a transformDown
+      // rule returning CachedMarker(p) would re-match its own child p and
+      // recurse forever (the lookup is checked on the pre-wrap plan)
+      def markCached(p: LogicalPlan): LogicalPlan = {
+        val isC = !p.isInstanceOf[ViewRef] && cachedFn(p)
+        val mapped = p.mapChildren(markCached)
+        if (isC) CachedMarker(mapped) else mapped
+      }
+      val optimized = session.sessionState.optimizer.execute(markCached(substituted))
       val g = FlowAnalysis.analyze(optimized, name, FlowNodeType.View, cachedFn, counter)
       if (contracted) { val (n, e) = FlowAnalysis.contract(g); FlowAnalysis.Graph(n, e, g.rootId, Nil) }
       else g

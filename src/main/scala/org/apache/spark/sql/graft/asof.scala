@@ -10,9 +10,12 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
-/** As-of join — an operator Spark lacks natively (reference pattern: custom
-  * LogicalPlan + SparkStrategy + SparkPlan, the "(c)" tier of the custom-op
-  * preference order).
+/** As-of join as a first-class physical operator (custom LogicalPlan +
+  * SparkStrategy + SparkPlan — the "(c)" tier of the custom-op preference
+  * order). Catalyst does carry a logical AsOfJoin (pandas merge_asof), but
+  * RewriteAsOfJoin turns it into a join + per-key aggregate that buffers
+  * candidate rows; this operator instead merges two co-partitioned sorted
+  * streams with O(1) state per partition.
   *
   * For every left row, picks the single right row with the same key and the
   * LARGEST right-time <= left-time (left-outer semantics: unmatched left rows
@@ -74,6 +77,20 @@ case class AsOfJoinExec(
     case other => other.asInstanceOf[Number].longValue()
   }
 
+  /** Key values, or null if ANY key is null (null keys never match,
+    * standard join semantics). */
+  private def keyOrNull(row: InternalRow, ks: Seq[Expression]): Array[Long] = {
+    val a = new Array[Long](ks.length)
+    var i = 0
+    while (i < a.length) {
+      val v = ks(i).eval(row)
+      if (v == null) return null
+      a(i) = asLong(v)
+      i += 1
+    }
+    a
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -88,33 +105,39 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightOut.size)
       val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
 
-      def keyOf(row: InternalRow, ks: Seq[Expression]): Array[Long] = {
-        val a = new Array[Long](ks.length)
-        var i = 0
-        while (i < a.length) { a(i) = asLong(ks(i).eval(row)); i += 1 }
-        a
-      }
-
       var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
       var cand: InternalRow = null // copy of best right row for current key
       var candKey: Array[Long] = null
 
       lIter.map { lRow =>
-        val key = keyOf(lRow, lks)
-        val time = asLong(lt.eval(lRow))
-        if (cand != null && !java.util.Arrays.equals(candKey, key)) cand = null
-        var advancing = true
-        while (advancing && rNext != null) {
-          val rKeyV = keyOf(rNext, rks)
-          val cmp = java.util.Arrays.compare(rKeyV, key)
-          if (cmp < 0 || (cmp == 0 && asLong(rt.eval(rNext)) <= time)) {
-            if (cmp == 0) { cand = rNext.copy(); candKey = key }
-            rNext = if (rIter.hasNext) rIter.next() else null
-          } else {
-            advancing = false
+        val key = keyOrNull(lRow, lks)
+        val timeV = lt.eval(lRow)
+        if (key == null || timeV == null) {
+          // null key/time on the left never matches: emit unmatched
+          toUnsafe(joiner(lRow, nullRight))
+        } else {
+          val time = asLong(timeV)
+          if (cand != null && !java.util.Arrays.equals(candKey, key)) cand = null
+          var advancing = true
+          while (advancing && rNext != null) {
+            val rKeyV = keyOrNull(rNext, rks)
+            val rTimeV = if (rKeyV == null) null else rt.eval(rNext)
+            if (rKeyV == null || rTimeV == null) {
+              // right rows with null key/time can never be candidates
+              // (NULLS FIRST ordering puts them at the partition head)
+              rNext = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val cmp = java.util.Arrays.compare(rKeyV, key)
+              if (cmp < 0 || (cmp == 0 && asLong(rTimeV) <= time)) {
+                if (cmp == 0) { cand = rNext.copy(); candKey = key }
+                rNext = if (rIter.hasNext) rIter.next() else null
+              } else {
+                advancing = false
+              }
+            }
           }
+          toUnsafe(joiner(lRow, if (cand != null) cand else nullRight))
         }
-        toUnsafe(joiner(lRow, if (cand != null) cand else nullRight))
       }
     }
   }
@@ -137,12 +160,18 @@ object AsOf {
     val l = left.asInstanceOf[ClassicDataset[_]]
     val r = right.asInstanceOf[ClassicDataset[_]]
     val session = l.sparkSession
-    if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      session.experimental.extraStrategies =
-        session.experimental.extraStrategies :+ AsOfJoinStrategy
+    // registration is a read-check-write on shared session state
+    session.experimental.synchronized {
+      if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+        session.experimental.extraStrategies =
+          session.experimental.extraStrategies :+ AsOfJoinStrategy
+      }
     }
+    // resolve by the session's resolver (case-insensitive by default, like
+    // every other column-by-name API)
+    val resolver = session.sessionState.analyzer.resolver
     def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in [${plan.output.map(_.name).mkString(", ")}]"))
     def check(a: Attribute, what: String): Attribute = a.dataType match {
@@ -151,7 +180,15 @@ object AsOf {
       case dt => throw new IllegalArgumentException(s"$what must be integral/timestamp, got $dt")
     }
     val lp = l.queryExecution.analyzed
-    val rp = r.queryExecution.analyzed
+    val rp0 = r.queryExecution.analyzed
+    // self-join safety: if the right side shares output ExprIds with the
+    // left (same base plan), re-alias its output so the join's output
+    // attributes are distinct and downstream binding cannot cross sides
+    val rp: LogicalPlan =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
     val node = AsOfJoin(lp, rp,
       leftKeys.map(k => check(resolve(lp, k), "leftKey")),
       rightKeys.map(k => check(resolve(rp, k), "rightKey")),

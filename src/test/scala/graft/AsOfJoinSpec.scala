@@ -19,6 +19,43 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("null keys/times never match: left emits unmatched, right rows are skipped") {
+    import spark.implicits._
+    val quotes = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0),
+      (None, Some(ts("2024-01-01 10:30:00")), 666.0),    // null key: never a candidate
+      (Some(1L), None, 777.0)                            // null time: never a candidate
+    ).toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (Some(1L), Some(ts("2024-01-01 11:00:00"))),       // → 100.0
+      (None, Some(ts("2024-01-01 11:00:00"))),           // null key → unmatched
+      (Some(1L), None)                                   // null time → unmatched
+    ).toDF("t_key", "t_ts")
+    val got = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts")
+      .select("t_key", "price").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSet
+    assert(got === Set((1L, 100.0), (null, null), (1L, null)))
+  }
+
+  test("self-join (same base plan on both sides) matches against the right side") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 11:00:00"))
+    ).toDF("key", "etime")
+    val joined = AsOf.join(
+      events.withColumnRenamed("etime", "t_ts"),
+      events.select(col("key").as("r_key"), col("etime").as("q_ts")),
+      "key", "r_key", "t_ts", "q_ts")
+    // both rows must find an as-of match (themselves), and the matched
+    // right column must be a real right-side value, not a left mirror
+    val got = joined.select("key", "t_ts", "q_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(got.length === 2)
+    got.foreach { case (_, t, q) => assert(q != null && !q.after(t)) }
+  }
+
   test("picks the latest right row at-or-before each left time, per key") {
     import spark.implicits._
     val quotes = Seq( // key, time, price

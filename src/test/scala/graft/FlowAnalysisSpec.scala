@@ -274,6 +274,60 @@ class FlowAnalysisSpec extends AnyFunSuite {
     } finally base.unpersist()
   }
 
+  test("catalog mode survives cached subplans (regression: marker rewrite must not recurse)") {
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_nationkey") >= 0).groupBy("n_regionkey").count()
+    base.cache()
+    base.count()
+    base.createOrReplaceTempView("cached_agg_view")
+    try {
+      val (nodes, _) = SQLFlow.catalogGraph(spark)
+      assert(nodes.exists(_.ident == "cached_agg_view"))
+      assert(nodes.exists(_.isCached), nodes.mkString("\n"))
+    } finally {
+      base.unpersist()
+      spark.catalog.dropTempView("cached_agg_view")
+    }
+  }
+
+  test("differently-pruned scans of one table bind to full-schema column indices") {
+    val t = spark.read.parquet(s"$sf/nation.parquet")
+    val l = t.select("n_nationkey", "n_name")
+    val r = t.select("n_regionkey", "n_nationkey")
+    val joined = l.join(r, "n_nationkey").select("n_name", "n_regionkey")
+    val (nodes, edges) = SQLFlow.datasetGraph(joined)
+    val tables = nodes.filter(_.tpe == FlowNodeType.Table)
+    assert(tables.size === 1, "both scans must merge into one table node")
+    val attrs = tables.head.attributes
+    // the merged node carries the FULL schema, and the pruned right-side
+    // scan's n_regionkey must leave from n_regionkey's index — not from
+    // whatever its local pruned position was
+    val fromIdx = edges.filter(_.fromId == tables.head.uniqueId).flatMap(_.fromIdx).toSet
+    assert(fromIdx.contains(attrs.indexOf("n_regionkey")), s"$attrs $fromIdx")
+    assert(fromIdx.contains(attrs.indexOf("n_name")), s"$attrs $fromIdx")
+    assert(fromIdx.subsetOf(attrs.indices.toSet))
+  }
+
+  test("same-named persistent views in different databases get distinct nodes") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS flowdb2")
+    spark.sql(s"CREATE OR REPLACE VIEW dupname AS " +
+      s"SELECT r_regionkey FROM parquet.`$sf/region.parquet`")
+    spark.sql(s"CREATE OR REPLACE VIEW flowdb2.dupname AS " +
+      s"SELECT n_nationkey, n_name FROM parquet.`$sf/nation.parquet`")
+    try {
+      val (nodes, _) = SQLFlow.catalogGraph(spark)
+      val mine = nodes.filter(n => n.ident == "dupname" || n.ident == "flowdb2.dupname")
+      assert(mine.map(_.ident).toSet === Set("dupname", "flowdb2.dupname"), mine)
+      // each keeps its own column list — no merged mixture
+      assert(mine.find(_.ident == "dupname").get.attributes === Seq("r_regionkey"))
+      assert(mine.find(_.ident == "flowdb2.dupname").get.attributes === Seq("n_nationkey", "n_name"))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS dupname")
+      spark.sql("DROP VIEW IF EXISTS flowdb2.dupname")
+      spark.sql("DROP DATABASE IF EXISTS flowdb2")
+    }
+  }
+
   test("catalog mode enumerates persistent views (re-parsed from viewText)") {
     spark.sql(s"CREATE OR REPLACE VIEW pview AS " +
       s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet`")
