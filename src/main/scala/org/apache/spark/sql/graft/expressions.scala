@@ -125,7 +125,9 @@ object VecOps {
   /** Cosine similarity accumulated in double, fixed ascending order →
     * bit-deterministic on every executor. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    require(a.numElements() == b.numElements(),
+      s"vector dimensions differ: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -145,6 +147,10 @@ object VecOps {
 
 case class FloatVecCosine(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(
+      ExprChecks.isFloatArray(left.dataType) && ExprChecks.isFloatArray(right.dataType),
+      "ARRAY<FLOAT> on both sides", left.dataType)
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -213,6 +219,8 @@ object NormalizeOps {
 }
 
 case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
   override def dataType: DataType = StringType
   override protected def nullSafeEval(input: Any): Any =
     NormalizeOps.normalize(input.asInstanceOf[UTF8String])
@@ -224,6 +232,8 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 
 case class FloatVecSrp(child: Expression, planes: Int = 32) extends UnaryExpression {
   require(planes > 0 && planes <= 64, "planes must be in [1, 64]")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(ExprChecks.isFloatArray(child.dataType), "ARRAY<FLOAT>", child.dataType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     SrpOps.srp(input.asInstanceOf[ArrayData], planes)
@@ -233,8 +243,26 @@ case class FloatVecSrp(child: Expression, planes: Int = 32) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** Input type validation shared by the native expressions: the default
+  * UnaryExpression/BinaryExpression accept anything, and e.g. an
+  * ARRAY<DOUBLE> read through ArrayData.getFloat would be silently-garbage
+  * rather than an analysis error. */
+object ExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def expect(ok: Boolean, what: String, got: DataType): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected $what, got ${got.sql}")
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
 case class TokenShingleHashes(child: Expression, n: Int = 3)
   extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     ShingleOps.shingleHashes(input.asInstanceOf[UTF8String], n)
@@ -246,6 +274,7 @@ case class TokenShingleHashes(child: Expression, n: Int = 3)
 
 case class MinHashSignature(child: Expression, perms: Int = 32)
   extends UnaryExpression {
+  require(perms > 0 && perms <= 1024, "perms must be in [1, 1024]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
@@ -309,14 +338,23 @@ object functions {
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+    def intArg(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        i: Int, default: Int): Int =
+      if (exprs.length > i) exprs(i) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"argument ${i + 1} must be an integer literal, got $other")
+      } else default
     reg.createOrReplaceTempFunction("token_shingle_hashes",
-      exprs => TokenShingleHashes(exprs.head), "built-in")
+      exprs => TokenShingleHashes(exprs.head, intArg(exprs, 1, 3)), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs.head), "built-in")
+      exprs => MinHashSignature(exprs.head, intArg(exprs, 1, 32)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_srp",
+      exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32)), "built-in")
     reg.createOrReplaceTempFunction("normalize_text",
       exprs => NormalizeText(exprs.head), "built-in")
   }

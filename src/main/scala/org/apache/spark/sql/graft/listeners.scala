@@ -34,14 +34,14 @@ case class SQLFlowListener(
           case ct: CreateDataSourceTableAsSelectCommand => ct.table.qualifiedName
           case other => other.nodeName
         }
-        // the command's child is analyzed but not optimized — optimize here
+        // the command's child is analyzed but not optimized — optimize with
+        // the QUERY's session (SparkSession.active is a thread-local and the
+        // listener bus thread would resolve the default session instead)
         val optimized = scala.util.Try(
-          org.apache.spark.sql.SparkSession.active
-            .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-            .sessionState.optimizer.execute(d.query)).getOrElse(d.query)
+          qe.sparkSession.sessionState.optimizer.execute(d.query)).getOrElse(d.query)
         Some((optimized, target, FlowNodeType.Table))
       case _: Command => None // other commands skipped, as the reference does
-      case plan => Some((plan, s"query_${math.abs(qe.hashCode).toString}", FlowNodeType.Query))
+      case plan => Some((plan, s"query_${Integer.toHexString(qe.hashCode)}", FlowNodeType.Query))
     }
     planAndRoot.foreach { case (plan, rootName, rootType) =>
       try {
@@ -55,7 +55,7 @@ case class SQLFlowListener(
         graphSink.append(nodes, edges, options)
       } catch {
         // sink failures must never fail the user's query
-        case e: Throwable => logWarning(s"lineage append failed: ${e.getMessage}")
+        case e: Throwable => logWarning("lineage append failed", e)
       }
     }
   }
@@ -67,24 +67,30 @@ case class SQLFlowListener(
   * (zero-arg constructor): reads `spark.sql.flow.sink.*` from the active
   * session at first use. */
 class ConfSQLFlowListener extends QueryExecutionListener with Logging {
-  private lazy val delegate: Option[SQLFlowListener] = {
-    val conf = org.apache.spark.sql.SparkSession.active.conf
-    val opts = Map("outputDirPath" -> conf.getOption("spark.sql.flow.sink.outputDirPath"))
-      .collect { case (k, Some(v)) => k -> v }
-    if (opts.contains("outputDirPath")) {
+  // resolved from the QUERY's session per event (not SparkSession.active on
+  // the bus thread, and not memoized forever: the conf may be set later)
+  @volatile private var delegate: Option[SQLFlowListener] = None
+
+  private def resolve(qe: QueryExecution): Option[SQLFlowListener] = {
+    val conf = qe.sparkSession.conf
+    conf.getOption("spark.sql.flow.sink.outputDirPath").map { dirPath =>
       val contracted = conf.getOption("spark.sql.flow.sink.contracted").exists(_.toBoolean)
       val sink = conf.getOption("spark.sql.flow.sink.format") match {
         case Some("cypher") => CypherFileSink()
         case _ => GraphVizSink()
       }
-      Some(SQLFlowListener(sink, contracted, opts))
-    } else {
-      logWarning("spark.sql.flow.sink.outputDirPath not set; lineage listener inactive")
-      None
+      SQLFlowListener(sink, contracted, Map("outputDirPath" -> dirPath))
     }
   }
 
-  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    if (delegate.isEmpty) {
+      delegate = resolve(qe)
+      if (delegate.isEmpty) {
+        logWarning("spark.sql.flow.sink.outputDirPath not set; lineage listener inactive")
+      }
+    }
     delegate.foreach(_.onSuccess(funcName, qe, durationNs))
+  }
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
 }

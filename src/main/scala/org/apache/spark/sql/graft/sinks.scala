@@ -27,8 +27,10 @@ private[graft] object SinkIO {
     }
     if (dir.exists()) { // delete-then-mkdir (reference: basicSinks.scala:34-49)
       def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        if (!f.delete() && f.exists()) {
+          throw new java.io.IOException(s"could not clear output dir entry $f")
+        }
       }
       rm(dir)
     }
@@ -100,8 +102,18 @@ case class GraphVizSink() extends FlowBatchSink with FlowStreamSink with FlowFor
       try {
         val out = new File(dir, s"$prefix.$fmt")
         val p = new ProcessBuilder("dot", s"-T$fmt", dot.getAbsolutePath,
-          "-o", out.getAbsolutePath).redirectErrorStream(true).start()
-        if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+          "-o", out.getAbsolutePath)
+          .redirectErrorStream(true)
+          // discard the merged output: an undrained pipe blocks `dot` once
+          // the OS buffer fills on warning-heavy renders
+          .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          .start()
+        if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly()
+          System.err.println(s"[sqlflow] `dot -T$fmt` timed out; wrote ${dot.getPath} only")
+        } else if (p.exitValue() != 0) {
+          System.err.println(s"[sqlflow] `dot -T$fmt` exited ${p.exitValue()}; wrote ${dot.getPath} only")
+        }
       } catch {
         case _: java.io.IOException =>
           System.err.println(s"[sqlflow] graphviz `dot` not available; wrote ${dot.getPath} only")
@@ -115,8 +127,14 @@ case class GraphVizSink() extends FlowBatchSink with FlowStreamSink with FlowFor
       options: Map[String, String]): Unit = {
     val base = options.getOrElse("outputDirPath",
       throw new IllegalArgumentException("`outputDirPath` option is required"))
-    val dir = new File(base, timestampDirName())
-    dir.mkdirs()
+    // uniquified: two queries finishing in the same millisecond must not
+    // overwrite each other's lineage
+    var dir = new File(base, timestampDirName())
+    var seq = 0
+    while (!dir.mkdirs() && seq < 10000) {
+      seq += 1
+      dir = new File(base, s"${timestampDirName()}-$seq")
+    }
     val prefix = options.getOrElse("filenamePrefix", "sqlflow")
     writeFile(dir, s"$prefix.dot", toGraphString(nodes, edges))
   }
@@ -127,10 +145,15 @@ case class MermaidSink() extends FlowBatchSink with FlowFormat {
   import SinkIO._
 
   override def toGraphString(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): String = {
-    def mid(id: String): String = id.replaceAll("[^A-Za-z0-9_]", "_")
+    // index suffix keeps sanitized ids collision-free ("x_a.b" and "x.a_b"
+    // would otherwise both sanitize to "x_a_b" and merge in the chart)
+    val midMap: Map[String, String] = nodes.map(_.uniqueId).distinct.zipWithIndex.map {
+      case (id, i) => id -> s"${id.replaceAll("[^A-Za-z0-9_]", "_")}_$i"
+    }.toMap
+    def mid(id: String): String = midMap.getOrElse(id, id.replaceAll("[^A-Za-z0-9_]", "_"))
     val nodeStrs = nodes.map { n =>
-      val cols = n.attributes.mkString("<br/>")
-      val label = s"<b>${n.ident}</b>${if (cols.nonEmpty) "<br/>" + cols else ""}"
+      val cols = n.attributes.map(escape).mkString("<br/>")
+      val label = s"<b>${escape(n.ident)}</b>${if (cols.nonEmpty) "<br/>" + cols else ""}"
       s"""  ${mid(n.uniqueId)}["$label"]"""
     }
     val edgeStrs = edges.map { e =>
