@@ -243,7 +243,8 @@ case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowF
       throw new IllegalArgumentException("`outputDirPath` option is required"))
     val dir = new File(base)
     dir.mkdirs()
-    val f = Paths.get(dir.toString, "sqlflow_append.cypher")
+    val prefix = options.getOrElse("filenamePrefix", "sqlflow")
+    val f = Paths.get(dir.toString, s"${prefix}_append.cypher")
     Files.write(f, toGraphString(nodes, edges).getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
