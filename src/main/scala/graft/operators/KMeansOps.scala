@@ -26,7 +26,6 @@ object KMeansOps {
   def sphericalKMeans(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    import org.apache.spark.sql.expressions.Window
 
     // the working set is scanned once per iteration for assignment and once
     // for the update — materialize it
@@ -49,12 +48,13 @@ object KMeansOps {
     }
 
     // deterministic init: centroid c = the lowest-id vector with id % k == c
-    val wInit = Window.partitionBy("cluster").orderBy(idCol)
+    // — min_by is a partial-aggregated reduction (k rows per map task reach
+    // the exchange), unlike a row_number window which would shuffle every
+    // vector into k partitions and sort them
     var centroids: Seq[(Int, Seq[Float])] = data
       .select((col(idCol) % k).cast("int").as("cluster"), col(idCol), col(vecCol).as("c_vec"))
-      .withColumn("rn", row_number().over(wInit))
-      .filter(col("rn") === 1)
-      .select("cluster", "c_vec")
+      .groupBy("cluster")
+      .agg(min_by(col("c_vec"), col(idCol)).as("c_vec"))
       .collect().toSeq.map(r => r.getInt(0) -> r.getSeq[Float](1))
 
     for (_ <- 0 until iters) {
@@ -73,6 +73,10 @@ object KMeansOps {
             .map(r => (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat).toSeq
         }.toSeq
     }
+    // training is done (centroids are plain driver-side literals from here
+    // on); release the cached working set so repeated trainings in one
+    // session don't pin corpus copies in the block manager
+    data.unpersist()
     val centDf = spark.createDataFrame(
       spark.sparkContext.parallelize(centroids.map { case (c, v) => Row(c, v) }, 1),
       org.apache.spark.sql.types.StructType(Seq(

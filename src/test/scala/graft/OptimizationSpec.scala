@@ -121,6 +121,23 @@ class OptimizationSpec extends AnyFunSuite {
     }
   }
 
+  test("s02 IVF: no shuffle exchange ever carries an embedding vector") {
+    // the scale property behind IVF: corpus vectors are scored and
+    // bucket-joined entirely map-side (literal centroids + broadcast
+    // probes); the only exchange in the plan is the final bounded top-k on
+    // (query_id, neg_score, neighbor_id) triples
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("s02_knn_ivf")(spark, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    shuffles.foreach { e =>
+      val carried = e.output.map(_.name.toLowerCase)
+      assert(!carried.exists(n => n.contains("emb")),
+        s"shuffle carries vector column(s): ${carried.mkString(",")}")
+    }
+  }
+
   test("multi-distinct aggregate plans a single Expand, not one shuffle per distinct") {
     val plan = graft.SparkEntry.queries("q55_multi_distinct")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -77,6 +77,43 @@ class QueriesSpec extends AnyFunSuite {
       "LSH reported a pair the exact join does not confirm")
   }
 
+  test("s01 bounded top-k equals the window row_number formulation") {
+    // s01's oracle is hash-exact, so the shuffle-light TopKStruct path must
+    // reproduce the window formulation row for row (score desc, id asc)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.functions.vec_cosine
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        vec_cosine(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    val windowed = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("query_id", "rank", "neighbor_id")
+    val bounded = SparkEntry.queries("s01_knn_brute")(spark, sf)
+    assert(bounded.exceptAll(windowed).count() === 0)
+    assert(windowed.exceptAll(bounded).count() === 0)
+  }
+
+  test("IVF top-k recall vs brute-force ground truth stays above 40%") {
+    // s02 probes IvfNprobe of IvfNlist buckets → it may miss true
+    // neighbors, but on the fixture the coarse quantizer must still find a
+    // meaningful share of them, and everything it DOES return must be a
+    // real corpus vector scored per query (soundness by construction).
+    val truth = SparkEntry.queries("s01_knn_brute")(spark, sf)
+      .select("query_id", "neighbor_id")
+    val ivf = SparkEntry.queries("s02_knn_ivf")(spark, sf)
+      .select("query_id", "neighbor_id")
+    val hits = ivf.intersect(truth).count()
+    val total = truth.count()
+    assert(total > 0)
+    assert(hits.toDouble / total >= 0.4,
+      s"IVF recall ${hits.toDouble / total} below 0.4 ($hits of $total)")
+  }
+
   test("bounded top-k aggregate equals the window row_number formulation") {
     val windowed = SparkEntry.queries("q07_window_topk")(spark, sf)
     val bounded = SparkEntry.queries("q59_topk_bounded")(spark, sf)
