@@ -214,7 +214,39 @@ object DedupQueries {
       .filter(col("cos") >= 0.2)
   }
 
+  // d03/d05 carry the same brute-force exact-Jaccard oracle as d08 (at
+  // their own thresholds): the banded candidate generation is fully
+  // deterministic (fixed-seed xxhash64), and on this corpus every true
+  // pair sits at jaccard >= 0.8 where the band layouts' miss probability
+  // is ~1.5% (d03) / ~1e-7 (d05) — verified empirically: the LSH output
+  // EQUALS the exact join at both sf0.001 and sf0.01. The subset specs in
+  // QueriesSpec prove soundness; these oracles prove completeness on the
+  // fixture. (A pair at jaccard just above a threshold could in principle
+  // be missed on a different corpus — the oracle certifies this fixture,
+  // the spec certifies the invariant.)
+  private val exactJaccardOracle = """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEN(LIST_INTERSECT(a.s, b.s)) AS ni,
+               LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s)) AS nu
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, (1000 * ni) // nu AS jaccard_milli
+      FROM pairs
+      WHERE (1000 * ni) // nu >= %d"""
+
   val oracles: Map[String, String] = Map(
+    "d03_minhash_lsh" -> exactJaccardOracle.format(500),
+
+    "d05_ngram_jaccard" -> exactJaccardOracle.format(300),
+
     "d01_dedup_exact" -> """
       SELECT MD5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents

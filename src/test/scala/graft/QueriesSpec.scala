@@ -77,6 +77,29 @@ class QueriesSpec extends AnyFunSuite {
       "LSH reported a pair the exact join does not confirm")
   }
 
+  test("permissive-band LSH pairs are a subset of the exact join at 0.3") {
+    // d05's 16x2 band layout may in principle miss pairs (recall < 1), but
+    // every pair it reports must clear the exact threshold — verified by
+    // recomputing exact Jaccard on the pairs it returned
+    val lsh = SparkEntry.queries("d05_ngram_jaccard")(spark, sf)
+    assert(lsh.filter(org.apache.spark.sql.functions.col("jaccard_milli") < 300).count() === 0)
+  }
+
+  test("SRP embedding near-dup pairs are a subset of the exact cosine join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.functions.vec_cosine
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val brute = emb.toDF("vec_a", "e_a").crossJoin(emb.toDF("vec_b", "e_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(vec_cosine(col("e_a"), col("e_b")) >= 0.2)
+      .select("vec_a", "vec_b")
+    val srp = SparkEntry.queries("d07_embedding_neardup")(spark, sf)
+      .select("vec_a", "vec_b")
+    assert(srp.exceptAll(brute).count() === 0,
+      "SRP reported a pair the exact cosine join does not confirm")
+  }
+
   test("s01 bounded top-k equals the window row_number formulation") {
     // s01's oracle is hash-exact, so the shuffle-light TopKStruct path must
     // reproduce the window formulation row for row (score desc, id asc)
