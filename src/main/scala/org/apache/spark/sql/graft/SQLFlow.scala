@@ -295,6 +295,16 @@ object FlowAnalysis {
           case _ =>
         }
 
+      // PySpark group/map pandas operators (reference: SQLFlow.scala:452-456):
+      // the Python UDF's output columns are opaque to Catalyst, so they are
+      // credited positionally to the child's columns (slot i fed by child
+      // column i, up to the shorter of the two widths)
+      case _: FlatMapGroupsInPandas | _: MapInPandas | _: MapInArrow =>
+        plan.children.head.output.zip(plan.output.zipWithIndex).foreach {
+          case (ca, (_, i)) =>
+            in.get(ca).foreach(b => ctx.edges += FlowEdge(b.nodeId, Some(b.idx), id, Some(i)))
+        }
+
       case _ =>
         // default rule: identity edges for every output attribute that came
         // from a child; produced attributes (window cols, …) get no incoming
