@@ -114,9 +114,14 @@ def auto_tracking_with(name):  # type: ignore
     return deco
 
 
-def to_data_lineage_string(graph_format: str = "graphviz", contracted: bool = False) -> str:
-    """The catalog lineage graph as a string in the given format."""
-    return _jvm_api().toSQLFlowString(contracted, graph_format, "")
+def to_data_lineage_string(graph_format: str = "graphviz", contracted: bool = False,
+                           options: Dict[str, str] = {}) -> str:
+    """The catalog lineage graph as a string in the given format.
+
+    String-affecting options (e.g. ``sep`` for ``adjacency_list``) are
+    honored; IO options are meaningless here and ignored.
+    """
+    return _jvm_api().toSQLFlowString(contracted, graph_format, _options_string(options))
 
 
 def save_data_lineage(output_dir_path: str, filename_prefix: str = "sqlflow",

@@ -18,19 +18,27 @@ import org.apache.spark.sql.graft.{AdjacencyListSink, CypherFileSink, FlowBatchS
 object SQLFlowApi {
 
   private[python] def parseOptions(options: String): Map[String, String] =
-    options.split(",").map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+    options.split(",").filter(_.trim.nonEmpty).flatMap { kv =>
+      // trim the KEY only: values like `sep= => ` are whitespace-significant
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => Some(k -> v)
+        case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v)
         case _ =>
           System.err.println(s"[sqlflow] ignoring malformed option entry: $kv")
           None
       }
     }.toMap
 
-  private def toGraphFormat(fmt: String): FlowBatchSink with FlowFormat =
+  /** Format dispatch. String-affecting options (today just `sep` for the
+    * adjacency list) configure the sink here so `toSQLFlowString` honors
+    * them; IO options (outputDirPath/overwrite/...) are consumed by
+    * `write()` instead. */
+  private[python] def toGraphFormat(
+      fmt: String,
+      options: Map[String, String] = Map.empty): FlowBatchSink with FlowFormat =
     fmt.toLowerCase(Locale.ROOT) match {
       case "graphviz" => GraphVizSink()
-      case "adjacency_list" => AdjacencyListSink()
+      case "adjacency_list" =>
+        options.get("sep").map(AdjacencyListSink(_)).getOrElse(AdjacencyListSink())
       case "mermaid" => MermaidSink()
       case "cypher" => CypherFileSink()
       case other => throw new IllegalArgumentException(s"Unknown graph format: $other")
@@ -54,14 +62,17 @@ object SQLFlowApi {
       contracted: Boolean,
       graphFormat: String = "graphviz",
       options: String = ""): String =
-    SQLFlow.printAsSQLFlow(activeSession, contracted, toGraphFormat(graphFormat))
+    SQLFlow.printAsSQLFlow(activeSession, contracted,
+      toGraphFormat(graphFormat, parseOptions(options)))
 
   def saveAsSQLFlow(
       graphFormat: String = "graphviz",
       contracted: Boolean,
-      options: String): Unit =
-    SQLFlow.saveAsSQLFlow(activeSession, parseOptions(options), contracted,
-      toGraphFormat(graphFormat))
+      options: String): Unit = {
+    val parsed = parseOptions(options)
+    SQLFlow.saveAsSQLFlow(activeSession, parsed, contracted,
+      toGraphFormat(graphFormat, parsed))
+  }
 
   /** Reference parity for `exportSQLFlowInto("neo4jaura", ...)`: this build
     * has no network egress, so the Neo4j-shaped export emits the equivalent

@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Run the Python façade tests against the packaged graft jar.
+#   tools/run_python_tests.sh [--skip-package]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+if [[ "${1:-}" != "--skip-package" ]]; then
+  sbt -batch package
+fi
+
+JAR=$(ls -t target/scala-2.13/*.jar | head -1)
+export SQLFLOW_LIB="$PWD/$JAR"
+export SPARK_LOCAL_IP=127.0.0.1
+
+cd python
+exec python3 -m unittest tests.test_sqlflow -v
