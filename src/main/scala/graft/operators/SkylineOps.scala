@@ -18,8 +18,24 @@ object SkylineOps {
 
   /** Rows not dominated by any other row: `b` dominates `a` when b is >= a
     * on every `maximize` column, <= on every `minimize` column, and strictly
-    * better on at least one. Ties (fully equal criteria) are all kept. */
-  def skyline(df: DataFrame, maximize: Seq[String], minimize: Seq[String]): DataFrame = {
+    * better on at least one. Ties (fully equal criteria) are all kept.
+    *
+    * Phase 2 is size-guarded: when the local-skyline union exceeds
+    * `singleTaskCap` (anti-correlated data, where local skylines barely
+    * prune), the single-task merge would receive the whole input — instead
+    * we fall back to an iterated pairwise reduction that halves the
+    * partition count per round, re-pruning at each step. Each round is a
+    * `repartition` (a real stage boundary — a `coalesce` chain is narrow
+    * and would pipeline into one task, i.e. exactly the `coalesce(1)` we
+    * are avoiding), so every merge task holds only the surviving rows of
+    * two prior partitions. The skyline merge is confluent (the global
+    * skyline of a union is independent of merge order), so the result SET
+    * is identical on either path. */
+  def skyline(
+      df: DataFrame,
+      maximize: Seq[String],
+      minimize: Seq[String],
+      singleTaskCap: Long = 1000000L): DataFrame = {
     val schema = df.schema
     val maxIdx = maximize.map(schema.fieldIndex).toArray
     val minIdx = minimize.map(schema.fieldIndex).toArray
@@ -59,8 +75,29 @@ object SkylineOps {
     }
 
     val enc = Encoders.row(schema)
-    df.mapPartitions(localSkyline)(enc)   // phase 1: per-partition, no shuffle
-      .coalesce(1)
-      .mapPartitions(localSkyline)(enc)   // phase 2: reduce the small union
+    // phase 1 is rebuilt per consumer instead of persisted: in the
+    // anti-correlated case the local-skyline union is input-sized, so a
+    // cache would pin ~the whole dataset; a second narrow scan is the
+    // scale-safe price of the size probe
+    def phase1: DataFrame = df.mapPartitions(localSkyline)(enc)
+    val unionSize = phase1.count()
+    if (unionSize <= singleTaskCap) {
+      // benign dominance structure: ship the tiny union to one task.
+      // repartition, NOT coalesce: coalesce(1) is narrow, which would make
+      // the single merge task execute phase 1 over every input partition
+      // itself — phase 1 must stay parallel, only the pruned union moves
+      phase1.repartition(1).mapPartitions(localSkyline)(enc)
+    } else {
+      // anti-correlated fallback: iterated pairwise reduction, halving the
+      // partition count per round; every round is a shuffle boundary so
+      // each merge task holds only the surviving rows of ~2 partitions
+      var cur = phase1
+      var parts = df.rdd.getNumPartitions
+      while (parts > 1) {
+        parts = (parts + 1) / 2
+        cur = cur.repartition(parts).mapPartitions(localSkyline)(enc)
+      }
+      cur
+    }
   }
 }

@@ -85,6 +85,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(lsh.filter(org.apache.spark.sql.functions.col("jaccard_milli") < 300).count() === 0)
   }
 
+  test("d04 SimHash pairs equal the brute-force band-collision set at hamming <= 3") {
+    // soundness AND completeness on the fixture: recompute every doc's
+    // 64-bit SimHash, enumerate all pairs driver-side, and keep exactly
+    // those that (a) collide on at least one of the four 16-bit bands —
+    // d04's candidate rule — and (b) have hamming distance <= 3 — d04's
+    // verify rule. The query must return precisely this set.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.functions.simhash64
+    val sims = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ida, sa) <- sims
+      (idb, sb) <- sims if ida < idb
+      bandHit = (0 until 4).exists(b => ((sa >>> (b * 16)) & 0xffffL) == ((sb >>> (b * 16)) & 0xffffL))
+      if bandHit && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val got = SparkEntry.queries("d04_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(got.forall(_._3 <= 3))
+  }
+
   test("SRP embedding near-dup pairs are a subset of the exact cosine join") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.functions.vec_cosine
