@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths}
 import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 
+import scala.collection.mutable
+
 /** Graph sinks (reference: basicSinks.scala, MermaidSink.scala,
   * Neo4jAuraSink.scala — re-derived, not ported).
   *
@@ -46,6 +48,35 @@ private[graft] object SinkIO {
 
   def timestampDirName(): String =
     LocalDateTime.now().format(DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS"))
+
+  /** Run an external rendering tool with a hard timeout, degrading to the
+    * already-written text artifact when the binary is absent, exits
+    * non-zero, or hangs (reference: SinkUtils.scala:97-108 — same
+    * discipline for both `dot` and `mmdc`). Returns true iff the image was
+    * produced. */
+  def renderImage(command: Seq[String], fallbackPath: String): Boolean = {
+    try {
+      val p = new ProcessBuilder(command: _*)
+        .redirectErrorStream(true)
+        // discard the merged output: an undrained pipe blocks the tool once
+        // the OS buffer fills on warning-heavy renders
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .start()
+      if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        System.err.println(s"[sqlflow] `${command.head}` timed out; wrote $fallbackPath only")
+        false
+      } else if (p.exitValue() != 0) {
+        System.err.println(
+          s"[sqlflow] `${command.head}` exited ${p.exitValue()}; wrote $fallbackPath only")
+        false
+      } else true
+    } catch {
+      case _: java.io.IOException =>
+        System.err.println(s"[sqlflow] `${command.head}` not available; wrote $fallbackPath only")
+        false
+    }
+  }
 
   def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
@@ -96,28 +127,11 @@ case class GraphVizSink() extends FlowBatchSink with FlowStreamSink with FlowFor
     val prefix = options.getOrElse("filenamePrefix", "sqlflow")
     val dot = writeFile(dir, s"$prefix.dot", toGraphString(nodes, edges))
     // optional image rendering via the external `dot` binary (reference:
-    // basicSinks.scala:169-176); silently degrades to .dot-only when the
-    // binary is not installed
+    // basicSinks.scala:169-176); degrades to .dot-only when absent
     options.get("imgFormat").foreach { fmt =>
-      try {
-        val out = new File(dir, s"$prefix.$fmt")
-        val p = new ProcessBuilder("dot", s"-T$fmt", dot.getAbsolutePath,
-          "-o", out.getAbsolutePath)
-          .redirectErrorStream(true)
-          // discard the merged output: an undrained pipe blocks `dot` once
-          // the OS buffer fills on warning-heavy renders
-          .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-          .start()
-        if (!p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)) {
-          p.destroyForcibly()
-          System.err.println(s"[sqlflow] `dot -T$fmt` timed out; wrote ${dot.getPath} only")
-        } else if (p.exitValue() != 0) {
-          System.err.println(s"[sqlflow] `dot -T$fmt` exited ${p.exitValue()}; wrote ${dot.getPath} only")
-        }
-      } catch {
-        case _: java.io.IOException =>
-          System.err.println(s"[sqlflow] graphviz `dot` not available; wrote ${dot.getPath} only")
-      }
+      val out = new File(dir, s"$prefix.$fmt")
+      renderImage(Seq("dot", s"-T$fmt", dot.getAbsolutePath, "-o", out.getAbsolutePath),
+        dot.getPath)
     }
   }
 
@@ -170,7 +184,14 @@ case class MermaidSink() extends FlowBatchSink with FlowFormat {
       options: Map[String, String]): Unit = {
     val dir = prepareDir(options)
     val prefix = options.getOrElse("filenamePrefix", "sqlflow")
-    writeFile(dir, s"$prefix.mmd", toGraphString(nodes, edges))
+    val mmd = writeFile(dir, s"$prefix.mmd", toGraphString(nodes, edges))
+    // optional svg/png/pdf rendering via mermaid-cli, mirroring the dot
+    // path (reference: MermaidSink.scala:30-75); degrades to .mmd-only
+    options.get("imgFormat").foreach { fmt =>
+      val out = new File(dir, s"$prefix.$fmt")
+      renderImage(Seq("mmdc", "-i", mmd.getAbsolutePath, "-o", out.getAbsolutePath,
+        "-e", fmt), mmd.getPath)
+    }
   }
 }
 
@@ -206,26 +227,65 @@ case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowF
 
   private def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
 
-  override def toGraphString(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): String = {
-    val constraints = Seq(
-      "CREATE CONSTRAINT unique_node_uid IF NOT EXISTS FOR (n:Node) REQUIRE n.uid IS UNIQUE;")
-    val nodeStmts = nodes.map { n =>
-      val label = n.tpe match {
-        case FlowNodeType.Table => "Table"
-        case FlowNodeType.View => "View"
-        case FlowNodeType.Query => "Query"
-        case _ => "Plan"
+  private def label(n: FlowNode): String = n.tpe match {
+    case FlowNodeType.Table => "Table"
+    case FlowNodeType.View => "View"
+    case FlowNodeType.Query => "Query"
+    case _ => "Plan"
+  }
+
+  /** Downstream Query/View uids reachable from `fromId` over the compact
+    * edge set — the reference stamps these on every relationship so "which
+    * queries consume this edge" is answerable without traversal
+    * (Neo4jAuraSink.scala:176-199). Traversal STOPS at Query/View nodes:
+    * a view's consumers belong to the view's own edges, not its inputs'. */
+  private def dstNodeIds(
+      fromId: String,
+      nodeById: Map[String, FlowNode],
+      edgeMap: Map[String, Seq[String]]): Seq[String] = {
+    val buf = mutable.ArrayBuffer[String]()
+    var frontier: Seq[String] = Seq(fromId)
+    var depth = 0
+    while (frontier.nonEmpty && depth < 128) {
+      frontier = frontier.flatMap(edgeMap.getOrElse(_, Nil)).flatMap(nodeById.get).flatMap { n =>
+        n.tpe match {
+          case FlowNodeType.Query | FlowNodeType.View => buf += n.uniqueId; None
+          case _ => Some(n.uniqueId)
+        }
       }
+      depth += 1
+    }
+    buf.distinct.toSeq
+  }
+
+  override def toGraphString(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): String = {
+    // one uniqueness constraint per label, like the reference
+    // (Neo4jAuraSink.scala:124-141); uids here are deterministic, so they
+    // serve as the unique key for plan nodes too
+    val constraints = Seq("Table", "View", "Query", "Plan").map { l =>
+      s"CREATE CONSTRAINT unique_${l.toLowerCase(java.util.Locale.ROOT)}_node_uid " +
+        s"IF NOT EXISTS FOR (n:$l) REQUIRE n.uid IS UNIQUE;"
+    }
+    val nodeStmts = nodes.map { n =>
       s"MERGE (n:Node {uid: '${esc(n.uniqueId)}'}) " +
-        s"SET n:$label, n.ident = '${esc(n.ident)}', n.cached = ${n.isCached}, " +
+        s"SET n:${label(n)}, n.ident = '${esc(n.ident)}', n.cached = ${n.isCached}, " +
         s"n.schema = '${esc(n.schemaDDL)}';"
     }
+    val nodeById = nodes.map(n => n.uniqueId -> n).toMap
+    val compact = edges.map(e => (e.fromId, e.toId)).distinct
+    val edgeMap = compact.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val edgeStmts = edges.map { e =>
       val props = Seq(
         e.fromIdx.map(i => s"fromIdx: $i"),
         e.toIdx.map(i => s"toIdx: $i")).flatten.mkString(", ")
+      val dsts = dstNodeIds(e.fromId, nodeById, edgeMap)
+        .map(id => s"'${esc(id)}'").mkString("[", ", ", "]")
       s"MATCH (a:Node {uid: '${esc(e.fromId)}'}), (b:Node {uid: '${esc(e.toId)}'}) " +
-        s"MERGE (a)-[:transformInto {$props}]->(b);"
+        s"MERGE (a)-[r:transformInto {$props}]->(b) " +
+        // accumulate per-query consumers across appends (reference
+        // Neo4jAuraSink.scala:201-209): first load sets, re-loads append
+        s"ON CREATE SET r.dstNodeIds = $dsts " +
+        s"ON MATCH SET r.dstNodeIds = r.dstNodeIds + $dsts;"
     }
     (constraints ++ nodeStmts ++ edgeStmts).mkString("\n") + "\n"
   }
