@@ -67,9 +67,11 @@ case class SQLFlowListener(
   * (zero-arg constructor): reads `spark.sql.flow.sink.*` from the active
   * session at first use. */
 class ConfSQLFlowListener extends QueryExecutionListener with Logging {
-  // resolved from the QUERY's session per event (not SparkSession.active on
-  // the bus thread, and not memoized forever: the conf may be set later)
-  @volatile private var delegate: Option[SQLFlowListener] = None
+  // re-resolved from the QUERY's session on EVERY event (sinks are cheap
+  // case classes): a conf set after registration takes effect on the next
+  // query, and later changes to format/contracted/outputDirPath are picked
+  // up immediately — no memoization to go stale
+  private val lastInactiveWarn = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def resolve(qe: QueryExecution): Option[SQLFlowListener] = {
     val conf = qe.sparkSession.conf
@@ -84,13 +86,17 @@ class ConfSQLFlowListener extends QueryExecutionListener with Logging {
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    if (delegate.isEmpty) {
-      delegate = resolve(qe)
-      if (delegate.isEmpty) {
-        logWarning("spark.sql.flow.sink.outputDirPath not set; lineage listener inactive")
-      }
+    resolve(qe) match {
+      case Some(delegate) => delegate.onSuccess(funcName, qe, durationNs)
+      case None =>
+        // rate-limited to once a minute: an unset conf must not spam every
+        // query in the session
+        val now = System.currentTimeMillis()
+        val last = lastInactiveWarn.get()
+        if (now - last > 60000 && lastInactiveWarn.compareAndSet(last, now)) {
+          logWarning("spark.sql.flow.sink.outputDirPath not set; lineage listener inactive")
+        }
     }
-    delegate.foreach(_.onSuccess(funcName, qe, durationNs))
   }
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
 }

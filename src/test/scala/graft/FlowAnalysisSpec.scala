@@ -389,6 +389,28 @@ class FlowAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("conf-driven listener honors a conf set AFTER registration (late conf)") {
+    val tmp = java.nio.file.Files.createTempDirectory("lateconflistener").toString
+    val listener = new ConfSQLFlowListener
+    spark.listenerManager.register(listener)
+    try {
+      def files() = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      // no conf yet: the listener must stay inactive, not latch "inactive"
+      spark.read.parquet(s"$sf/region.parquet").select("r_name").collect()
+      Thread.sleep(1500) // give the bus a chance to (wrongly) write
+      assert(files().isEmpty, "listener wrote lineage before the conf was set")
+      // conf arrives late — the next query must produce lineage
+      spark.conf.set("spark.sql.flow.sink.outputDirPath", tmp)
+      spark.read.parquet(s"$sf/nation.parquet").select("n_name").collect()
+      val deadline = System.currentTimeMillis() + 15000
+      while (files().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(files().nonEmpty, "late-set conf was ignored by the listener")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.unset("spark.sql.flow.sink.outputDirPath")
+    }
+  }
+
   test("write commands produce lineage into the target table (reference Issue #5 closed)") {
     val tmp = java.nio.file.Files.createTempDirectory("cmdlineage").toString
     val listener = SQLFlowListener(GraphVizSink(), options = Map("outputDirPath" -> tmp))
