@@ -30,7 +30,10 @@ object Bench {
       }.toMap
     val first = runAll()
     // drop caches persisted by pass 1 (shingle/signature/pair tables): the
-    // min must measure re-execution with warm JIT, not cache scans
+    // min must measure re-execution with warm JIT, not cache scans.
+    // releaseShared clears the dedup registry too, so pass 2 rebuilds and
+    // re-persists instead of silently reusing unpersisted instances
+    graft.queries.DedupQueries.releaseShared()
     spark.catalog.clearCache()
     val second = runAll()
     val results = first.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }

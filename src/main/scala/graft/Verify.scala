@@ -23,6 +23,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // release the dedup family's shared persisted intermediates — the dump
+    // is complete, nothing should stay pinned in the block manager
+    graft.queries.DedupQueries.releaseShared()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

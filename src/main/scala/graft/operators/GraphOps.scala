@@ -76,8 +76,12 @@ object GraphOps {
             .localCheckpoint()
           // drop checkpoint snapshots older than `prev` (still needed for
           // the convergence probe) — otherwise every round pins a full
-          // label-set copy in the block manager
-          if (older != null) older.unpersist()
+          // label-set copy in the block manager. NOTE: Dataset.unpersist is
+          // a CacheManager call and ignores checkpoint blocks; the backing
+          // RDD itself must be unpersisted (CheckpointUtils)
+          if (older != null) {
+            org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(older)
+          }
           older = prev
         }
         converged = labels
@@ -90,6 +94,12 @@ object GraphOps {
       // realistic diameter — beyond that, fail loudly
       require(converged,
         s"connectedComponents did not converge within ${rounds * 64} propagation rounds")
+      // the convergence probe is done: release the trailing snapshots so
+      // only the FINAL label set (the returned data) stays in the block
+      // manager — `older` is the last round's predecessor here
+      if (older != null && older.ne(labels)) {
+        org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(older)
+      }
       val out = labels.select(col("id").as("doc_id"), col("comp").as("component"))
       edges.unpersist()
       out

@@ -27,6 +27,25 @@ object DedupQueries {
 
   private val NumPerm = 32
 
+  /** Session-scoped registry of the persisted intermediates this object
+    * shares across queries (shingle/signature/sketch/pair tables). Each is
+    * built and persisted ONCE per (session, dir) and every consumer gets
+    * the SAME DataFrame instance — reuse no longer rides on CacheManager
+    * matching independently-built plans by canonicalization — and
+    * [[releaseShared]] unpins them all (Verify/Bench call it; a long-lived
+    * session would call it between pipeline runs). */
+  private val shared = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def sharedDf(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    shared.computeIfAbsent(s"${System.identityHashCode(s)}|$key", _ => build.persist())
+
+  /** Unpersist and forget every shared intermediate. The next consumer
+    * rebuilds (and re-persists) from scratch. */
+  def releaseShared(): Unit = {
+    shared.values.forEach(df => { df.unpersist(); () })
+    shared.clear()
+  }
+
   /** doc_id + sorted distinct shingle-HASH set, materialized once — both LSH
     * banding and Jaccard verification reuse it (at 100 TB this is the
     * "signature table" you would checkpoint rather than recompute per
@@ -35,15 +54,19 @@ object DedupQueries {
     * codegen'd pass, so downstream set-intersections are long-compares and
     * the shuffled payload is fixed-width. */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
-      .select(col("doc_id"), token_shingle_hashes(col("text"), 3).as("sh"))
-      .persist()
+    sharedDf(s, s"shingles|$dir") {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), token_shingle_hashes(col("text"), 3).as("sh"))
+    }
 
   /** doc_id + 32-perm MinHash signature (native expression, one tight loop
     * per row), computed once and shared by every LSH consumer (different
     * band layouts slice the same cached signature). */
-  private def sigTable(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), minhash_signature(col("sh"), NumPerm).as("sig")).persist()
+  private def sigTable(s: SparkSession, dir: String): DataFrame =
+    sharedDf(s, s"sigs|$dir") {
+      shingleTable(s, dir)
+        .select(col("doc_id"), minhash_signature(col("sh"), NumPerm).as("sig"))
+    }
 
   /** Candidate pairs (doc_a < doc_b) from LSH band collisions for a given
     * (bands × rowsPerBand) layout — fewer rows per band → more permissive
@@ -70,25 +93,65 @@ object DedupQueries {
       .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
       .select("doc_a", "doc_b", "jaccard_milli")
 
-  /** Exact Jaccard ≥ 0.5 self-join (d08's core, reused by d09): |A∩B| is
-    * counted directly on the inverted-index self-join, sizes arrive via a
-    * broadcast — no shingle array is ever shuffled. */
-  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(s, dir)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+  /** Candidate pairs from the inverted-index self-join: docs sharing at
+    * least one (surviving) shingle. With `dfStopThreshold = Some(t)`,
+    * shingles whose document frequency exceeds `t` are dropped from the
+    * posting lists BEFORE pairing — the Σ df² blow-up on heavy-hitter
+    * shingles (boilerplate headers, empty-doc sentinels) is capped at t²
+    * per stoplisted shingle's worth of avoided pairs. The stoplist itself
+    * is a tiny aggregate, shipped as a broadcast anti-join. */
+  private[graft] def invertedCandidates(
+      sh: DataFrame, dfStopThreshold: Option[Long] = None): DataFrame = {
     val post = sh.select(col("doc_id"), explode(col("sh")).as("e"))
-    post.withColumnsRenamed(Map("doc_id" -> "doc_a"))
-      .join(post.withColumnsRenamed(Map("doc_id" -> "doc_b")), "e")
+    val kept = dfStopThreshold match {
+      case Some(t) =>
+        val stop = post.groupBy("e").agg(count(lit(1)).as("df"))
+          .filter(col("df") > t).select("e")
+        post.join(broadcast(stop), Seq("e"), "left_anti")
+      case None => post
+    }
+    kept.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+      .join(kept.withColumnsRenamed(Map("doc_id" -> "doc_b")), "e")
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))), "doc_a")
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))), "doc_b")
-      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
-      .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
-      .filter(col("jaccard_milli") >= 500)
-      .select("doc_a", "doc_b", "jaccard_milli")
-      .persist() // d08 materializes it, d09 (components) reuses
+      .select("doc_a", "doc_b").distinct()
   }
+
+  /** Exact Jaccard ≥ 0.5 pairs over a shingle table.
+    *
+    * Default path: |A∩B| is counted directly on the inverted-index
+    * self-join, sizes arrive via a broadcast — no shingle array is ever
+    * shuffled. Stoplisted path: candidates come from the pruned posting
+    * lists, then EXACT Jaccard is verified against the FULL shingle sets,
+    * so every reported value is exact; the only approximation is that a
+    * pair overlapping ONLY in stoplisted shingles is never considered (on
+    * real corpora such pairs are boilerplate collisions, and
+    * DedupCacheSpec proves result equality on the fixture). */
+  private[graft] def exactJaccardPairsOf(
+      sh: DataFrame, dfStopThreshold: Option[Long] = None): DataFrame = {
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    dfStopThreshold match {
+      case None =>
+        val post = sh.select(col("doc_id"), explode(col("sh")).as("e"))
+        post.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+          .join(post.withColumnsRenamed(Map("doc_id" -> "doc_b")), "e")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+          .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))), "doc_a")
+          .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))), "doc_b")
+          .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+          .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
+          .filter(col("jaccard_milli") >= 500)
+          .select("doc_a", "doc_b", "jaccard_milli")
+      case some =>
+        verifyJaccard(invertedCandidates(sh, some), sh)
+          .filter(col("jaccard_milli") >= 500)
+    }
+  }
+
+  /** d08's core, reused by d09 — persisted once per (session, dir) via the
+    * shared registry so the components query reuses the SAME instance. */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    sharedDf(s, s"pairs|$dir")(exactJaccardPairsOf(shingleTable(s, dir)))
 
   val defs: Map[String, Q] = Map(
     "d01_dedup_exact" -> ((s, dir) => {
@@ -127,16 +190,17 @@ object DedupQueries {
       // band = j⁴, so j=0.5 → 1-(1-.0625)^8 ≈ 40%/band-set but j=0.8 → 96%;
       // verified candidates are filtered on EXACT Jaccard.
       val sh = shingleTable(s, dir)
-      verifyJaccard(lshCandidates(sigTable(sh), bands = 8, rowsPerBand = 4), sh)
+      verifyJaccard(lshCandidates(sigTable(s, dir), bands = 8, rowsPerBand = 4), sh)
         .filter(col("jaccard_milli") >= 500)
     }),
 
     "d04_simhash" -> ((s, dir) => {
       // 64-bit SimHash (native expression): bit j of the signature is the
       // sign of sum over tokens of (+1 if bit j of xxh64(token) else -1).
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id"), simhash64(col("text")).as("simhash"))
-        .persist() // reused by both sides of the band self-join
+      val d = sharedDf(s, s"simhash|$dir") { // reused by both join sides
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      }
       // near-dup candidates: same 16-bit band → hamming distance <= 3
       val banded = d.select(col("doc_id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535L)")))
@@ -159,7 +223,7 @@ object DedupQueries {
       // small-vocabulary corpora: mega-frequent shingles give O(m²)
       // candidates per hash. Banding caps candidate growth instead.)
       val sh = shingleTable(s, dir)
-      verifyJaccard(lshCandidates(sigTable(sh), bands = 16, rowsPerBand = 2), sh)
+      verifyJaccard(lshCandidates(sigTable(s, dir), bands = 16, rowsPerBand = 2), sh)
         .filter(col("jaccard_milli") >= 300)
     }),
 
@@ -170,9 +234,11 @@ object DedupQueries {
       // (pairs sharing ≥1 shingle are exactly the pairs with jaccard > 0),
       // so no shingle ARRAY is ever shuffled or intersected: the wide join
       // moves (hash, doc_id) pairs, one partial-aggregated groupBy counts
-      // them, and set sizes arrive via a broadcast. At larger scale the
-      // lever is a document-frequency stoplist / prefix filter on the
-      // posting lists; at bench scale Σ df² ≈ 2.8 M rows — cheap.
+      // them, and set sizes arrive via a broadcast. At larger scale pass
+      // dfStopThreshold to exactJaccardPairsOf: heavy-hitter shingles are
+      // stoplisted out of candidate generation (verification stays on full
+      // sets — DedupCacheSpec proves fixture equality and the candidate
+      // drop); at bench scale Σ df² ≈ 2.8 M rows — cheap without it.
       exactJaccardPairs(s, dir)
     }),
 
@@ -198,8 +264,9 @@ object DedupQueries {
     // corpus (max pairwise cosine ≈ 0.48 — no true near-dups exist);
     // production would use ~0.95.
     val emb = tbl(s, dir, "embeddings")
-    val sk = emb.select(col("vec_id"), col("embedding"), vec_srp(col("embedding"), 32).as("sk"))
-      .persist()
+    val sk = sharedDf(s, s"srp|$dir") {
+      emb.select(col("vec_id"), col("embedding"), vec_srp(col("embedding"), 32).as("sk"))
+    }
     val banded = sk.select(col("vec_id"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sk, b * 8) & 255L)")))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_val"))

@@ -39,6 +39,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("distributed path pins only the final label set after completion") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = GraphOps.connectedComponents(pairs, maxDriverPairs = 0)
+    out.collect()
+    // intermediate localCheckpoint snapshots (initial labels + one per
+    // round) must be released; only the returned label set may remain
+    val deadline = System.currentTimeMillis() + 10000
+    def extra() = sc.getPersistentRDDs.keySet -- before
+    while (extra().size > 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(extra().size <= 1, s"leaked checkpoints: ${extra()}")
+  }
+
   test("distributed path converges on chains longer than one round block") {
     // chain 1-2-...-9 with rounds=2: needs the convergence loop, not the
     // fixed block, to reach the fixpoint
