@@ -478,6 +478,28 @@ object CoreQueries {
           col("col.l_orderkey"), col("col.l_linenumber"), col("col.l_extendedprice"))
     }),
 
+    "q66_tablesample" -> ((s, dir) => {
+      // TABLESAMPLE surface (Sample logical node end-to-end). Which rows a
+      // 50% Bernoulli sample keeps depends on the partition layout, so the
+      // ENTRY's output is a sample-invariant: the distinct order statuses,
+      // each backed by far too many rows for a 50% sample to miss (the
+      // rarest status has dozens of rows even at sf0.001 — miss odds
+      // ~2^-30). The Sample node itself is asserted in the physical plan
+      // by OptimizationSpec.
+      tbl(s, dir, "orders")
+        .sample(withReplacement = false, fraction = 0.5, seed = 42L)
+        .select(col("o_orderstatus")).distinct()
+    }),
+
+    "q67_tail" -> ((s, dir) => {
+      // Tail logical node as a LAZY operator (Dataset.tail is an eager
+      // action; PlanOps rebuilds the plan form): last 5 nations in key
+      // order — deterministic because the child is sorted
+      org.apache.spark.sql.graft.PlanOps.tail(
+        tbl(s, dir, "nation").select("n_nationkey", "n_name")
+          .orderBy(col("n_nationkey")), 5)
+    }),
+
     "q65_correlated_agg_subquery" -> ((s, dir) => {
       // correlated aggregate subquery in a predicate (the reference's
       // in/exists-subquery-aggregate corpus family): suppliers richer than
@@ -972,6 +994,16 @@ object CoreQueries {
       FROM supplier s
       WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
                          WHERE s2.s_nationkey = s.s_nationkey)""",
+
+    // sample-invariant output: every status survives a 50% sample (see the
+    // query comment), so the distinct set equals the unsampled one
+    "q66_tablesample" -> """
+      SELECT DISTINCT o_orderstatus FROM orders""",
+
+    // Tail(5) of the key-ascending sort = the 5 largest keys
+    "q67_tail" -> """
+      SELECT n_nationkey, n_name
+      FROM (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey DESC LIMIT 5) t""",
 
     "q64_range_frame" -> """
       SELECT event_id, user_id,

@@ -1,0 +1,42 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.catalyst.expressions.{IntegerLiteral, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Tail}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.execution.{CollectTailExec, SparkPlan, SparkStrategy}
+
+/** Lazy wrappers for logical operators the public Dataset API only exposes
+  * as eager actions.
+  *
+  * `Dataset.tail(n)` collects immediately; the underlying [[Tail]] logical
+  * node is only planned by Spark when it sits at the ROOT under
+  * `ReturnAnswer` — composed under any other operator, planning fails with
+  * "No plan for Tail". [[TailStrategy]] closes that gap by planning any
+  * Tail as `CollectTailExec` (whose `doExecute` exists in Spark 4), so
+  * `tail` below returns a fully composable DataFrame. Lives in this
+  * package because `Dataset.ofRows` is private[sql]. */
+object TailStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Tail(IntegerLiteral(n), child) => CollectTailExec(n, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object PlanOps {
+
+  /** The last `n` rows of `ds` in its current ordering, as a lazy
+    * DataFrame. Deterministic when `ds` is sorted. */
+  def tail(ds: Dataset[Row], n: Int): DataFrame = {
+    val cds = ds.asInstanceOf[ClassicDataset[Row]]
+    val session = cds.sparkSession
+    // registration is a read-check-write on shared session state
+    session.experimental.synchronized {
+      if (!session.experimental.extraStrategies.contains(TailStrategy)) {
+        session.experimental.extraStrategies =
+          session.experimental.extraStrategies :+ TailStrategy
+      }
+    }
+    ClassicDataset.ofRows(session, Tail(Literal(n), cds.logicalPlan))
+  }
+}

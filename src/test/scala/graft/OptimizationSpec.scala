@@ -153,6 +153,15 @@ class OptimizationSpec extends AnyFunSuite {
       s"size lookups must be broadcast joins:\n$plan")
   }
 
+  test("q66 plans a Sample node; q67 plans CollectTail") {
+    val samplePlan = SparkEntry.queries("q66_tablesample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(samplePlan.contains("Sample"), samplePlan)
+    val tailPlan = SparkEntry.queries("q67_tail")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tailPlan.contains("CollectTail"), tailPlan)
+  }
+
   test("filters and projections are pushed to the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_quantity") >= 48)
