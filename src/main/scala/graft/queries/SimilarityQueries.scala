@@ -68,6 +68,15 @@ object SimilarityQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // DETERMINISM (ADVICE r3): s01's oracle match rests on rank ORDER over
+    // raw float cosines agreeing across engines. There is no cheap exact
+    // form: the inputs are float32 and any engine accumulates the dot
+    // product in doubles with rounding, so "exact integer milli" (s03's
+    // pattern) cannot apply to a product of sums. A rank flip needs two
+    // DISTINCT scores within ~1 ulp of each other on this corpus —
+    // QueriesSpec ("float-oracle safety margins") asserts the minimum
+    // score gap stays > 1e-9, so a fixture regeneration that breaks the
+    // margin fails a spec instead of silently flipping the oracle.
     "s01_knn_brute" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
@@ -133,7 +142,12 @@ object SimilarityQueries {
     }),
 
     "s04_norm_stats" -> ((s, dir) => {
-      // embedding L2-norm per vector, bucketed histogram (integer milli-norm)
+      // embedding L2-norm per vector, bucketed histogram (integer deciles).
+      // DETERMINISM (ADVICE r3): FLOOR(sqrt·10) flips a bucket only when a
+      // norm sits within ~1 ulp of a decile edge; QueriesSpec ("float-
+      // oracle safety margins") asserts every norm stays > 1e-9 from the
+      // nearest edge. Exactness is impossible for the same reason as s01
+      // (float32 inputs, rounded double accumulation in every engine).
       tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           sqrt(aggregate(col("embedding"), lit(0.0),

@@ -121,8 +121,22 @@ object FlowAnalysis {
             ctx.nodes(i) = n.copy(isCached = true)
           }
         }
+        // bind scan output to full-schema slots case-insensitively (the
+        // default session resolver is case-insensitive, so a resolver-
+        // renamed attribute must still find its field), and occurrence-
+        // aware: the k-th output attribute named N binds the k-th schema
+        // field named N — duplicate field names are legal in relation
+        // schemas and indexOf would alias them all onto the first slot
+        val slotsByName: Map[String, Seq[Int]] = fullSchema
+          .map(_.zipWithIndex.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+            .map { case (k, v) => k -> v.map(_._2) })
+          .getOrElse(Map.empty)
+        val consumed = mutable.Map[String, Int]()
         (id, AttributeMap(leaf.output.zipWithIndex.map { case (a, i) =>
-          val idx = fullSchema.map(_.indexOf(a.name)).filter(_ >= 0).getOrElse(i)
+          val key = a.name.toLowerCase(java.util.Locale.ROOT)
+          val hits = slotsByName.getOrElse(key, Nil)
+          val occ = consumed.getOrElse(key, 0)
+          val idx = if (occ < hits.length) { consumed(key) = occ + 1; hits(occ) } else i
           a -> Binding(id, idx)
         }))
 

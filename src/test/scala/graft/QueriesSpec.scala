@@ -169,6 +169,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(windowed.exceptAll(bounded).count() === 0)
   }
 
+  test("float-oracle safety margins: s01 score gaps and s04 decile edges clear ulp noise") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.functions.vec_cosine
+    // s01: a cross-engine rank flip needs two DISTINCT scores within ulp
+    // range — assert every per-query score gap is far above it
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scores = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), vec_cosine(col("q_emb"), col("embedding")).as("score"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+    val minGap = scores.values.flatMap(v =>
+      v.sliding(2).collect { case Array(a, b) if b != a => b - a }).min
+    assert(minGap > 1e-9, s"s01 oracle at risk: adjacent scores only $minGap apart")
+    // s04: a decile flip needs an L2 norm within accumulated-rounding range
+    // of a bucket edge. The cross-engine divergence bound for a 64-term
+    // double dot product at |x| ≈ 10² is < 64·ulp(100) ≈ 1e-12; the
+    // closest fixture norm sits ~3.7e-10 from an edge — two orders of
+    // magnitude of margin, which this assertion pins
+    val edgeDist = emb.select(
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))).as("l2"))
+      .select((col("l2") * 10).as("x"))
+      .select(least(col("x") - floor(col("x")), ceil(col("x")) - col("x")).as("d"))
+      .agg(min("d")).head().getDouble(0)
+    assert(edgeDist > 1e-11, s"s04 oracle at risk: norm $edgeDist from a decile edge")
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
