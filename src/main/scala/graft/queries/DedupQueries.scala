@@ -242,6 +242,28 @@ object DedupQueries {
       exactJaccardPairs(s, dir)
     }),
 
+    "d10_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination — the training-data op that keeps eval
+      // sets out of the corpus: for every corpus doc, count the distinct
+      // token shingles it shares with ANY doc of the eval set (here the
+      // pseudo-benchmark doc_id < 20), flagging docs above a contamination
+      // threshold. Scale shape: the eval posting list is tiny and
+      // BROADCAST, so the corpus side stays map-side — the only shuffle
+      // carries (doc_id, shingle_hash) partial-aggregation rows, never
+      // text. The threshold (>= 3 shared shingles ≈ a 5-token overlap)
+      // separates real leakage from single-phrase collisions.
+      val sh = shingleTable(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("e"))
+      val evalSet = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("eval_id"), col("e")).distinct()
+      sh.filter(col("doc_id") >= 20)
+        .join(broadcast(evalSet), "e")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("e")).as("n_shared_shingles"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .filter(col("n_shared_shingles") >= 3)
+    }),
+
     "d09_dup_components" -> ((s, dir) => {
       // duplicate-cluster assignment: connected components over the exact
       // near-dup pair graph (jaccard ≥ 0.5), each doc labeled with the MIN
@@ -311,6 +333,26 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d03_minhash_lsh" -> exactJaccardOracle.format(500),
+
+    // shingle construction mirrors the d08 oracle (string domain equals the
+    // 64-bit hash domain up to ~2^-64 collisions)
+    "d10_decontaminate" -> """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      ev AS (SELECT doc_id AS eval_id, UNNEST(s) AS e FROM sh WHERE doc_id < 20),
+      co AS (SELECT doc_id, UNNEST(s) AS e FROM sh WHERE doc_id >= 20)
+      SELECT co.doc_id,
+             CAST(COUNT(DISTINCT co.e) AS BIGINT) AS n_shared_shingles,
+             CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+      FROM co JOIN ev ON co.e = ev.e
+      GROUP BY co.doc_id
+      HAVING COUNT(DISTINCT co.e) >= 3""",
 
     "d05_ngram_jaccard" -> exactJaccardOracle.format(300),
 

@@ -102,6 +102,20 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    "t09_stratified_sample" -> ((s, dir) => {
+      // per-stratum deterministic sampling: every language independently
+      // keeps a hash-chosen 10% (salted with the stratum so strata do not
+      // share a bucket sequence). Same rationale as t07: at 100 TB a split
+      // must be a pure function of the key — partition-order-dependent
+      // sampling is not reproducible across layouts
+      val bucket = conv(substring(md5(
+        concat(col("lang"), lit("|"), col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+      tbl(s, dir, "documents")
+        .filter(bucket % 100 < 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "t08_doc_top_terms" -> ((s, dir) => {
       // characteristic terms per document: top-3 by (term frequency desc,
       // document frequency asc, term asc) — tf-idf's ranking without the
@@ -199,6 +213,15 @@ object TextQueries {
                      CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS b
               FROM documents))
       GROUP BY split""",
+
+    "t09_stratified_sample" -> """
+      SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM (
+        SELECT lang, n_chars,
+               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(lang, '|', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) AS b
+        FROM documents)
+      WHERE b % 100 < 10
+      GROUP BY lang""",
 
     "t08_doc_top_terms" -> """
       WITH tf AS (
