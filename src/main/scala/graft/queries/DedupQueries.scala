@@ -44,6 +44,7 @@ object DedupQueries {
   def releaseShared(): Unit = {
     shared.values.forEach(df => { df.unpersist(); () })
     shared.clear()
+    sharedBlooms.clear()
   }
 
   /** doc_id + sorted distinct shingle-HASH set, materialized once — both LSH
@@ -152,6 +153,39 @@ object DedupQueries {
     * shared registry so the components query reuses the SAME instance. */
   private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame =
     sharedDf(s, s"pairs|$dir")(exactJaccardPairsOf(shingleTable(s, dir)))
+
+  /** Bloom digest of the "seen" corpus's distinct shingle hashes (docs
+    * below the ingest boundary), built ONCE per (session, dir) via
+    * `df.stat.bloomFilter` — a distributed treeAggregate; only the k-bit
+    * digest ever reaches the driver. Memoized like the IVF quantizer
+    * (s02): training artifacts are per-corpus, not per-query. */
+  private val sharedBlooms =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+
+  private def seenShingleBloom(
+      s: SparkSession, dir: String, boundary: Long): org.apache.spark.util.sketch.BloomFilter =
+    sharedBlooms.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$boundary", _ => {
+      val seen = shingleTable(s, dir).filter(col("doc_id") < boundary)
+        .select(explode(col("sh")).as("e")).distinct()
+      // size the digest to the actual distinct-shingle count (one cheap
+      // aggregate): ~9.6 bits/item at 1% fpp, so even a billion distinct
+      // shingles is a ~1.2 GB digest — executor-broadcastable where the
+      // corpus itself is not joinable
+      val n = math.max(seen.count(), 1000L)
+      seen.stat.bloomFilter("e", n, 0.01)
+    })
+
+  /** d12's map-side prefilter: incoming docs (>= boundary) at least half of
+    * whose shingles hit the seen-corpus Bloom digest — a SOUND superset of
+    * every incoming doc with a Jaccard>=0.5 match below the boundary
+    * (QueriesSpec proves containment + real pruning on the fixture). */
+  private[graft] def bloomPrefilterCandidates(
+      s: SparkSession, dir: String, boundary: Long): DataFrame = {
+    import org.apache.spark.sql.graft.functions.bloom_count_hits
+    val bf = seenShingleBloom(s, dir, boundary)
+    shingleTable(s, dir).filter(col("doc_id") >= boundary)
+      .filter(bloom_count_hits(col("sh"), bf) * 2 >= size(col("sh")))
+  }
 
   val defs: Map[String, Q] = Map(
     "d01_dedup_exact" -> ((s, dir) => {
@@ -262,6 +296,68 @@ object DedupQueries {
         .agg(countDistinct(col("e")).as("n_shared_shingles"),
           countDistinct(col("eval_id")).as("n_eval_docs"))
         .filter(col("n_shared_shingles") >= 3)
+    }),
+
+    "d11_dedup_pipeline" -> ((s, dir) => {
+      // the END-TO-END dedup decision in one operator: near-dup pairs
+      // (exact Jaccard >= 0.5, the shared d08 pair table) → connected
+      // components (shared with d09) → keep-best representative per
+      // cluster (longest doc, ties to the lowest id — d06's policy).
+      // Singletons are their own component (left join + coalesce), so the
+      // output IS the surviving corpus with cluster bookkeeping. The only
+      // corpus-wide shuffle beyond pair generation is the window keyed on
+      // component — the same shape as d06's hash-keyed keep-best, and
+      // component cardinality ~= corpus cardinality, so no reducer
+      // funneling at scale.
+      val comps = graft.operators.GraphOps.connectedComponents(
+        exactJaccardPairs(s, dir).select("doc_a", "doc_b"))
+      val labeled = tbl(s, dir, "documents").select("doc_id", "n_chars")
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(desc("n_chars"), asc("doc_id"))
+      labeled
+        .withColumn("n_members", count(lit(1)).over(wAll))
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"),
+          col("n_members"), col("n_chars"))
+    }),
+
+    "d12_bloom_incremental" -> ((s, dir) => {
+      // incremental-ingest near-dedup: test INCOMING docs (doc_id >= 400)
+      // against an already-ingested corpus (doc_id < 400) WITHOUT joining
+      // the corpus. The seen side is distilled once into a Bloom digest of
+      // its distinct shingle hashes; incoming docs prefilter MAP-SIDE via
+      // the native bloom_count_hits expression. Soundness: jaccard(A,B) >=
+      // 0.5 forces |A∩B| >= |A∪B|/2 >= |A|/2, so any true near-dup has at
+      // least half its shingles in the digest (false positives only widen
+      // the candidate set). Survivors — a sliver of the ingest — are then
+      // verified EXACTLY against seen posting lists, so the final answer
+      // is exact (hash-exact oracle below). At 100 TB: the digest is the
+      // only corpus-sized artifact that moves, once, as a broadcast; the
+      // verify join's left side is already prefiltered to near-nothing.
+      val boundary = 400L
+      val sh = shingleTable(s, dir)
+      val cand = bloomPrefilterCandidates(s, dir, boundary)
+      val seenPost = sh.filter(col("doc_id") < boundary)
+        .select(col("doc_id").as("seen_id"), explode(col("sh")).as("e"))
+      val candPost = cand.select(col("doc_id"), explode(col("sh")).as("e"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      candPost.join(seenPost, "e")
+        .groupBy("doc_id", "seen_id").agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), "doc_id")
+        .join(broadcast(sizes.select(col("doc_id").as("seen_id"), col("n").as("nb"))), "seen_id")
+        .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+        .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
+        .filter(col("jaccard_milli") >= 500)
+        // best seen match per incoming doc: max jaccard, ties to the
+        // LOWEST seen id — max-of-struct keeps map-side partial agg
+        .groupBy("doc_id")
+        .agg(max(struct(col("jaccard_milli"), (-col("seen_id")).as("neg"))).as("m"))
+        .select(col("doc_id"), (-col("m.neg")).as("dup_of"),
+          col("m.jaccard_milli").as("jaccard_milli"))
     }),
 
     "d09_dup_components" -> ((s, dir) => {
@@ -399,6 +495,66 @@ object DedupQueries {
       SELECT doc_a, doc_b, (1000 * ni) // nu AS jaccard_milli
       FROM pairs
       WHERE (1000 * ni) // nu >= 500""",
+
+    // the full pipeline oracle: d09's recursive-CTE components, extended to
+    // the whole corpus (singletons = own id), then keep-best per component
+    "d11_dedup_pipeline" -> """
+      WITH RECURSIVE
+      tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (1000 * LEN(LIST_INTERSECT(a.s, b.s)))
+              // (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 500),
+      edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+      reach(src, node) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a),
+      comp AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src),
+      lab AS (SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      ranked AS (
+        SELECT component, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM lab)
+      SELECT component, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members, n_chars
+      FROM ranked
+      WHERE rk = 1""",
+
+    // brute-force bipartite oracle for the bloom-prefiltered incremental
+    // dedup: every incoming×seen pair at jaccard >= 0.5, best match per
+    // incoming doc (max jaccard, ties to the lowest seen id)
+    "d12_bloom_incremental" -> """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT i.doc_id AS doc_id, s2.doc_id AS dup_of,
+               (1000 * LEN(LIST_INTERSECT(i.s, s2.s)))
+               // (LEN(i.s) + LEN(s2.s) - LEN(LIST_INTERSECT(i.s, s2.s))) AS jaccard_milli
+        FROM sh i JOIN sh s2 ON i.doc_id >= 400 AND s2.doc_id < 400),
+      best AS (
+        SELECT doc_id, dup_of, jaccard_milli,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY jaccard_milli DESC, dup_of) AS rk
+        FROM pairs
+        WHERE jaccard_milli >= 500)
+      SELECT doc_id, dup_of, jaccard_milli FROM best WHERE rk = 1""",
 
     // connected components via recursive reachability: component = MIN doc
     // id reachable from each node over the (symmetrized) near-dup pairs

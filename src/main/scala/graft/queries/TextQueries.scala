@@ -135,6 +135,70 @@ object TextQueries {
           col("col.term"), (col("col.neg_tf") * -1).as("tf"), col("col.df"))
     }),
 
+    "t10_repetition_ratio" -> ((s, dir) => {
+      // within-document repetition (the Gopher-family quality filter that
+      // catches boilerplate/looping generations): fraction of 3-gram
+      // OCCURRENCES that are repeats of an earlier 3-gram in the same doc.
+      // Pure map-side projection — zero shuffles, fully codegen'd:
+      //   total    = max(n_tokens - 2, 1)   (the <3-token/empty cases
+      //              collapse to the single whole-text/sentinel shingle,
+      //              mirroring ShingleOps.shingleHashes)
+      //   distinct = size(token_shingle_hashes(text, 3)) — the native
+      //              expression already returns the DISTINCT hash set, so
+      //              no interpreted higher-order transform runs per shingle
+      // (hash-domain distinct equals string-domain distinct up to ~2^-64
+      // collisions — same argument as the d08 oracle).
+      import org.apache.spark.sql.graft.functions.token_shingle_hashes
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          greatest(size(toks(col("text"))) - 2, lit(1)).as("n_shingles"),
+          size(token_shingle_hashes(col("text"), 3)).as("n_distinct"))
+        .withColumn("dup_ratio_milli",
+          expr("(1000L * (n_shingles - n_distinct)) DIV n_shingles"))
+    }),
+
+    "t11_rarity_score" -> ((s, dir) => {
+      // corpus-frequency rarity scoring — the perplexity-style LM filter
+      // (CCNet lineage) re-expressed in exact integer arithmetic so any
+      // engine reproduces it bit-for-bit: each token occurrence scores
+      // 1e6 DIV corpus_count(token); a document's score is the sum, and
+      // mean_rarity ranks documents exactly like mean negative
+      // log-frequency would, without a cross-libm ln() in sight.
+      // Scale shape: the vocabulary table is Zipf-bounded (≪ corpus size)
+      // and BROADCAST, so scoring is map-side; the only shuffle carries
+      // (doc_id, partial sum) rows after map-side combine. A vocabulary too
+      // large to broadcast degrades to a shuffle join on the term — the
+      // aggregation shape is unchanged.
+      val post = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val vocab = post.groupBy("term").agg(count(lit(1)).as("cnt"))
+      post.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("1000000L DIV cnt")).as("rarity_sum"))
+        .withColumn("mean_rarity", expr("rarity_sum DIV n_tokens"))
+    }),
+
+    "t12_token_packing" -> ((s, dir) => {
+      // sequence packing for pretraining: concatenate documents in a
+      // deterministic order and cut fixed token-budget sequences — each doc
+      // is assigned to the sequence where it STARTS (seq_id = tokens-before
+      // DIV budget). Packing inside (lang, shard = doc_id DIV 100) windows
+      // makes the operation embarrassingly parallel: every window is a
+      // bounded, key-addressed unit of work, so the plan holds at any
+      // corpus size — a window partitioned only by lang would funnel 100 TB
+      // through 5 reducers. Pure integer arithmetic, layout-independent.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shard").orderBy("doc_id")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") / 100).cast("long").as("shard"),
+          size(toks(col("text"))).as("n_tokens"))
+        .withColumn("cum_tokens",
+          sum(col("n_tokens").cast("long")).over(w))
+        .withColumn("seq_id", expr("(cum_tokens - n_tokens) DIV 2048"))
+    }),
+
     "t05_fingerprint" -> ((s, dir) => {
       // Rolling fingerprint over the token sequence (order-sensitive, unlike
       // a bag-of-words hash): fp = fold(tokens, md5(acc || token)). Hash
@@ -236,6 +300,44 @@ object TextQueries {
                                   ORDER BY tfc.tf DESC, dfc.df, tfc.term) AS rank
         FROM tfc JOIN dfc USING (term))
       WHERE rank <= 3""",
+
+    "t10_repetition_ratio" -> """
+      SELECT doc_id,
+             CAST(n_shingles AS INT) AS n_shingles,
+             CAST(n_distinct AS INT) AS n_distinct,
+             (1000 * (n_shingles - n_distinct)) // n_shingles AS dup_ratio_milli
+      FROM (
+        SELECT doc_id,
+               GREATEST(LEN(tk) - 2, 1) AS n_shingles,
+               CASE WHEN LEN(tk) = 0 THEN 1
+                    WHEN LEN(tk) < 3 THEN 1
+                    ELSE LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+               END AS n_distinct
+        FROM (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents))""",
+
+    "t11_rarity_score" -> """
+      WITH post AS (
+        SELECT doc_id, UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS term
+        FROM documents),
+      vocab AS (SELECT term, COUNT(*) AS cnt FROM post GROUP BY term)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(1000000 // cnt) AS BIGINT) AS rarity_sum,
+             CAST(SUM(1000000 // cnt) // COUNT(*) AS BIGINT) AS mean_rarity
+      FROM post JOIN vocab USING (term)
+      GROUP BY doc_id""",
+
+    "t12_token_packing" -> """
+      SELECT doc_id, lang, shard, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS seq_id
+      FROM (
+        SELECT doc_id, lang, doc_id // 100 AS shard,
+               LEN(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS n_tokens,
+               SUM(LEN(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')))
+                 OVER (PARTITION BY lang, doc_id // 100 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM documents)""",
 
     "t05_fingerprint" -> """
       SELECT doc_id,

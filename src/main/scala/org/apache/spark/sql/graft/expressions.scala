@@ -243,6 +243,48 @@ case class FloatVecSrp(child: Expression, planes: Int = 32) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** Membership testing against a driver-built Bloom filter digest. */
+object BloomOps {
+  /** Count of array elements that might be members of `bf` — one tight
+    * loop per row over the long-hash array, no per-element lambda. */
+  def countHits(arr: ArrayData, bf: org.apache.spark.util.sketch.BloomFilter): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (bf.mightContainLong(arr.getLong(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `bloom_count_hits(arr)` — how many of an ARRAY<BIGINT>'s elements might
+  * be in a Bloom filter built elsewhere (e.g. `df.stat.bloomFilter`, a
+  * distributed treeAggregate). The filter rides into codegen as a
+  * referenced object, so the whole digest ships once per task — the
+  * broadcast-a-sketch pattern that lets 100 TB of incoming data probe an
+  * already-ingested corpus map-side, with zero join against it. */
+case class BloomCountHits(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }, "ARRAY<BIGINT>", child.dataType)
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    BloomOps.countHits(input.asInstanceOf[ArrayData], bloom)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.BloomOps.countHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Input type validation shared by the native expressions: the default
   * UnaryExpression/BinaryExpression accept anything, and e.g. an
   * ARRAY<DOUBLE> read through ArrayData.getFloat would be silently-garbage
@@ -326,6 +368,9 @@ object functions {
 
   def normalize_text(c: Column): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(c)))
+
+  def bloom_count_hits(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    ExpressionUtils.column(BloomCountHits(ExpressionUtils.expression(c), bf))
 
   /** Bounded top-k aggregate over a struct column (k smallest under the
     * struct's lexicographic order; lead with a negated field for "top by x

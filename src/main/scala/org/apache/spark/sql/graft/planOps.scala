@@ -23,6 +23,22 @@ object TailStrategy extends SparkStrategy {
   }
 }
 
+object PlanIntrospection {
+  /** The physical plan of `df` with the adaptive wrapper peeled off.
+    *
+    * [[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]] is a
+    * LeafExecNode, so `executedPlan.collect { ... }` on an AQE query
+    * silently matches NOTHING below the wrapper — a plan-shape assertion
+    * written that way passes vacuously. Tests must unwrap first (lives
+    * here because the accessor is private[sql]). */
+  def physicalPlan(df: Dataset[_]): SparkPlan =
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+}
+
 object PlanOps {
 
   /** The last `n` rows of `ds` in its current ordering, as a lazy

@@ -99,4 +99,27 @@ class ExpressionsSpec extends AnyFunSuite {
     val m2 = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === m2)
   }
+
+  test("bloom_count_hits: counts digest members; no false negatives; null-safe") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (1L to 50L).foreach(bf.putLong)
+    val rows = Seq(
+      Array(1L, 2L, 3L),          // all members
+      Array(1L, 1000001L),        // one member, one (probable) non-member
+      Array(2000001L, 2000002L),  // (probably) none
+      Array.empty[Long])
+    val df = rows.toDF("a").select(bloom_count_hits($"a", bf).as("hits"))
+    val got = df.collect().map(_.getInt(0))
+    // the column result must agree with the driver-side filter — whatever
+    // false positives the digest has, they are the SAME ones (one digest,
+    // one hash family), so this also pins determinism
+    val expected = rows.map(_.count(bf.mightContainLong))
+    assert(got.toSeq === expected)
+    // one-sided error: every inserted member counts
+    assert(got(0) === 3)
+    val withNull = Seq((1, Array(1L, 2L)), (2, null)).toDF("id", "a")
+      .select($"id", bloom_count_hits($"a", bf).as("hits"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(withNull(1) === Some(2) && withNull(2) === None)
+  }
 }

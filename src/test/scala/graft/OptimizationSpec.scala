@@ -125,16 +125,65 @@ class OptimizationSpec extends AnyFunSuite {
     // the scale property behind IVF: corpus vectors are scored and
     // bucket-joined entirely map-side (literal centroids + broadcast
     // probes); the only exchange in the plan is the final bounded top-k on
-    // (query_id, neg_score, neighbor_id) triples
+    // (query_id, neg_score, neighbor_id) triples.
+    // NOTE: AdaptiveSparkPlanExec is a LeafExecNode — collect on the raw
+    // executedPlan sees nothing below the AQE wrapper and the assertion
+    // passes vacuously; PlanIntrospection unwraps it first.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.graft.PlanIntrospection
     val df = SparkEntry.queries("s02_knn_ivf")(spark, sf)
-    val shuffles = df.queryExecution.executedPlan.collect {
+    val shuffles = PlanIntrospection.physicalPlan(df).collect {
       case e: ShuffleExchangeLike => e
     }
+    assert(shuffles.nonEmpty, "expected the final top-k exchange in the plan")
     shuffles.foreach { e =>
       val carried = e.output.map(_.name.toLowerCase)
       assert(!carried.exists(n => n.contains("emb")),
         s"shuffle carries vector column(s): ${carried.mkString(",")}")
+    }
+  }
+
+  test("t10 repetition stats are map-side only: zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.graft.PlanIntrospection
+    val df = SparkEntry.queries("t10_repetition_ratio")(spark, sf)
+    val shuffles = PlanIntrospection.physicalPlan(df).collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      s"per-doc repetition stats must not shuffle, found: $shuffles")
+  }
+
+  test("t11 rarity scoring broadcasts the vocabulary (no shuffle join on terms)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.graft.PlanIntrospection
+    val plan = PlanIntrospection.physicalPlan(
+      SparkEntry.queries("t11_rarity_score")(spark, sf))
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
+    // exchanges: vocab aggregation on term + final doc_id aggregation —
+    // no third shuffle for the join itself
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"expected <=2 exchanges, got:\n$plan")
+  }
+
+  test("d12: bloom prefilter evaluates below every exchange; no shuffle carries text/shingles") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.graft.{BloomCountHits, PlanIntrospection}
+    val plan = PlanIntrospection.physicalPlan(
+      SparkEntry.queries("d12_bloom_incremental")(spark, sf))
+    val pre = plan.collect {
+      case f: FilterExec if f.condition.find(_.isInstanceOf[BloomCountHits]).isDefined => f
+    }
+    assert(pre.nonEmpty, s"bloom prefilter missing from plan:\n$plan")
+    pre.foreach { f =>
+      assert(f.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "the bloom prefilter must run map-side, before any exchange")
+    }
+    plan.collect { case e: ShuffleExchangeLike => e }.foreach { e =>
+      val carried = e.output.map(_.name.toLowerCase)
+      assert(!carried.exists(n => n == "text" || n == "sh"),
+        s"shuffle carries document payload: ${carried.mkString(",")}")
     }
   }
 

@@ -108,6 +108,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.forall(_._3 <= 3))
   }
 
+  test("d12 bloom prefilter is sound (keeps every true near-dup) and actually prunes") {
+    // ground truth, brute-force on the driver: every incoming doc
+    // (doc_id >= 400) with exact Jaccard >= 0.5 against some seen doc
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.functions.token_shingle_hashes
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), token_shingle_hashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val (seen, inc) = sets.partition(_._1 < 400)
+    val trueDups = inc.keySet.filter { i =>
+      seen.values.exists { s =>
+        val ni = (sets(i) & s).size
+        val nu = sets(i).size + s.size - ni
+        1000L * ni / nu >= 500
+      }
+    }
+    val cand = graft.queries.DedupQueries
+      .bloomPrefilterCandidates(spark, sf, 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // soundness: the prefilter may only ADD false positives, never drop a
+    // true near-dup (|A∩B| >= |A|/2 ⇒ at least half of A's shingles hit
+    // the digest, bloom errors are one-sided)
+    assert(trueDups.subsetOf(cand),
+      s"prefilter dropped true dups: ${trueDups -- cand}")
+    // the digest is load-bearing: it prunes part of the ingest even on
+    // this worst-case fixture (tiny shared vocabulary => high incidental
+    // shingle overlap); production corpora prune near-everything
+    assert(cand.size < inc.size,
+      s"prefilter kept all ${inc.size} incoming docs — digest not load-bearing")
+    // and the final verified output is exactly the true-dup doc set
+    val out = SparkEntry.queries("d12_bloom_incremental")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === trueDups)
+  }
+
   test("SRP embedding near-dup pairs are a subset of the exact cosine join") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.functions.vec_cosine
