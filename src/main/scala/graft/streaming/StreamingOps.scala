@@ -102,6 +102,25 @@ object StreamingOps {
           .cast("long").as("diff_sec"))
   }
 
+  /** Streaming novelty filter against a static corpus digest — the
+    * streaming half of the d12 incremental-dedup design: keep only the
+    * incoming documents that CANNOT be Jaccard>=0.5 near-dups of the
+    * already-ingested corpus (fewer than half their shingles hit the
+    * digest; the bound is sound, see DedupQueries.bloomPrefilterCandidates).
+    * Fully STATELESS and map-side — no streaming state store, no join, no
+    * watermark: each micro-batch probes the broadcast digest inside one
+    * codegen'd projection, so the firehose never touches the corpus. Docs
+    * dropped here are conservatively "possible dups"; a downstream exact
+    * verify (d12's batch shape) recovers the false positives if required. */
+  def novelDocsStream(
+      docs: DataFrame, digest: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    import org.apache.spark.sql.graft.functions.{bloom_count_hits, token_shingle_hashes}
+    docs
+      .withColumn("sh", token_shingle_hashes(col("text"), 3))
+      .filter(bloom_count_hits(col("sh"), digest) * 2 < size(col("sh")))
+      .drop("sh")
+  }
+
   /** Gap-based sessionization with explicit state: a session closes when no
     * event arrives within `gapMinutes` (event time). Emits closed sessions. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 5): Dataset[Session] = {

@@ -98,6 +98,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(undirected.distinct().count() === batch.count())
   }
 
+  test("streaming novelty filter drops every true near-dup, stateless and map-side") {
+    import org.apache.spark.sql.graft.functions.token_shingle_hashes
+    // static digest of the "ingested" corpus (doc_id < 400), built in batch
+    val docsPath = s"$sf/documents.parquet"
+    val batchDocs = spark.read.parquet(docsPath)
+    val seenShingles = batchDocs.filter(col("doc_id") < 400)
+      .select(explode(token_shingle_hashes(col("text"), 3)).as("e")).distinct()
+    val digest = seenShingles.stat.bloomFilter("e", math.max(seenShingles.count(), 1000L), 0.01)
+
+    val incoming = spark.readStream
+      .schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+      .filter(col("doc_id") >= 400)
+    val q = StreamingOps.novelDocsStream(incoming, digest)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("novel_docs")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val survivors = spark.table("novel_docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // expected: exactly the incoming docs with fewer than half their
+    // shingles in the digest (same digest object, driver-side recount)
+    val sets = batchDocs.select(col("doc_id"), token_shingle_hashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val (seen, inc) = sets.partition(_._1 < 400)
+    val expected = inc.collect {
+      case (id, sh) if 2 * sh.count(digest.mightContainLong) < sh.size => id
+    }.toSet
+    assert(survivors === expected)
+
+    // soundness: no surviving doc is an exact Jaccard>=0.5 near-dup of the
+    // ingested corpus (the filter may over-drop — false positives — but
+    // must never pass a true duplicate)
+    val trueDups = inc.keySet.filter { i =>
+      val a = sets(i).toSet
+      seen.values.exists { sv =>
+        val b = sv.toSet
+        val ni = (a & b).size
+        1000L * ni / (a.size + b.size - ni) >= 500
+      }
+    }
+    assert((survivors & trueDups).isEmpty,
+      s"true near-dups survived the novelty filter: ${survivors & trueDups}")
+  }
+
   test("listener captures lineage of foreachBatch batch plans (streaming audit)") {
     import org.apache.spark.sql.graft.{GraphVizSink, SQLFlowListener}
     val outDir = java.nio.file.Files.createTempDirectory("stream-audit").toString
