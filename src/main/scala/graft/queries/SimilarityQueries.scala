@@ -67,6 +67,29 @@ object SimilarityQueries {
         col("col.neighbor_id").as("neighbor_id"))
   }
 
+  /** Materialized IVF index, built ONCE per (session, corpus): every vector
+    * assigned to its nearest trained centroid (same literal-pivot map-side
+    * rule as s02) and written as parquet PARTITIONED BY the centroid id —
+    * the on-disk layout every build-once/query-many ANN service uses. A
+    * probe that touches `nprobe` buckets then reads only those partitions
+    * (partition pruning on the scan), so query cost scales with bucket
+    * population, not corpus size. */
+  private val indexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ivfIndexPath(s: SparkSession, dir: String): String =
+    indexPaths.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+        .resolve("embeddings_ivf").toString
+      val pivotVecs = ivfPivots(s, dir)
+      def pivotScores(vec: Column): Column = array(pivotVecs.zipWithIndex.map {
+        case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
+      }: _*)
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (-array_max(pivotScores(col("embedding"))).getField("negp")).as("pivot_id"))
+        .write.mode("overwrite").partitionBy("pivot_id").parquet(path)
+      path
+    })
+
   val defs: Map[String, Q] = Map(
     // DETERMINISM (ADVICE r3): s01's oracle match rests on rank ORDER over
     // raw float cosines agreeing across engines. There is no cheap exact
@@ -111,6 +134,32 @@ object SimilarityQueries {
       // bucket-probe join: probes is ≤ queries×nprobe rows → broadcast, so
       // the corpus side stays map-side (no shuffle of vectors anywhere)
       val scored = assigned.join(broadcast(probes), "pivot_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      topKPerQuery(scored, 5)
+    }),
+
+    "s06_knn_ivf_persisted" -> ((s, dir) => {
+      // the build-once/query-many half of IVF: identical search semantics
+      // to s02, but the corpus side is the MATERIALIZED index (parquet
+      // partitioned by centroid id) instead of an in-flight assignment.
+      // The probe side joins on the partition column, so the index scan
+      // prunes to the probed buckets (OptimizationSpec pins the plan) —
+      // at 100 TB a query reads nprobe/nlist of the corpus, and the
+      // assignment cost is paid once at ingest, not per query batch.
+      // QueriesSpec proves s06 ≡ s02 row-for-row.
+      val idx = s.read.parquet(ivfIndexPath(s, dir))
+      val pivotVecs = ivfPivots(s, dir)
+      def pivotScores(vec: Column): Column = array(pivotVecs.zipWithIndex.map {
+        case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
+      }: _*)
+      val probes = tbl(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(slice(sort_array(pivotScores(col("embedding")), asc = false),
+            1, IvfNprobe)).as("p"))
+        .select(col("query_id"), col("q_emb"), (-col("p.negp")).as("pivot_id"))
+      val scored = idx.join(broadcast(probes), "pivot_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(col("q_emb"), col("embedding")).as("score"))

@@ -143,6 +143,17 @@ class OptimizationSpec extends AnyFunSuite {
     }
   }
 
+  test("s06 persisted-IVF index scan is dynamically pruned to the probed buckets") {
+    // the index is parquet partitioned by pivot_id; the probe side joins on
+    // that partition column, so DPP injects a runtime IN-filter into the
+    // scan — the plan property that makes query cost ~nprobe/nlist of the
+    // corpus instead of a full index read
+    val plan = SparkEntry.queries("s06_knn_ivf_persisted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(pivot_id"),
+      s"index scan must be dynamically partition-pruned:\n${plan.take(3000)}")
+  }
+
   test("t10 repetition stats are map-side only: zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.graft.PlanIntrospection

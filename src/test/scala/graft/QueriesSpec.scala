@@ -179,6 +179,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(windowed.exceptAll(bounded).count() === 0)
   }
 
+  test("s06 persisted-index search equals s02's in-flight IVF row-for-row") {
+    // same trained quantizer, same probe rule — materializing the index
+    // must not change a single (query, rank, neighbor) row
+    val fromIndex = SparkEntry.queries("s06_knn_ivf_persisted")(spark, sf)
+    val inFlight = SparkEntry.queries("s02_knn_ivf")(spark, sf)
+    assert(fromIndex.count() === inFlight.count())
+    assert(fromIndex.exceptAll(inFlight).count() === 0)
+    assert(inFlight.exceptAll(fromIndex).count() === 0)
+  }
+
   test("IVF top-k recall vs brute-force ground truth stays above 40%") {
     // s02 probes IvfNprobe of IvfNlist buckets → it may miss true
     // neighbors, but on the fixture the coarse quantizer must still find a
