@@ -284,6 +284,35 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast("double").as("total"))
     }),
 
+    "q68_recursive_spine" -> ((s, dir) => {
+      // recursive CTE (new SQL surface in Spark 4): the calendar-spine
+      // pattern — generate every month of the order history, then LEFT
+      // JOIN monthly aggregates so empty months still appear. Scale shape:
+      // the corpus side is reduced by a partial-aggregated groupBy on ~80
+      // month keys BEFORE any join; the spine recursion itself is bounded
+      // (80 rows) and both join sides are tiny post-agg. (Transitive
+      // closures over data-sized graphs use GraphOps min-label
+      // propagation instead — recursion depth there is data-dependent.)
+      views(s, dir, "orders")
+      s.sql("""
+        WITH RECURSIVE spine(mon) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT mon + INTERVAL '1' MONTH FROM spine WHERE mon < DATE '2001-08-01'
+        ),
+        monthly AS (
+          SELECT CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS mon,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders
+          GROUP BY 1
+        )
+        SELECT CAST(YEAR(spine.mon) AS INT) AS yr, CAST(MONTH(spine.mon) AS INT) AS mo,
+               COALESCE(monthly.n, 0L) AS n_orders, monthly.total
+        FROM spine LEFT JOIN monthly ON monthly.mon = spine.mon
+      """)
+    }),
+
     "q32_correlated_scalar" -> ((s, dir) => {
       views(s, dir, "supplier", "nation")
       s.sql("""
@@ -869,6 +898,21 @@ object CoreQueries {
       SELECT n_name,
              (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_suppliers
       FROM nation""",
+
+    "q68_recursive_spine" -> """
+      WITH RECURSIVE spine(mon) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine WHERE mon < DATE '2001-08-01'),
+      monthly AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1)
+      SELECT CAST(YEAR(spine.mon) AS INT) AS yr, CAST(MONTH(spine.mon) AS INT) AS mo,
+             CAST(COALESCE(monthly.n, 0) AS BIGINT) AS n_orders, monthly.total
+      FROM spine LEFT JOIN monthly ON monthly.mon = spine.mon""",
 
     "q34_median_exact" -> """
       SELECT o_orderstatus,
