@@ -199,6 +199,54 @@ object TextQueries {
         .withColumn("seq_id", expr("(cum_tokens - n_tokens) DIV 2048"))
     }),
 
+    "t13_quality_filter" -> ((s, dir) => {
+      // the composite curation decision real pipelines run: every doc gets
+      // the FIRST failing rule (or 'keep') from a fixed cascade — too
+      // short, low vocabulary diversity, high internal repetition. All
+      // inputs are the integer metrics of t03/t10, so the verdict is
+      // bit-reproducible in any engine; the whole op is one map-side
+      // projection (no shuffle), same as its ingredients.
+      import org.apache.spark.sql.graft.functions.token_shingle_hashes
+      tbl(s, dir, "documents")
+        .withColumn("tk", toks(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(array_distinct(col("tk"))).as("n_unique"),
+          greatest(size(col("tk")) - 2, lit(1)).as("n_shingles"),
+          size(token_shingle_hashes(col("text"), 3)).as("n_distinct"))
+        .withColumn("uniq_ratio_milli", expr("(1000L * n_unique) DIV n_tokens"))
+        .withColumn("dup_ratio_milli",
+          expr("(1000L * (n_shingles - n_distinct)) DIV n_shingles"))
+        .withColumn("verdict", expr("""
+          CASE WHEN n_tokens < 10 THEN 'too_short'
+               WHEN uniq_ratio_milli < 300 THEN 'low_diversity'
+               WHEN dup_ratio_milli > 300 THEN 'repetitive'
+               ELSE 'keep' END"""))
+        .select("doc_id", "n_tokens", "uniq_ratio_milli", "dup_ratio_milli", "verdict")
+    }),
+
+    "t14_corpus_card" -> ((s, dir) => {
+      // per-source corpus report ("data card"): the mixing/reporting
+      // aggregate a training-data pipeline publishes per snapshot. All
+      // statistics are exact integers (counts, integer-milli ratios), so
+      // the card is reproducible anywhere; one shuffle on the
+      // low-cardinality source key with partial aggregation.
+      tbl(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(toks(col("text"))).as("n_tokens"), md5(col("text")).as("h"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("h")).as("n_unique_texts"))
+        .withColumn("mean_tokens", expr("sum_tokens DIV n_docs"))
+        .withColumn("dup_ratio_milli",
+          expr("(1000L * (n_docs - n_unique_texts)) DIV n_docs"))
+    }),
+
     "t05_fingerprint" -> ((s, dir) => {
       // Rolling fingerprint over the token sequence (order-sensitive, unlike
       // a bag-of-words hash): fp = fold(tokens, md5(acc || token)). Hash
@@ -338,6 +386,42 @@ object TextQueries {
                  OVER (PARTITION BY lang, doc_id // 100 ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         FROM documents)""",
+
+    "t13_quality_filter" -> """
+      SELECT doc_id,
+             CAST(n_tokens AS INT) AS n_tokens,
+             (1000 * n_unique) // n_tokens AS uniq_ratio_milli,
+             (1000 * (n_shingles - n_distinct)) // n_shingles AS dup_ratio_milli,
+             CASE WHEN n_tokens < 10 THEN 'too_short'
+                  WHEN (1000 * n_unique) // n_tokens < 300 THEN 'low_diversity'
+                  WHEN (1000 * (n_shingles - n_distinct)) // n_shingles > 300 THEN 'repetitive'
+                  ELSE 'keep' END AS verdict
+      FROM (
+        SELECT doc_id,
+               LEN(tk) AS n_tokens,
+               LEN(LIST_DISTINCT(tk)) AS n_unique,
+               GREATEST(LEN(tk) - 2, 1) AS n_shingles,
+               CASE WHEN LEN(tk) < 3 THEN 1
+                    ELSE LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+               END AS n_distinct
+        FROM (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents))""",
+
+    "t14_corpus_card" -> """
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+             CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS mean_tokens,
+             (1000 * (COUNT(*) - COUNT(DISTINCT h))) // COUNT(*) AS dup_ratio_milli
+      FROM (
+        SELECT source, lang, n_chars,
+               CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+               MD5(text) AS h
+        FROM documents)
+      GROUP BY source""",
 
     "t05_fingerprint" -> """
       SELECT doc_id,
