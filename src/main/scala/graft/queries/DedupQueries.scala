@@ -33,11 +33,18 @@ object DedupQueries {
     * the SAME DataFrame instance — reuse no longer rides on CacheManager
     * matching independently-built plans by canonicalization — and
     * [[releaseShared]] unpins them all (Verify/Bench call it; a long-lived
-    * session would call it between pipeline runs). */
-  private val shared = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * session would call it between pipeline runs). Keyed on the session
+    * OBJECT (identity equality), not its hash — identityHashCode is not
+    * unique, and a collision would hand one session another's plans. */
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** CONTRACT: `build` must not (transitively) call back into sharedDf —
+    * ConcurrentHashMap.computeIfAbsent forbids recursive updates of the
+    * same map (IllegalStateException when the keys share a bin). Builders
+    * that depend on another shared table resolve it BEFORE calling this. */
   private def sharedDf(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    shared.computeIfAbsent(s"${System.identityHashCode(s)}|$key", _ => build.persist())
+    shared.computeIfAbsent((s, key), _ => build.persist())
 
   /** Unpersist and forget every shared intermediate. The next consumer
     * rebuilds (and re-persists) from scratch. */
@@ -63,11 +70,12 @@ object DedupQueries {
   /** doc_id + 32-perm MinHash signature (native expression, one tight loop
     * per row), computed once and shared by every LSH consumer (different
     * band layouts slice the same cached signature). */
-  private def sigTable(s: SparkSession, dir: String): DataFrame =
+  private def sigTable(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir) // resolve BEFORE entering the registry (see sharedDf)
     sharedDf(s, s"sigs|$dir") {
-      shingleTable(s, dir)
-        .select(col("doc_id"), minhash_signature(col("sh"), NumPerm).as("sig"))
+      sh.select(col("doc_id"), minhash_signature(col("sh"), NumPerm).as("sig"))
     }
+  }
 
   /** Candidate pairs (doc_a < doc_b) from LSH band collisions for a given
     * (bands × rowsPerBand) layout — fewer rows per band → more permissive
@@ -151,21 +159,24 @@ object DedupQueries {
 
   /** d08's core, reused by d09 — persisted once per (session, dir) via the
     * shared registry so the components query reuses the SAME instance. */
-  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    sharedDf(s, s"pairs|$dir")(exactJaccardPairsOf(shingleTable(s, dir)))
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir) // resolve BEFORE entering the registry (see sharedDf)
+    sharedDf(s, s"pairs|$dir")(exactJaccardPairsOf(sh))
+  }
 
   /** Bloom digest of the "seen" corpus's distinct shingle hashes (docs
     * below the ingest boundary), built ONCE per (session, dir) via
     * `df.stat.bloomFilter` — a distributed treeAggregate; only the k-bit
     * digest ever reaches the driver. Memoized like the IVF quantizer
     * (s02): training artifacts are per-corpus, not per-query. */
-  private val sharedBlooms =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+  private val sharedBlooms = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.util.sketch.BloomFilter]()
 
   private def seenShingleBloom(
-      s: SparkSession, dir: String, boundary: Long): org.apache.spark.util.sketch.BloomFilter =
-    sharedBlooms.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$boundary", _ => {
-      val seen = shingleTable(s, dir).filter(col("doc_id") < boundary)
+      s: SparkSession, dir: String, boundary: Long): org.apache.spark.util.sketch.BloomFilter = {
+    val sh = shingleTable(s, dir) // resolve BEFORE entering the registry (see sharedDf)
+    sharedBlooms.computeIfAbsent((s, s"$dir|$boundary"), _ => {
+      val seen = sh.filter(col("doc_id") < boundary)
         .select(explode(col("sh")).as("e")).distinct()
       // size the digest to the actual distinct-shingle count (one cheap
       // aggregate): ~9.6 bits/item at 1% fpp, so even a billion distinct
@@ -174,6 +185,7 @@ object DedupQueries {
       val n = math.max(seen.count(), 1000L)
       seen.stat.bloomFilter("e", n, 0.01)
     })
+  }
 
   /** d12's map-side prefilter: incoming docs (>= boundary) at least half of
     * whose shingles hit the seen-corpus Bloom digest — a SOUND superset of

@@ -67,28 +67,55 @@ object SimilarityQueries {
         col("col.neighbor_id").as("neighbor_id"))
   }
 
+  /** Nearest-pivot scoring with the trained centroids embedded as
+    * LITERALS: an array of (sim, -pivot) structs — array_max picks the
+    * assignment, sort+slice picks probe buckets. ONE definition shared by
+    * s02 / the index build / s06, so the s06 ≡ s02 equivalence QueriesSpec
+    * pins cannot drift out of sync. */
+  private def pivotScores(pivotVecs: Seq[Seq[Float]])(vec: Column): Column =
+    array(pivotVecs.zipWithIndex.map {
+      case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
+    }: _*)
+
   /** Materialized IVF index, built ONCE per (session, corpus): every vector
     * assigned to its nearest trained centroid (same literal-pivot map-side
     * rule as s02) and written as parquet PARTITIONED BY the centroid id —
     * the on-disk layout every build-once/query-many ANN service uses. A
     * probe that touches `nprobe` buckets then reads only those partitions
     * (partition pruning on the scan), so query cost scales with bucket
-    * population, not corpus size. */
-  private val indexPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def ivfIndexPath(s: SparkSession, dir: String): String =
-    indexPaths.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
-      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index")
-        .resolve("embeddings_ivf").toString
-      val pivotVecs = ivfPivots(s, dir)
-      def pivotScores(vec: Column): Column = array(pivotVecs.zipWithIndex.map {
-        case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
-      }: _*)
-      tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          (-array_max(pivotScores(col("embedding"))).getField("negp")).as("pivot_id"))
-        .write.mode("overwrite").partitionBy("pivot_id").parquet(path)
+    * population, not corpus size. The temp directory is removed on JVM
+    * exit (a production index would live at a managed warehouse path). */
+  private val indexPaths =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def ivfIndexPath(s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    val existing = indexPaths.get(key)
+    if (existing != null) return existing
+    // build OUTSIDE the map (a multi-second Spark job must not hold a CHM
+    // bin lock); a concurrent loser's directory is deleted, the winner's
+    // registered for exit cleanup
+    val pivotVecs = ivfPivots(s, dir)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+    val path = tmpRoot.resolve("embeddings_ivf").toString
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        (-array_max(pivotScores(pivotVecs)(col("embedding"))).getField("negp")).as("pivot_id"))
+      .write.mode("overwrite").partitionBy("pivot_id").parquet(path)
+    val prev = indexPaths.putIfAbsent(key, path)
+    if (prev != null) { deleteRecursively(tmpRoot); prev }
+    else {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmpRoot)))
       path
-    })
+    }
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
 
   val defs: Map[String, Q] = Map(
     // DETERMINISM (ADVICE r3): s01's oracle match rests on rank ORDER over
@@ -113,22 +140,19 @@ object SimilarityQueries {
 
     "s02_knn_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val pivotVecs = ivfPivots(s, dir)
+      val score = pivotScores(ivfPivots(s, dir)) _
       // Nearest-pivot assignment with the pivots embedded as LITERALS:
       // array_max over nlist (sim, -pivot) structs is one narrow map-side
       // projection — no crossJoin row blow-up, no per-vector window, and
       // the embedding column never enters an Exchange.
       // (Ties: max sim, then lowest pivot id.)
-      def pivotScores(vec: Column): Column = array(pivotVecs.zipWithIndex.map {
-        case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
-      }: _*)
       val assigned = emb.select(col("vec_id"), col("embedding"),
-        (-array_max(pivotScores(col("embedding"))).getField("negp")).as("pivot_id"))
+        (-array_max(score(col("embedding"))).getField("negp")).as("pivot_id"))
       // probe: each query searches its nprobe nearest pivot buckets —
       // same literal scoring, sorted in-row, top nprobe exploded
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(slice(sort_array(pivotScores(col("embedding")), asc = false),
+          explode(slice(sort_array(score(col("embedding")), asc = false),
             1, IvfNprobe)).as("p"))
         .select(col("query_id"), col("q_emb"), (-col("p.negp")).as("pivot_id"))
       // bucket-probe join: probes is ≤ queries×nprobe rows → broadcast, so
@@ -150,13 +174,10 @@ object SimilarityQueries {
       // assignment cost is paid once at ingest, not per query batch.
       // QueriesSpec proves s06 ≡ s02 row-for-row.
       val idx = s.read.parquet(ivfIndexPath(s, dir))
-      val pivotVecs = ivfPivots(s, dir)
-      def pivotScores(vec: Column): Column = array(pivotVecs.zipWithIndex.map {
-        case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
-      }: _*)
+      val score = pivotScores(ivfPivots(s, dir)) _
       val probes = tbl(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(slice(sort_array(pivotScores(col("embedding")), asc = false),
+          explode(slice(sort_array(score(col("embedding")), asc = false),
             1, IvfNprobe)).as("p"))
         .select(col("query_id"), col("q_emb"), (-col("p.negp")).as("pivot_id"))
       val scored = idx.join(broadcast(probes), "pivot_id")

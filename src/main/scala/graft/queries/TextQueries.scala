@@ -45,9 +45,11 @@ object TextQueries {
           size(col("tokens")).as("n_tokens"),
           size(filter(col("tokens"), t => array_contains(stopArr, t))).as("n_stopwords"),
           size(array_distinct(col("tokens"))).as("n_unique"))
-        // integer milli-ratios: exact in both engines (no float division)
-        .withColumn("stop_ratio_milli", expr("(1000L * n_stopwords) DIV n_tokens"))
-        .withColumn("uniq_ratio_milli", expr("(1000L * n_unique) DIV n_tokens"))
+        // integer milli-ratios: exact in both engines (no float division);
+        // greatest(.., 1) keeps empty docs at ratio 0 instead of an ANSI
+        // divide-by-zero error
+        .withColumn("stop_ratio_milli", expr("(1000L * n_stopwords) DIV greatest(n_tokens, 1)"))
+        .withColumn("uniq_ratio_milli", expr("(1000L * n_unique) DIV greatest(n_tokens, 1)"))
     }),
 
     // Language ID via per-language stopword hits; deterministic argmax
@@ -215,7 +217,10 @@ object TextQueries {
           size(array_distinct(col("tk"))).as("n_unique"),
           greatest(size(col("tk")) - 2, lit(1)).as("n_shingles"),
           size(token_shingle_hashes(col("text"), 3)).as("n_distinct"))
-        .withColumn("uniq_ratio_milli", expr("(1000L * n_unique) DIV n_tokens"))
+        // greatest(n_tokens, 1): an empty/all-whitespace doc must reach the
+        // 'too_short' verdict, not throw DIVIDE_BY_ZERO under ANSI mode
+        .withColumn("uniq_ratio_milli",
+          expr("(1000L * n_unique) DIV greatest(n_tokens, 1)"))
         .withColumn("dup_ratio_milli",
           expr("(1000L * (n_shingles - n_distinct)) DIV n_shingles"))
         .withColumn("verdict", expr("""
@@ -285,8 +290,8 @@ object TextQueries {
     "t03_quality_score" -> """
       SELECT doc_id, n_chars, CAST(n_tokens AS INT) AS n_tokens,
              CAST(n_stopwords AS INT) AS n_stopwords, CAST(n_unique AS INT) AS n_unique,
-             (1000 * n_stopwords) // n_tokens AS stop_ratio_milli,
-             (1000 * n_unique) // n_tokens AS uniq_ratio_milli
+             (1000 * n_stopwords) // GREATEST(n_tokens, 1) AS stop_ratio_milli,
+             (1000 * n_unique) // GREATEST(n_tokens, 1) AS uniq_ratio_milli
       FROM (
         SELECT doc_id, n_chars,
                LEN(toks) AS n_tokens,
@@ -390,10 +395,10 @@ object TextQueries {
     "t13_quality_filter" -> """
       SELECT doc_id,
              CAST(n_tokens AS INT) AS n_tokens,
-             (1000 * n_unique) // n_tokens AS uniq_ratio_milli,
+             (1000 * n_unique) // GREATEST(n_tokens, 1) AS uniq_ratio_milli,
              (1000 * (n_shingles - n_distinct)) // n_shingles AS dup_ratio_milli,
              CASE WHEN n_tokens < 10 THEN 'too_short'
-                  WHEN (1000 * n_unique) // n_tokens < 300 THEN 'low_diversity'
+                  WHEN (1000 * n_unique) // GREATEST(n_tokens, 1) < 300 THEN 'low_diversity'
                   WHEN (1000 * (n_shingles - n_distinct)) // n_shingles > 300 THEN 'repetitive'
                   ELSE 'keep' END AS verdict
       FROM (

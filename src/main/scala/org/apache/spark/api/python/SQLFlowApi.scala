@@ -19,9 +19,13 @@ object SQLFlowApi {
 
   private[python] def parseOptions(options: String): Map[String, String] =
     options.split(",").filter(_.trim.nonEmpty).flatMap { kv =>
-      // trim the KEY only: values like `sep= => ` are whitespace-significant
+      // `sep` values are whitespace-significant (`sep= => `); every other
+      // value is trimmed — "overwrite=true " must parse as a boolean and
+      // "imgFormat=png " must not name the rendered file "sqlflow.png "
       kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v)
+        case Array(k, v) if k.trim.nonEmpty =>
+          val key = k.trim
+          Some(key -> (if (key == "sep") v else v.trim))
         case _ =>
           System.err.println(s"[sqlflow] ignoring malformed option entry: $kv")
           None

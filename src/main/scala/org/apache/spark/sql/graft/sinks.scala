@@ -244,15 +244,20 @@ case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowF
       nodeById: Map[String, FlowNode],
       edgeMap: Map[String, Seq[String]]): Seq[String] = {
     val buf = mutable.ArrayBuffer[String]()
+    // visited set: without it the frontier counts PATHS, not nodes, and a
+    // chain of diamonds (shared subplans) makes the walk exponential
+    val visited = mutable.HashSet[String](fromId)
     var frontier: Seq[String] = Seq(fromId)
     var depth = 0
     while (frontier.nonEmpty && depth < 128) {
-      frontier = frontier.flatMap(edgeMap.getOrElse(_, Nil)).flatMap(nodeById.get).flatMap { n =>
-        n.tpe match {
-          case FlowNodeType.Query | FlowNodeType.View => buf += n.uniqueId; None
-          case _ => Some(n.uniqueId)
+      frontier = frontier.flatMap(edgeMap.getOrElse(_, Nil)).distinct
+        .filterNot(visited.contains).flatMap(nodeById.get).flatMap { n =>
+          visited += n.uniqueId
+          n.tpe match {
+            case FlowNodeType.Query | FlowNodeType.View => buf += n.uniqueId; None
+            case _ => Some(n.uniqueId)
+          }
         }
-      }
       depth += 1
     }
     buf.distinct.toSeq

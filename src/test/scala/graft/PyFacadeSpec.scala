@@ -14,10 +14,12 @@ class PyFacadeSpec extends AnyFunSuite {
   test("parseOptions: basic, empty, malformed, value-preserving") {
     assert(SQLFlowApi.parseOptions("") === Map.empty)
     assert(SQLFlowApi.parseOptions("a=1,b=2") === Map("a" -> "1", "b" -> "2"))
-    // keys are trimmed (", "-separated input); values are verbatim —
-    // whitespace-significant values like `sep= => ` must survive
+    // keys are always trimmed; values are trimmed EXCEPT for sep, whose
+    // whitespace is significant (`sep= => `)
     assert(SQLFlowApi.parseOptions("a=1, b=2") === Map("a" -> "1", "b" -> "2"))
     assert(SQLFlowApi.parseOptions("sep= => ") === Map("sep" -> " => "))
+    assert(SQLFlowApi.parseOptions("overwrite=true , imgFormat=png ") ===
+      Map("overwrite" -> "true", "imgFormat" -> "png"))
     // values may contain '=' (split at the first one only)
     assert(SQLFlowApi.parseOptions("expr=a=b") === Map("expr" -> "a=b"))
     // malformed entries are dropped, not fatal
