@@ -154,15 +154,17 @@ class OptimizationSpec extends AnyFunSuite {
       s"index scan must be dynamically partition-pruned:\n${plan.take(3000)}")
   }
 
-  test("t10 repetition stats are map-side only: zero shuffle exchanges") {
+  test("t10/t13 per-doc scoring is map-side only: zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.graft.PlanIntrospection
-    val df = SparkEntry.queries("t10_repetition_ratio")(spark, sf)
-    val shuffles = PlanIntrospection.physicalPlan(df).collect {
-      case e: ShuffleExchangeLike => e
+    Seq("t10_repetition_ratio", "t13_quality_filter").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val shuffles = PlanIntrospection.physicalPlan(df).collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"$name: per-doc scoring must not shuffle, found: $shuffles")
     }
-    assert(shuffles.isEmpty,
-      s"per-doc repetition stats must not shuffle, found: $shuffles")
   }
 
   test("t11 rarity scoring broadcasts the vocabulary (no shuffle join on terms)") {
@@ -220,6 +222,30 @@ class OptimizationSpec extends AnyFunSuite {
     val tailPlan = SparkEntry.queries("q67_tail")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(tailPlan.contains("CollectTail"), tailPlan)
+  }
+
+  test("no shuffle exchange in ANY inventory query carries a document/vector payload") {
+    // the inventory-wide 100 TB invariant: wide payloads (document text,
+    // media bytes, embeddings, shingle/signature arrays) may be scanned
+    // and broadcast-joined, but must NEVER ride a shuffle — every
+    // repartitioning moves only keys, ids, and fixed-width aggregates.
+    // (BroadcastExchange is exempt by design: broadcasting the bounded
+    // query/probe side is the pattern that keeps the corpus map-side.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.graft.PlanIntrospection
+    val banned =
+      Set("text", "content", "embedding", "q_emb", "e_a", "e_b", "sh", "sh_a", "sh_b", "sig")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1 == "z01_lineage_extraction") // driver-side analysis, no cluster plan
+      .flatMap { case (name, fn) =>
+        PlanIntrospection.physicalPlan(fn(spark, sf))
+          .collect { case e: ShuffleExchangeLike => e }
+          .flatMap { e =>
+            val bad = e.output.map(_.name).filter(n => banned(n.toLowerCase))
+            if (bad.nonEmpty) Some(s"$name: shuffle carries ${bad.mkString(",")}") else None
+          }
+      }
+    assert(violations.isEmpty, violations.mkString("\n"))
   }
 
   test("filters and projections are pushed to the parquet scan") {
