@@ -374,6 +374,29 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderdate").as("asof_date"))
     }),
 
+    "q69_asof_forward" -> ((s, dir) => {
+      // forward as-of: the NEXT order at-or-after each event, per user —
+      // same O(|L|+|R|) sort-merge pass as q38, opposite direction
+      val e = events(s, dir).select("event_id", "user_id", "ts")
+      val o = tbl(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+      org.apache.spark.sql.graft.AsOf
+        .join(e, o, "user_id", "o_custkey", "ts", "o_orderdate", direction = "forward")
+        .select(col("event_id"), col("user_id"), col("o_orderdate").as("next_date"))
+    }),
+
+    "q70_asof_tolerance" -> ((s, dir) => {
+      // backward as-of bounded to 30 days: matches farther back emit nulls
+      // — merge_asof's tolerance, evaluated inside the same O(1)-state
+      // merge (no post-join filter pass). 30 days in micros: timestamps
+      // evaluate in the column's native microsecond unit.
+      val e = events(s, dir).select("event_id", "user_id", "ts")
+      val o = tbl(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+      org.apache.spark.sql.graft.AsOf
+        .join(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          tolerance = Some(30L * 86400L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("o_orderdate").as("asof_date"))
+    }),
+
     "q39_window_funcs" -> ((s, dir) => {
       // lead/lag/first/ntile over a fully-deterministic order
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -934,6 +957,26 @@ object CoreQueries {
       SELECT event_id, user_id, o_orderdate AS asof_date
       FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
       ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+
+    "q69_asof_forward" -> """
+      SELECT event_id, user_id, o_orderdate AS next_date
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+      ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""",
+
+    // no native tolerance in DuckDB ASOF: bounded-window formulation picks
+    // the same row (latest within [ts - 30 days, ts]) or none
+    "q70_asof_tolerance" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      j AS (
+        SELECT e.event_id, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC) AS rk
+        FROM e JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
+      SELECT e.event_id, e.user_id, j2.o_orderdate AS asof_date
+      FROM e LEFT JOIN (SELECT event_id, o_orderdate FROM j WHERE rk = 1) j2
+        ON e.event_id = j2.event_id""",
 
     "q39_window_funcs" -> """
       SELECT o_custkey, o_orderkey,

@@ -33,7 +33,9 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
@@ -42,19 +44,26 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
+/** `forward = false` (default): largest right-time <= left-time (pandas
+  * merge_asof "backward"). `forward = true`: smallest right-time >=
+  * left-time. `tolerance`: maximum |left-time - right-time| for a match,
+  * in the time column's NATIVE unit (microseconds for timestamps) —
+  * candidates outside it emit nulls, like an unmatched row. */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
@@ -108,6 +117,9 @@ case class AsOfJoinExec(
       var rNext: InternalRow = if (rIter.hasNext) rIter.next() else null
       var cand: InternalRow = null // copy of best right row for current key
       var candKey: Array[Long] = null
+      var candTime: Long = 0L
+
+      def advanceRight(): Unit = rNext = if (rIter.hasNext) rIter.next() else null
 
       lIter.map { lRow =>
         val key = keyOrNull(lRow, lks)
@@ -115,7 +127,10 @@ case class AsOfJoinExec(
         if (key == null || timeV == null) {
           // null key/time on the left never matches: emit unmatched
           toUnsafe(joiner(lRow, nullRight))
-        } else {
+        } else if (!forward) {
+          // BACKWARD: remember the latest same-key right row at-or-before
+          // each left time; the candidate survives across left rows of the
+          // same key (left times ascend, so it can only be superseded)
           val time = asLong(timeV)
           if (cand != null && !java.util.Arrays.equals(candKey, key)) cand = null
           var advancing = true
@@ -125,18 +140,44 @@ case class AsOfJoinExec(
             if (rKeyV == null || rTimeV == null) {
               // right rows with null key/time can never be candidates
               // (NULLS FIRST ordering puts them at the partition head)
-              rNext = if (rIter.hasNext) rIter.next() else null
+              advanceRight()
             } else {
               val cmp = java.util.Arrays.compare(rKeyV, key)
               if (cmp < 0 || (cmp == 0 && asLong(rTimeV) <= time)) {
-                if (cmp == 0) { cand = rNext.copy(); candKey = key }
-                rNext = if (rIter.hasNext) rIter.next() else null
+                if (cmp == 0) { cand = rNext.copy(); candKey = key; candTime = asLong(rTimeV) }
+                advanceRight()
               } else {
                 advancing = false
               }
             }
           }
-          toUnsafe(joiner(lRow, if (cand != null) cand else nullRight))
+          // tolerance only filters the final candidate: anything earlier is
+          // farther from the left time, so no better in-tolerance row exists
+          val matched = cand != null && tolerance.forall(time - candTime <= _)
+          toUnsafe(joiner(lRow, if (matched) cand else nullRight))
+        } else {
+          // FORWARD: consume right rows strictly behind (smaller key, or
+          // same key before the left time — later lefts only move forward,
+          // so they can never match); the candidate is then rNext ITSELF,
+          // left unconsumed because later left rows may match it too
+          val time = asLong(timeV)
+          var rKey: Array[Long] = null
+          var rTime = 0L
+          var advancing = true
+          while (advancing && rNext != null) {
+            val rKeyV = keyOrNull(rNext, rks)
+            val rTimeV = if (rKeyV == null) null else rt.eval(rNext)
+            if (rKeyV == null || rTimeV == null) advanceRight()
+            else {
+              val cmp = java.util.Arrays.compare(rKeyV, key)
+              if (cmp < 0 || (cmp == 0 && asLong(rTimeV) < time)) advanceRight()
+              else { advancing = false; rKey = rKeyV; rTime = asLong(rTimeV) }
+            }
+          }
+          val matched = rNext != null && rKey != null &&
+            java.util.Arrays.compare(rKey, key) == 0 &&
+            tolerance.forall(rTime - time <= _)
+          toUnsafe(joiner(lRow, if (matched) rNext else nullRight))
         }
       }
     }
@@ -146,17 +187,30 @@ case class AsOfJoinExec(
 /** DataFrame-facing API: resolves key/time columns by name, builds the
   * logical node, and registers the planner strategy on first use. */
 object AsOf {
+  /** `direction`: "backward" (largest right-time <= left-time, the
+    * default) or "forward" (smallest right-time >= left-time).
+    * `tolerance`: maximum |left-time - right-time| in the time column's
+    * native unit (microseconds for timestamps); out-of-tolerance left rows
+    * emit nulls. Mirrors pandas merge_asof. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame =
-    joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime)
+      leftTime: String, rightTime: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame =
+    joinMulti(left, right, Seq(leftKey), Seq(rightKey), leftTime, rightTime,
+      direction, tolerance)
 
   /** Composite-key variant: keys compare lexicographically. */
   def joinMulti(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
       "leftKeys/rightKeys must be non-empty and the same length")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(tolerance.forall(_ >= 0L), "tolerance must be non-negative")
     val l = left.asInstanceOf[ClassicDataset[_]]
     val r = right.asInstanceOf[ClassicDataset[_]]
     val session = l.sparkSession
@@ -192,7 +246,8 @@ object AsOf {
     val node = AsOfJoin(lp, rp,
       leftKeys.map(k => check(resolve(lp, k), "leftKey")),
       rightKeys.map(k => check(resolve(rp, k), "rightKey")),
-      check(resolve(lp, leftTime), "leftTime"), check(resolve(rp, rightTime), "rightTime"))
+      check(resolve(lp, leftTime), "leftTime"), check(resolve(rp, rightTime), "rightTime"),
+      forward = direction == "forward", tolerance = tolerance)
     ClassicDataset.ofRows(session, node)
   }
 }

@@ -105,6 +105,77 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("forward direction picks the earliest right row at-or-after each left time") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0),
+      (2L, ts("2024-01-01 10:30:00"), 200.0)
+    ).toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00")), // → 110.0 (next at-or-after)
+      (1L, ts("2024-01-01 11:00:00")), // exact match → 110.0
+      (1L, ts("2024-01-01 13:00:00")), // after every quote → null
+      (2L, ts("2024-01-01 10:00:00")), // → 200.0
+      (3L, ts("2024-01-01 10:00:00"))  // unknown key → null
+    ).toDF("t_key", "t_ts")
+    val got = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        direction = "forward")
+      .select("t_key", "t_ts", "price")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got === Set(
+      (1L, ts("2024-01-01 10:30:00"), 110.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (1L, ts("2024-01-01 13:00:00"), null),
+      (2L, ts("2024-01-01 10:00:00"), 200.0),
+      (3L, ts("2024-01-01 10:00:00"), null)))
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0)
+    ).toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:20:00")), // 20 min after 10:00
+      (1L, ts("2024-01-01 11:30:00"))  // 90 min after 10:00, 30 before 12:00
+    ).toDF("t_key", "t_ts")
+    val tol30min = Some(30L * 60L * 1000000L)
+    val back = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        tolerance = tol30min)
+      .select("t_ts", "price").collect()
+      .map(r => r.getTimestamp(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(back(ts("2024-01-01 10:20:00")) === 100.0) // 20 min back: in tolerance
+    assert(back(ts("2024-01-01 11:30:00")) === null)  // 90 min back: out
+    val fwd = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        direction = "forward", tolerance = tol30min)
+      .select("t_ts", "price").collect()
+      .map(r => r.getTimestamp(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(fwd(ts("2024-01-01 10:20:00")) === null)   // next is 100 min ahead: out
+    assert(fwd(ts("2024-01-01 11:30:00")) === 120.0)  // 30 min ahead: in
+  }
+
+  test("forward matches the compose-with-window equivalent across partitions") {
+    import spark.implicits._
+    val right = spark.range(0, 200)
+      .select((col("id") % 20).as("k"), (col("id") * 1000).as("rt"), col("id").as("payload"))
+    val left = spark.range(0, 1000)
+      .select((col("id") % 20).as("k"), (col("id") * 250).as("lt"))
+    val got = AsOf.join(left, right, "k", "k", "lt", "rt", direction = "forward")
+    val bad = got.filter(col("rt").isNotNull && col("rt") < col("lt")).count()
+    assert(bad === 0)
+    val viaWindow = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.rt") >= col("l.lt"), "left")
+      .groupBy(col("l.k").as("k"), col("l.lt").as("lt"))
+      .agg(min(col("r.rt")).as("expected_rt"))
+    val joined = got.join(viaWindow, Seq("k", "lt"))
+      .filter(coalesce(col("rt"), lit(-1L)) =!= coalesce(col("expected_rt"), lit(-1L)))
+    assert(joined.count() === 0)
+  }
+
   test("composite keys join on the full key tuple") {
     import spark.implicits._
     val quotes = Seq(
