@@ -397,6 +397,18 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderdate").as("asof_date"))
     }),
 
+    "q71_asof_nearest" -> ((s, dir) => {
+      // nearest as-of: whichever order is closest in time to each event
+      // (before OR after), exact ties to the earlier one — pandas
+      // merge_asof's third direction, still one O(1)-state merge pass
+      // (the backward scan's stopping row IS the forward candidate)
+      val e = events(s, dir).select("event_id", "user_id", "ts")
+      val o = tbl(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+      org.apache.spark.sql.graft.AsOf
+        .join(e, o, "user_id", "o_custkey", "ts", "o_orderdate", direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("o_orderdate").as("nearest_date"))
+    }),
+
     "q39_window_funcs" -> ((s, dir) => {
       // lead/lag/first/ntile over a fully-deterministic order
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -975,6 +987,19 @@ object CoreQueries {
          AND o.o_orderdate <= e.ts
          AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
       SELECT e.event_id, e.user_id, j2.o_orderdate AS asof_date
+      FROM e LEFT JOIN (SELECT event_id, o_orderdate FROM j WHERE rk = 1) j2
+        ON e.event_id = j2.event_id""",
+
+    // nearest via micros-exact distance ranking; ties (equidistant before/
+    // after) resolve to the earlier date = the backward row, like the op
+    "q71_asof_nearest" -> """
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      j AS (
+        SELECT e.event_id, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY ABS(EPOCH_US(e.ts) - EPOCH_US(o.o_orderdate)), o.o_orderdate) AS rk
+        FROM e JOIN orders o ON e.user_id = o.o_custkey)
+      SELECT e.event_id, e.user_id, j2.o_orderdate AS nearest_date
       FROM e LEFT JOIN (SELECT event_id, o_orderdate FROM j WHERE rk = 1) j2
         ON e.event_id = j2.event_id""",
 

@@ -34,7 +34,7 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean = false,
+    direction: String = "backward",
     tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -44,17 +44,19 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
 
-/** `forward = false` (default): largest right-time <= left-time (pandas
-  * merge_asof "backward"). `forward = true`: smallest right-time >=
-  * left-time. `tolerance`: maximum |left-time - right-time| for a match,
-  * in the time column's NATIVE unit (microseconds for timestamps) —
-  * candidates outside it emit nulls, like an unmatched row. */
+/** `direction`: "backward" (largest right-time <= left-time, pandas
+  * merge_asof's default), "forward" (smallest right-time >= left-time),
+  * or "nearest" (smaller absolute distance wins; exact ties prefer the
+  * backward row — deterministic). `tolerance`: maximum
+  * |left-time - right-time| for a match, in the time column's NATIVE unit
+  * (microseconds for timestamps) — candidates outside it emit nulls, like
+  * an unmatched row. */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -62,7 +64,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    forward: Boolean = false,
+    direction: String = "backward",
     tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
@@ -127,10 +129,11 @@ case class AsOfJoinExec(
         if (key == null || timeV == null) {
           // null key/time on the left never matches: emit unmatched
           toUnsafe(joiner(lRow, nullRight))
-        } else if (!forward) {
-          // BACKWARD: remember the latest same-key right row at-or-before
-          // each left time; the candidate survives across left rows of the
-          // same key (left times ascend, so it can only be superseded)
+        } else if (direction != "forward") {
+          // BACKWARD (and the backward half of NEAREST): remember the
+          // latest same-key right row at-or-before each left time; the
+          // candidate survives across left rows of the same key (left
+          // times ascend, so it can only be superseded)
           val time = asLong(timeV)
           if (cand != null && !java.util.Arrays.equals(candKey, key)) cand = null
           var advancing = true
@@ -153,8 +156,28 @@ case class AsOfJoinExec(
           }
           // tolerance only filters the final candidate: anything earlier is
           // farther from the left time, so no better in-tolerance row exists
-          val matched = cand != null && tolerance.forall(time - candTime <= _)
-          toUnsafe(joiner(lRow, if (matched) cand else nullRight))
+          val bOk = cand != null && tolerance.forall(time - candTime <= _)
+          if (direction == "nearest") {
+            // the loop stopped exactly at the first same-key row AFTER the
+            // left time (if any) — that unconsumed row IS the forward
+            // candidate; closer absolute distance wins, ties go backward
+            var fOk = false
+            var fTime = 0L
+            if (rNext != null) {
+              val rKeyV = keyOrNull(rNext, rks)
+              val rTimeV = if (rKeyV == null) null else rt.eval(rNext)
+              if (rKeyV != null && rTimeV != null &&
+                  java.util.Arrays.compare(rKeyV, key) == 0) {
+                fTime = asLong(rTimeV)
+                fOk = tolerance.forall(fTime - time <= _)
+              }
+            }
+            val useForward = fOk && (!bOk || fTime - time < time - candTime)
+            toUnsafe(joiner(lRow,
+              if (useForward) rNext else if (bOk) cand else nullRight))
+          } else {
+            toUnsafe(joiner(lRow, if (bOk) cand else nullRight))
+          }
         } else {
           // FORWARD: consume right rows strictly behind (smaller key, or
           // same key before the left time — later lefts only move forward,
@@ -188,7 +211,8 @@ case class AsOfJoinExec(
   * logical node, and registers the planner strategy on first use. */
 object AsOf {
   /** `direction`: "backward" (largest right-time <= left-time, the
-    * default) or "forward" (smallest right-time >= left-time).
+    * default), "forward" (smallest right-time >= left-time), or "nearest"
+    * (smaller absolute distance wins, exact ties prefer backward).
     * `tolerance`: maximum |left-time - right-time| in the time column's
     * native unit (microseconds for timestamps); out-of-tolerance left rows
     * emit nulls. Mirrors pandas merge_asof. */
@@ -208,8 +232,8 @@ object AsOf {
       tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
       "leftKeys/rightKeys must be non-empty and the same length")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be 'backward', 'forward', or 'nearest', got '$direction'")
     require(tolerance.forall(_ >= 0L), "tolerance must be non-negative")
     val l = left.asInstanceOf[ClassicDataset[_]]
     val r = right.asInstanceOf[ClassicDataset[_]]
@@ -247,7 +271,7 @@ object AsOf {
       leftKeys.map(k => check(resolve(lp, k), "leftKey")),
       rightKeys.map(k => check(resolve(rp, k), "rightKey")),
       check(resolve(lp, leftTime), "leftTime"), check(resolve(rp, rightTime), "rightTime"),
-      forward = direction == "forward", tolerance = tolerance)
+      direction = direction, tolerance = tolerance)
     ClassicDataset.ofRows(session, node)
   }
 }

@@ -176,6 +176,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("nearest direction picks the closer row, exact ties go backward") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 120.0),
+      (2L, ts("2024-01-01 09:00:00"), 200.0)
+    ).toDF("q_key", "q_ts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00")), // 30m back vs 90m fwd → 100.0
+      (1L, ts("2024-01-01 11:00:00")), // 60m back vs 60m fwd: TIE → backward 100.0
+      (1L, ts("2024-01-01 11:45:00")), // 105m back vs 15m fwd → 120.0
+      (1L, ts("2024-01-01 09:00:00")), // before all → forward 100.0
+      (1L, ts("2024-01-01 13:00:00")), // after all → backward 120.0
+      (3L, ts("2024-01-01 10:00:00"))  // unknown key → null
+    ).toDF("t_key", "t_ts")
+    val got = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        direction = "nearest")
+      .select("t_key", "t_ts", "price")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got === Set(
+      (1L, ts("2024-01-01 10:30:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:45:00"), 120.0),
+      (1L, ts("2024-01-01 09:00:00"), 100.0),
+      (1L, ts("2024-01-01 13:00:00"), 120.0),
+      (3L, ts("2024-01-01 10:00:00"), null)))
+    // with a 20-minute tolerance only the 11:45 trade keeps a match
+    val tol = AsOf.join(trades, quotes, "t_key", "q_key", "t_ts", "q_ts",
+        direction = "nearest", tolerance = Some(20L * 60L * 1000000L))
+      .select("t_ts", "price").collect()
+      .map(r => r.getTimestamp(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(tol(ts("2024-01-01 11:45:00")) === Some(120.0))
+    assert(tol(ts("2024-01-01 10:30:00")) === None)
+    assert(tol(ts("2024-01-01 11:00:00")) === None)
+  }
+
   test("composite keys join on the full key tuple") {
     import spark.implicits._
     val quotes = Seq(
