@@ -71,6 +71,47 @@ object MultimodalQueries {
         }(enc)
       out.select(col("media_id"), round(element_at(col("feat"), 1) * 1000, 0).cast("long").as("f0_milli"),
         size(col("feat")).as("n_dims"))
+    }),
+
+    "m04_chunk_freq" -> ((s, dir) => {
+      // fixed-size chunk frequency table over binary payloads — the
+      // storage-dedup sizing report (how much content is shared verbatim
+      // across media). Every 64-byte block is hashed; the shuffle carries
+      // only (hash, partial counts). Fixed chunking is the oracle-exact
+      // BASELINE here; its known weakness — one inserted byte destroys all
+      // downstream alignment — is what m05's content-defined chunking
+      // fixes (ExpressionsSpec proves the re-alignment property).
+      val chunked = mediaTable(s, dir)
+        .select(col("media_id"),
+          // greatest(.., 0): Spark's sequence DESCENDS when start > stop, so
+          // an empty payload would otherwise yield [0, -1] — two chunks
+          posexplode(expr(
+            "transform(sequence(0, greatest(CAST(ceil(length(content)/64.0) AS INT) - 1, 0))," +
+              " i -> substring(content, i*64 + 1, 64))")))
+        .select(col("media_id"), md5(col("col")).as("chunk_md5"))
+      chunked.groupBy("chunk_md5")
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_occurrences"))
+    }),
+
+    "m05_cdc_chunk_dedup" -> ((s, dir) => {
+      // content-defined chunking (native CdcChunkHashes expression, gear
+      // rolling hash, ~80-byte expected chunks): shared-chunk pairs across
+      // media SURVIVE byte insertions because boundaries re-align — the
+      // production dedup primitive for crawl snapshots / media archives.
+      // Rows-only (no CDC in DuckDB); ExpressionsSpec pins determinism,
+      // boundary re-alignment after a prefix edit, and that CDC shares
+      // chunks where fixed chunking shares none.
+      import org.apache.spark.sql.graft.functions.cdc_chunk_hashes
+      val chunks = mediaTable(s, dir)
+        .select(col("media_id"), explode(cdc_chunk_hashes(col("content"))).as("chunk"))
+      chunks.groupBy("chunk")
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_media") >= 2)
+        .agg(count(lit(1)).as("n_shared_chunks"),
+          coalesce(sum(col("n_occurrences")), lit(0L)).as("n_shared_occurrences"),
+          coalesce(max(col("n_media")), lit(0L)).cast("long").as("max_spread"))
     })
   )
 
@@ -84,6 +125,23 @@ object MultimodalQueries {
 
     // m03 stays rows-only: its features come from a JVM-side stub encoder
     // (mapPartitions), deliberately not expressible in SQL.
+    // m05 stays rows-only: content-defined chunk boundaries come from the
+    // native gear-rolling-hash expression, not expressible in DuckDB SQL.
+
+    // byte chunks equal character chunks because the fixture is ASCII —
+    // the same equivalence m01's sha256(text) oracle already relies on
+    "m04_chunk_freq" -> """
+      SELECT chunk_md5,
+             CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+             COUNT(*) AS n_occurrences
+      FROM (
+        SELECT d.doc_id AS media_id,
+               md5(SUBSTRING(d.text, t.i * 64 + 1, 64)) AS chunk_md5
+        FROM documents d,
+             UNNEST(GENERATE_SERIES(0,
+               GREATEST(CAST(CEIL(OCTET_LENGTH(ENCODE(d.text)) / 64.0) AS INT) - 1, 0))) AS t(i))
+      GROUP BY chunk_md5""",
+
     "m02_frame_sample" -> """
       SELECT media_id, n_frames,
              UNNEST(GENERATE_SERIES(0, n_frames - 1, 4)) AS frame_id,

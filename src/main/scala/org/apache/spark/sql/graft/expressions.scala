@@ -243,6 +243,69 @@ case class FloatVecSrp(child: Expression, planes: Int = 32) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** Content-defined chunking (CDC) over binary payloads — the storage-dedup
+  * primitive: boundaries are set where a gear rolling hash meets a mask, so
+  * an insertion near the front of a blob shifts only the chunks up to the
+  * next boundary, and everything after re-aligns (fixed-size chunking loses
+  * ALL alignment after one shifted byte). */
+object ChunkOps {
+  /** Deterministic gear table (no RNG): per-byte constants from xxh64. */
+  private val Gear: Array[Long] =
+    Array.tabulate(256)(i => XXH64.hashLong(i.toLong, 0x9E3779B97F4A7C15L))
+
+  /** xxh64 of every content-defined chunk. A boundary closes a chunk when
+    * it is at least `minSize` bytes and the rolling hash's low `maskBits`
+    * bits are zero (expected chunk size ~ minSize + 2^maskBits); the hash
+    * state resets per chunk, which is what makes later chunks re-align
+    * after an edit. A chunk is force-cut at `minSize + 4·2^maskBits` bytes
+    * (FastCDC's max-size rule) — periodic content can cycle without ever
+    * meeting the mask, and without the cap a pathological blob would
+    * produce one giant chunk. The tail (if any) is always a chunk. */
+  def cdcChunkHashes(bytes: Array[Byte], minSize: Int, maskBits: Int): ArrayData = {
+    val mask = (1L << maskBits) - 1L
+    val maxSize = minSize + 4 * (1 << maskBits)
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + Gear(bytes(i) & 0xff)
+      val size = i - start + 1
+      if ((size >= minSize && (h & mask) == 0L) || size >= maxSize) {
+        out.add(XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, size, ShingleOps.Seed))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) {
+      out.add(XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + start, bytes.length - start, ShingleOps.Seed))
+    }
+    val arr = new Array[Long](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+case class CdcChunkHashes(child: Expression, minSize: Int = 16, maskBits: Int = 6)
+  extends UnaryExpression {
+  require(minSize > 0 && maskBits > 0 && maskBits < 63,
+    "minSize must be positive and maskBits in [1, 62]")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == BinaryType, "BINARY", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ChunkOps.cdcChunkHashes(input.asInstanceOf[Array[Byte]], minSize, maskBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ChunkOps.cdcChunkHashes($c, $minSize, $maskBits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Membership testing against a driver-built Bloom filter digest. */
 object BloomOps {
   /** Count of array elements that might be members of `bf` — one tight
@@ -371,6 +434,9 @@ object functions {
 
   def bloom_count_hits(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
     ExpressionUtils.column(BloomCountHits(ExpressionUtils.expression(c), bf))
+
+  def cdc_chunk_hashes(c: Column, minSize: Int = 16, maskBits: Int = 6): Column =
+    ExpressionUtils.column(CdcChunkHashes(ExpressionUtils.expression(c), minSize, maskBits))
 
   /** Bounded top-k aggregate over a struct column (k smallest under the
     * struct's lexicographic order; lead with a negated field for "top by x

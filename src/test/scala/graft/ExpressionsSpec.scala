@@ -100,6 +100,35 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(m === m2)
   }
 
+  test("cdc_chunk_hashes: deterministic, covers the payload, re-aligns after a prefix edit") {
+    // non-periodic payload (java.util.Random's LCG is specified, so the
+    // fixture is stable); periodic content would exercise only the
+    // max-size forced-cut path, where re-alignment cannot hold
+    val rnd = new java.util.Random(42)
+    val base = new Array[Byte](2000)
+    rnd.nextBytes(base)
+    val prefixed = "XY".getBytes("UTF-8") ++ base
+    val df = Seq(base, prefixed).toDF("b")
+      .select(cdc_chunk_hashes($"b").as("chunks"))
+    val Array(cBase, cPref) = df.collect().map(_.getSeq[Long](0))
+    // deterministic across runs
+    assert(df.collect().map(_.getSeq[Long](0)).toSeq === Seq(cBase, cPref))
+    assert(cBase.nonEmpty && cBase.size > 5, s"expected several chunks, got ${cBase.size}")
+    // CONTENT-DEFINED re-alignment: a 2-byte prefix insertion disturbs only
+    // the chunks before the first boundary after the edit; everything later
+    // re-aligns, so almost all chunks are shared
+    val shared = cBase.toSet.intersect(cPref.toSet).size
+    assert(shared >= cBase.size - 3,
+      s"CDC must re-align after a prefix edit: shared $shared of ${cBase.size}")
+    // fixed-size chunking loses ALL alignment on the same edit — the
+    // property that justifies CDC's existence
+    def fixedChunks(bytes: Array[Byte]) =
+      bytes.grouped(64).map(_.toSeq).toSet
+    val fixedShared = fixedChunks(base).intersect(fixedChunks(prefixed)).size
+    assert(shared > fixedShared,
+      s"CDC ($shared shared) must beat fixed chunking ($fixedShared shared)")
+  }
+
   test("bloom_count_hits: counts digest members; no false negatives; null-safe") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
     (1L to 50L).foreach(bf.putLong)
