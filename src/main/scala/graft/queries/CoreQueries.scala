@@ -409,6 +409,50 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderdate").as("nearest_date"))
     }),
 
+    "q72_funnel" -> ((s, dir) => {
+      // ordered funnel (view → click → purchase): stage timestamps via
+      // LAYERED running-min windows — stage N's earliest valid time is a
+      // window over a column the previous layer computed, so the whole
+      // funnel needs ONE shuffle on user_id (the three window layers and
+      // the per-user rollup all reuse that partitioning; Catalyst plans
+      // one Exchange). Strictly-after semantics at every stage.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events(s, dir).select("user_id", "event_id", "event_type", "ts")
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("v_ts"), col("ts"))).over(w))
+        .withColumn("p_hit",
+          when(col("event_type") === "purchase" && col("ts") > col("c_ts"), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(max(col("v_ts").isNotNull.cast("int")).as("s1"),
+          max(col("c_ts").isNotNull.cast("int")).as("s2"),
+          max(col("p_hit")).as("s3"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("s1")).cast("long").as("n_viewed"),
+          sum(col("s2")).cast("long").as("n_clicked_after_view"),
+          sum(col("s3")).cast("long").as("n_full_funnel"))
+    }),
+
+    "q73_retention_cohorts" -> ((s, dir) => {
+      // retention matrix: cohort = each user's first active day, cell =
+      // distinct users of that cohort active in week-offset N. The join is
+      // keyed on user_id (data-sized on BOTH sides at scale — no broadcast;
+      // the aggregate that built cohorts already partitioned by user, so
+      // the join reuses it). Day arithmetic is integral; the cohort key is
+      // emitted as a yyyy-MM-dd string so both engines hash identically.
+      val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = e.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      e.join(cohorts, "user_id")
+        .select(col("user_id"), date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          floor(datediff(col("d"), col("cohort_day")) / 7).cast("long").as("week_offset"))
+        .distinct()
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     "q39_window_funcs" -> ((s, dir) => {
       // lead/lag/first/ntile over a fully-deterministic order
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -1002,6 +1046,40 @@ object CoreQueries {
       SELECT e.event_id, e.user_id, j2.o_orderdate AS nearest_date
       FROM e LEFT JOIN (SELECT event_id, o_orderdate FROM j WHERE rk = 1) j2
         ON e.event_id = j2.event_id""",
+
+    "q72_funnel" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ts
+             FROM e),
+      s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ts
+             FROM s1),
+      u AS (SELECT user_id,
+                   MAX(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS s1v,
+                   MAX(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS s2v,
+                   MAX(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN 1 ELSE 0 END) AS s3v
+            FROM s2
+            GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+             CAST(SUM(s1v) AS BIGINT) AS n_viewed,
+             CAST(SUM(s2v) AS BIGINT) AS n_clicked_after_view,
+             CAST(SUM(s3v) AS BIGINT) AS n_full_funnel
+      FROM u""",
+
+    "q73_retention_cohorts" -> """
+      WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+      cells AS (
+        SELECT DISTINCT e.user_id,
+               STRFTIME(c.cohort_day, '%Y-%m-%d') AS cohort,
+               (e.d - c.cohort_day) // 7 AS week_offset
+        FROM e JOIN cohorts c ON e.user_id = c.user_id)
+      SELECT cohort, CAST(week_offset AS BIGINT) AS week_offset, COUNT(*) AS n_users
+      FROM cells
+      GROUP BY cohort, week_offset""",
 
     "q39_window_funcs" -> """
       SELECT o_custkey, o_orderkey,

@@ -224,6 +224,16 @@ class OptimizationSpec extends AnyFunSuite {
     assert(tailPlan.contains("CollectTail"), tailPlan)
   }
 
+  test("q72 funnel: the window layers and per-user rollup share one user_id exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.graft.PlanIntrospection
+    val plan = PlanIntrospection.physicalPlan(SparkEntry.queries("q72_funnel")(spark, sf))
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    // one hash exchange on user_id feeding all three window layers + the
+    // per-user aggregate, plus the final single-row rollup
+    assert(shuffles.size <= 2, s"expected <=2 exchanges, got ${shuffles.size}:\n$plan")
+  }
+
   test("no shuffle exchange in ANY inventory query carries a document/vector payload") {
     // the inventory-wide 100 TB invariant: wide payloads (document text,
     // media bytes, embeddings, shingle/signature arrays) may be scanned
