@@ -187,6 +187,24 @@ object DedupQueries {
     })
   }
 
+  /** d13's doc-level assignment: (doc_id, n_chars, component, split) where
+    * split is an md5 bucket of the duplicate-cluster REPRESENTATIVE, so a
+    * near-dup cluster always lands in one split (QueriesSpec asserts no
+    * exact near-dup pair ever crosses splits). */
+  private[graft] def clusterAtomicSplits(s: SparkSession, dir: String): DataFrame = {
+    val comps = graft.operators.GraphOps.connectedComponents(
+      exactJaccardPairs(s, dir).select("doc_a", "doc_b"))
+    val bucket = conv(substring(md5(col("component").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    tbl(s, dir, "documents").select("doc_id", "n_chars")
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(bucket % 100 < 80, "train")
+          .when(bucket % 100 < 90, "val")
+          .otherwise("test"))
+  }
+
   /** d12's map-side prefilter: incoming docs (>= boundary) at least half of
     * whose shingles hit the seen-corpus Bloom digest — a SOUND superset of
     * every incoming doc with a Jaccard>=0.5 match below the boundary
@@ -370,6 +388,19 @@ object DedupQueries {
         .agg(max(struct(col("jaccard_milli"), (-col("seen_id")).as("neg"))).as("m"))
         .select(col("doc_id"), (-col("m.neg")).as("dup_of"),
           col("m.jaccard_milli").as("jaccard_milli"))
+    }),
+
+    "d13_leakage_free_split" -> ((s, dir) => {
+      // leakage-free train/val/test split: hashing each DOC into a split
+      // (t07) silently puts near-duplicates on both sides of the
+      // train/eval boundary — the classic contamination bug. Bucketing on
+      // the duplicate-CLUSTER representative instead assigns every
+      // near-dup cluster atomically: split = md5(min doc id of the
+      // component), singletons = their own id. QueriesSpec asserts the
+      // invariant that no near-dup pair crosses splits.
+      clusterAtomicSplits(s, dir)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
     "d09_dup_components" -> ((s, dir) => {
@@ -567,6 +598,43 @@ object DedupQueries {
         FROM pairs
         WHERE jaccard_milli >= 500)
       SELECT doc_id, dup_of, jaccard_milli FROM best WHERE rk = 1""",
+
+    // cluster-atomic split: d09's recursive components extended to the whole
+    // corpus, bucketed by md5 of the component representative
+    "d13_leakage_free_split" -> """
+      WITH RECURSIVE
+      tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (1000 * LEN(LIST_INTERSECT(a.s, b.s)))
+              // (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 500),
+      edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+      reach(src, node) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a),
+      comp AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src),
+      lab AS (SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      sp AS (SELECT n_chars,
+                    CASE WHEN b % 100 < 80 THEN 'train'
+                         WHEN b % 100 < 90 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM (SELECT n_chars,
+                          CAST(CONCAT('0x', SUBSTRING(md5(CAST(component AS VARCHAR)), 1, 4)) AS BIGINT) AS b
+                   FROM lab))
+      SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM sp
+      GROUP BY split""",
 
     // connected components via recursive reachability: component = MIN doc
     // id reachable from each node over the (symmetrized) near-dup pairs

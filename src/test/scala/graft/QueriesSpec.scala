@@ -143,6 +143,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(out === trueDups)
   }
 
+  test("d13 split is leakage-free: no near-dup pair ever crosses splits; doc hashing does") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.functions.token_shingle_hashes
+    // exact near-dup pairs, brute-force on the driver
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), token_shingle_hashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val pairs = for {
+      a <- ids; b <- ids if a < b
+      ni = (sets(a) & sets(b)).size
+      nu = sets(a).size + sets(b).size - ni
+      if 1000L * ni / nu >= 500
+    } yield (a, b)
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    val split = graft.queries.DedupQueries.clusterAtomicSplits(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the invariant the op exists for
+    val crossing = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(crossing.isEmpty, s"near-dup pairs crossing splits: $crossing")
+    // and the naive per-doc hash split (t07's rule) DOES leak on this
+    // fixture — i.e. the cluster-atomic rule is load-bearing, not vacuous
+    def docBucket(id: Long): String = {
+      val b = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 4), 16)
+      if (b % 100 < 80) "train" else if (b % 100 < 90) "val" else "test"
+    }
+    assert(pairs.exists { case (a, b) => docBucket(a) != docBucket(b) },
+      "expected at least one naive-split leak on the fixture")
+  }
+
   test("SRP embedding near-dup pairs are a subset of the exact cosine join") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.functions.vec_cosine
