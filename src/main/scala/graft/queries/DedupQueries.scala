@@ -403,6 +403,29 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    "d14_containment" -> ((s, dir) => {
+      // asymmetric CONTAINMENT detection — the near-dup class symmetric
+      // Jaccard misses: a short document quoted/embedded inside a longer
+      // one has |A∩B|/|A| ≈ 1 while |A∩B|/|A∪B| stays small. Reports
+      // ordered pairs where >= 80% of the smaller side's shingles appear
+      // in the other doc. Same scale shape as d08: the inverted-index
+      // self-join counts intersections on (hash, doc_id) pairs, set sizes
+      // arrive via broadcast, no shingle array is shuffled.
+      val sh = shingleTable(s, dir)
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val post = sh.select(col("doc_id"), explode(col("sh")).as("e"))
+      post.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+        .join(post.withColumnsRenamed(Map("doc_id" -> "doc_b")), "e")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+        .withColumn("containment_milli",
+          expr("(1000L * n_inter) DIV least(na, nb)"))
+        .filter(col("containment_milli") >= 800)
+        .select("doc_a", "doc_b", "containment_milli")
+    }),
+
     "d09_dup_components" -> ((s, dir) => {
       // duplicate-cluster assignment: connected components over the exact
       // near-dup pair graph (jaccard ≥ 0.5), each doc labeled with the MIN
@@ -598,6 +621,21 @@ object DedupQueries {
         FROM pairs
         WHERE jaccard_milli >= 500)
       SELECT doc_id, dup_of, jaccard_milli FROM best WHERE rk = 1""",
+
+    // brute-force containment oracle: |A∩B| over the smaller set's size
+    "d14_containment" -> """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (1000 * LEN(LIST_INTERSECT(a.s, b.s))) // LEAST(LEN(a.s), LEN(b.s)) AS containment_milli
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE (1000 * LEN(LIST_INTERSECT(a.s, b.s))) // LEAST(LEN(a.s), LEN(b.s)) >= 800""",
 
     // cluster-atomic split: d09's recursive components extended to the whole
     // corpus, bucketed by md5 of the component representative

@@ -468,5 +468,7 @@ object functions {
       exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32)), "built-in")
     reg.createOrReplaceTempFunction("normalize_text",
       exprs => NormalizeText(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("cdc_chunk_hashes",
+      exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6)), "built-in")
   }
 }

@@ -129,6 +129,28 @@ class ExpressionsSpec extends AnyFunSuite {
       s"CDC ($shared shared) must beat fixed chunking ($fixedShared shared)")
   }
 
+  test("registerAll exposes the native expressions to SQL with literal int args") {
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    Seq("a b c d e f").toDF("t").createOrReplaceTempView("reg_probe")
+    val row = spark.sql("""
+      SELECT size(token_shingle_hashes(t, 3)) AS n_sh,
+             size(minhash_signature(token_shingle_hashes(t, 3), 16)) AS n_sig,
+             simhash64(t) AS sh64,
+             normalize_text('  A  b!! ') AS norm,
+             size(cdc_chunk_hashes(encode(t, 'UTF-8'), 4, 3)) AS n_chunks
+      FROM reg_probe""").collect().head
+    assert(row.getInt(0) === 4)        // 6 tokens -> 4 distinct 3-shingles
+    assert(row.getInt(1) === 16)
+    assert(row.getString(3) === "a b")
+    assert(row.getInt(4) >= 1)
+    // non-literal size argument must fail analysis, not silently misbehave
+    val e = intercept[Exception](
+      spark.sql("SELECT minhash_signature(token_shingle_hashes(t, 3), n_sh) FROM " +
+        "(SELECT t, 4 AS n_sh FROM reg_probe)").collect())
+    assert(e.getMessage.toLowerCase.contains("literal"))
+    spark.catalog.dropTempView("reg_probe")
+  }
+
   test("bloom_count_hits: counts digest members; no false negatives; null-safe") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
     (1L to 50L).foreach(bf.putLong)
