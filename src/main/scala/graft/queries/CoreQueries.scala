@@ -436,6 +436,34 @@ object CoreQueries {
           sum(col("s3")).cast("long").as("n_full_funnel"))
     }),
 
+    "q74_funnel_latency" -> ((s, dir) => {
+      // conversion-time distribution for users completing q72's funnel:
+      // a third window layer finds the first qualifying purchase, then the
+      // per-user latency (first view → first ordered purchase) aggregates
+      // to exact-integer seconds with q34's interpolated exact median
+      // (midpoints of integers are exactly representable in double).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events(s, dir).select("user_id", "event_id", "event_type", "ts")
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("v_ts"), col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(min(col("v_ts")).as("first_view"), min(col("p_ts")).as("first_conv"))
+        .filter(col("first_conv").isNotNull)
+        .withColumn("latency_sec",
+          ((unix_micros(col("first_conv")) - unix_micros(col("first_view"))) / 1000000L)
+            .cast("long"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("latency_sec")).as("min_sec"),
+          expr("percentile(latency_sec, 0.5)").as("median_sec"),
+          max(col("latency_sec")).as("max_sec"))
+    }),
+
     "q73_retention_cohorts" -> ((s, dir) => {
       // retention matrix: cohort = each user's first active day, cell =
       // distinct users of that cohort active in week-offset N. The join is
@@ -1068,6 +1096,30 @@ object CoreQueries {
              CAST(SUM(s2v) AS BIGINT) AS n_clicked_after_view,
              CAST(SUM(s3v) AS BIGINT) AS n_full_funnel
       FROM u""",
+
+    "q74_funnel_latency" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ts
+             FROM e),
+      s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ts
+             FROM s1),
+      s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_ts
+             FROM s2),
+      u AS (SELECT user_id, MIN(v_ts) AS first_view, MIN(p_ts) AS first_conv
+            FROM s3 GROUP BY user_id),
+      l AS (SELECT (EPOCH_US(first_conv) - EPOCH_US(first_view)) // 1000000 AS latency_sec
+            FROM u WHERE first_conv IS NOT NULL)
+      SELECT COUNT(*) AS n_converted,
+             CAST(MIN(latency_sec) AS BIGINT) AS min_sec,
+             QUANTILE_CONT(latency_sec, 0.5) AS median_sec,
+             CAST(MAX(latency_sec) AS BIGINT) AS max_sec
+      FROM l""",
 
     "q73_retention_cohorts" -> """
       WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
