@@ -455,9 +455,12 @@ object CoreQueries {
         .groupBy("user_id")
         .agg(min(col("v_ts")).as("first_view"), min(col("p_ts")).as("first_conv"))
         .filter(col("first_conv").isNotNull)
+        // exact integer division — the oracle floors with `//`, and a
+        // double divide + cast(long) can cross an integer boundary after
+        // rounding at large microsecond deltas (latencies are non-negative,
+        // so DIV's truncation and the oracle's floor agree)
         .withColumn("latency_sec",
-          ((unix_micros(col("first_conv")) - unix_micros(col("first_view"))) / 1000000L)
-            .cast("long"))
+          expr("(unix_micros(first_conv) - unix_micros(first_view)) DIV 1000000"))
         .agg(count(lit(1)).as("n_converted"),
           min(col("latency_sec")).as("min_sec"),
           expr("percentile(latency_sec, 0.5)").as("median_sec"),

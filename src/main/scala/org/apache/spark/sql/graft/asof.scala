@@ -267,10 +267,26 @@ object AsOf {
       else org.apache.spark.sql.catalyst.plans.logical.Project(
         rp0.output.map(a =>
           org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
+    val lt = check(resolve(lp, leftTime), "leftTime")
+    val rt = check(resolve(rp, rightTime), "rightTime")
+    // The merge compares raw time values, so both sides must live on the
+    // same axis: plain integers may mix widths (one user-defined unit), but
+    // timestamps must match exactly — TIMESTAMP vs TIMESTAMP_NTZ are both
+    // micros yet differ by the session zone, and a timestamp against an
+    // integer would silently compare micros to arbitrary units, making
+    // tolerance meaningless.
+    val sameAxis = (lt.dataType, rt.dataType) match {
+      case (org.apache.spark.sql.types.IntegerType | LongType,
+            org.apache.spark.sql.types.IntegerType | LongType) => true
+      case (a, b) => a == b
+    }
+    require(sameAxis,
+      s"leftTime (${lt.dataType}) and rightTime (${rt.dataType}) must be on the same " +
+        "time axis: both integral, or the exact same timestamp type")
     val node = AsOfJoin(lp, rp,
       leftKeys.map(k => check(resolve(lp, k), "leftKey")),
       rightKeys.map(k => check(resolve(rp, k), "rightKey")),
-      check(resolve(lp, leftTime), "leftTime"), check(resolve(rp, rightTime), "rightTime"),
+      lt, rt,
       direction = direction, tolerance = tolerance)
     ClassicDataset.ofRows(session, node)
   }

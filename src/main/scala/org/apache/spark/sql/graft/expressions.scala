@@ -263,7 +263,9 @@ object ChunkOps {
     * produce one giant chunk. The tail (if any) is always a chunk. */
   def cdcChunkHashes(bytes: Array[Byte], minSize: Int, maskBits: Int): ArrayData = {
     val mask = (1L << maskBits) - 1L
-    val maxSize = minSize + 4 * (1 << maskBits)
+    // Long arithmetic: an Int shift is mod 32, so maskBits >= 29 would
+    // overflow into a negative cap and force-cut every byte.
+    val maxSize = minSize.toLong + 4L * (1L << maskBits)
     val out = new java.util.ArrayList[java.lang.Long]()
     var start = 0
     var h = 0L
@@ -292,8 +294,8 @@ object ChunkOps {
 
 case class CdcChunkHashes(child: Expression, minSize: Int = 16, maskBits: Int = 6)
   extends UnaryExpression {
-  require(minSize > 0 && maskBits > 0 && maskBits < 63,
-    "minSize must be positive and maskBits in [1, 62]")
+  require(minSize > 0 && maskBits > 0 && maskBits <= 60,
+    "minSize must be positive and maskBits in [1, 60]")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.expect(child.dataType == BinaryType, "BINARY", child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
