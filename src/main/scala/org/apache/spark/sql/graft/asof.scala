@@ -270,19 +270,23 @@ object AsOf {
     val lt = check(resolve(lp, leftTime), "leftTime")
     val rt = check(resolve(rp, rightTime), "rightTime")
     // The merge compares raw time values, so both sides must live on the
-    // same axis: plain integers may mix widths (one user-defined unit), but
-    // timestamps must match exactly — TIMESTAMP vs TIMESTAMP_NTZ are both
-    // micros yet differ by the session zone, and a timestamp against an
-    // integer would silently compare micros to arbitrary units, making
-    // tolerance meaningless.
+    // same axis: plain integers may mix widths (one user-defined unit), and
+    // the two timestamp encodings may mix — both are microsecond counts,
+    // TIMESTAMP anchored at the UTC instant and NTZ at the wall clock,
+    // which coincide under the UTC sessions the entry points pin (mixed
+    // sources rarely agree on one encoding). What the guard rejects is a
+    // timestamp against an integer of arbitrary units, where the comparison
+    // and any tolerance are meaningless.
     val sameAxis = (lt.dataType, rt.dataType) match {
       case (org.apache.spark.sql.types.IntegerType | LongType,
             org.apache.spark.sql.types.IntegerType | LongType) => true
-      case (a, b) => a == b
+      case (TimestampType | org.apache.spark.sql.types.TimestampNTZType,
+            TimestampType | org.apache.spark.sql.types.TimestampNTZType) => true
+      case _ => false
     }
     require(sameAxis,
       s"leftTime (${lt.dataType}) and rightTime (${rt.dataType}) must be on the same " +
-        "time axis: both integral, or the exact same timestamp type")
+        "time axis: both integral, or both timestamps")
     val node = AsOfJoin(lp, rp,
       leftKeys.map(k => check(resolve(lp, k), "leftKey")),
       rightKeys.map(k => check(resolve(rp, k), "rightKey")),

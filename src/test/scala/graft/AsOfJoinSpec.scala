@@ -232,6 +232,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 20L, null)))
   }
 
+  test("rejects mixed time axes; integral widths and timestamp encodings may mix") {
+    import spark.implicits._
+    // TIMESTAMP micros against a BIGINT of arbitrary units would compare
+    // incommensurable values and make tolerance meaningless
+    val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t_ts")
+    val r = Seq((1L, 42L)).toDF("k", "t_long")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "k", "t_ts", "t_long")
+    }
+    assert(e.getMessage.contains("same time axis"))
+    // int vs long is one integral axis (user-defined unit) — allowed
+    val li = Seq((1L, 10)).toDF("k", "t_i")
+    val rl = Seq((1L, 9L, 7.0)).toDF("k", "t_l", "v")
+    val got = AsOf.join(li, rl, "k", "k", "t_i", "t_l")
+      .select(col("v")).collect().map(_.getDouble(0))
+    assert(got.toSeq === Seq(7.0))
+    // TIMESTAMP vs TIMESTAMP_NTZ are both microsecond counts (q38's shape:
+    // events vs a parquet NTZ column) — allowed
+    val rn = Seq((1L, "2024-01-01 09:00:00", 3.0)).toDF("k", "s", "v")
+      .select(col("k"), col("s").cast("timestamp_ntz").as("t_ntz"), col("v"))
+    val got2 = AsOf.join(l, rn, "k", "k", "t_ts", "t_ntz")
+      .select(col("v")).collect().map(_.getDouble(0))
+    assert(got2.toSeq === Seq(3.0))
+  }
+
   test("rejects non-orderable key/time types with a clear error") {
     import spark.implicits._
     val l = Seq(("a", 1L)).toDF("k", "t")

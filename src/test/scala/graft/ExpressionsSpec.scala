@@ -129,6 +129,22 @@ class ExpressionsSpec extends AnyFunSuite {
       s"CDC ($shared shared) must beat fixed chunking ($fixedShared shared)")
   }
 
+  test("cdc_chunk_hashes: a mask the payload can't meet yields one tail chunk; range enforced") {
+    // maskBits >= 29 used to overflow the Int-shift max-size cap into a
+    // negative bound that force-cut on every byte; with the Long cap, a
+    // 40-bit mask over 4 KiB (P(boundary) ~ 2^-28 and max-size ~ 4 TiB)
+    // must produce exactly the single tail chunk
+    val rnd = new java.util.Random(7)
+    val payload = new Array[Byte](4096)
+    rnd.nextBytes(payload)
+    val chunks = Seq(payload).toDF("b")
+      .select(cdc_chunk_hashes($"b", 16, 40).as("c"))
+      .collect().head.getSeq[Long](0)
+    assert(chunks.size === 1, s"expected one whole-payload chunk, got ${chunks.size}")
+    val e = intercept[IllegalArgumentException](cdc_chunk_hashes($"b", 16, 61))
+    assert(e.getMessage.contains("[1, 60]"))
+  }
+
   test("registerAll exposes the native expressions to SQL with literal int args") {
     org.apache.spark.sql.graft.functions.registerAll(spark)
     Seq("a b c d e f").toDF("t").createOrReplaceTempView("reg_probe")
