@@ -77,6 +77,59 @@ object SimilarityQueries {
       case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
     }: _*)
 
+  /** PQ layout: 64 dims → 8 subspaces × 8 dims, 16 centroids each (4-bit
+    * codes, stored one per byte) — 8-byte codes instead of 256-byte
+    * vectors, a 32× reduction of what a query batch scans. Raise m/k on a
+    * real cluster; these keep sub-quantizers trainable on the fixture. */
+  private[graft] val PqM = 8
+  private[graft] val PqK = 16
+  /** ADC candidates per query that get exact re-ranking. */
+  private[graft] val PqRerank = 100
+
+  /** Trained PQ codebooks, memoized per corpus dir (the ivfPivots pattern):
+    * per-subspace Lloyd k-means over a BOUNDED deterministic sample —
+    * training cost and artifact size (m·k·subDim floats) are independent of
+    * corpus size, exactly like every offline-trained quantizer. Production
+    * would hash-sample; vec_id < 2048 is the fixture's deterministic
+    * equivalent. */
+  private val trainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Float] =
+    trainedCodebooks.computeIfAbsent(dir, _ => {
+      val sample = tbl(s, dir, "embeddings").filter(col("vec_id") < 2048)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      org.apache.spark.sql.graft.PqOps.train(sample, PqM, PqK, iters = 8)
+    })
+
+  /** Materialized IVF-PQ index, built ONCE per (session, corpus): every
+    * vector's m-byte PQ code, written as parquet PARTITIONED BY its nearest
+    * trained IVF centroid. A probe reads only its nprobe bucket partitions
+    * (partition pruning) AND only the code column — the two multiplicative
+    * scan reductions (nprobe/nlist × 32 byte-compression) that make ANN
+    * over 100 TB of vectors a per-query-batch job measured in gigabytes. */
+  private val pqIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def pqIndexPath(s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    val existing = pqIndexPaths.get(key)
+    if (existing != null) return existing
+    import org.apache.spark.sql.graft.functions.pq_encode
+    val pivotVecs = ivfPivots(s, dir)
+    val cb = pqCodebook(s, dir)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-pq-index")
+    val path = tmpRoot.resolve("embeddings_pq").toString
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"), pq_encode(col("embedding"), cb, PqM, PqK).as("code"),
+        (-array_max(pivotScores(pivotVecs)(col("embedding"))).getField("negp")).as("pivot_id"))
+      .write.mode("overwrite").partitionBy("pivot_id").parquet(path)
+    val prev = pqIndexPaths.putIfAbsent(key, path)
+    if (prev != null) { deleteRecursively(tmpRoot); prev }
+    else {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmpRoot)))
+      path
+    }
+  }
+
   /** Materialized IVF index, built ONCE per (session, corpus): every vector
     * assigned to its nearest trained centroid (same literal-pivot map-side
     * rule as s02) and written as parquet PARTITIONED BY the centroid id —
@@ -183,6 +236,48 @@ object SimilarityQueries {
       val scored = idx.join(broadcast(probes), "pivot_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      topKPerQuery(scored, 5)
+    }),
+
+    "s07_knn_ivfpq" -> ((s, dir) => {
+      // the full IVF-PQ query path (the FAISS-style ANN architecture,
+      // re-expressed as a Spark plan): probe nprobe IVF buckets →
+      // partition-pruned scan of the CODE column only → ADC scoring (m
+      // table lookups per pair, native expression) → bounded top-C
+      // candidates per query → exact cosine re-rank of just those C.
+      // Approximation surfaces: bucket recall (as s02) and PQ quantization
+      // (absorbed by the re-rank unless the true neighbor falls outside
+      // the top-C ADC candidates). QueriesSpec pins recall@5 against s01.
+      import org.apache.spark.sql.graft.functions.{pq_adc_lut, pq_adc_score, top_k_struct}
+      val cb = pqCodebook(s, dir)
+      val score = pivotScores(ivfPivots(s, dir)) _
+      val idx = s.read.parquet(pqIndexPath(s, dir))
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      // each query ships its 2·m·k-double ADC table with its probes —
+      // queries×nprobe rows, broadcast; the index side never shuffles
+      val probes = queries
+        .select(col("query_id"), pq_adc_lut(col("q_emb"), cb, PqM, PqK).as("lut"),
+          explode(slice(sort_array(score(col("q_emb")), asc = false), 1, IvfNprobe)).as("p"))
+        .select(col("query_id"), col("lut"), (-col("p.negp")).as("pivot_id"))
+      val approx = idx.join(broadcast(probes), "pivot_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          pq_adc_score(col("code"), col("lut")).as("ascore"))
+      // bounded top-C per query: map-side state is C rows, the shuffle
+      // moves C·queries (score, id) pairs (ties to the lowest id)
+      val cand = approx.groupBy("query_id")
+        .agg(top_k_struct(struct((col("ascore") * -1).as("neg"),
+          col("neighbor_id")), PqRerank).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
+      // exact re-rank: C·queries candidate ids broadcast against the
+      // vector table — the only touch of raw embeddings in the query path
+      val scored = emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
           cosine(col("q_emb"), col("embedding")).as("score"))
       topKPerQuery(scored, 5)
     }),

@@ -440,6 +440,16 @@ object functions {
   def cdc_chunk_hashes(c: Column, minSize: Int = 16, maskBits: Int = 6): Column =
     ExpressionUtils.column(CdcChunkHashes(ExpressionUtils.expression(c), minSize, maskBits))
 
+  def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))
+
+  def pq_adc_lut(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
+    ExpressionUtils.column(PqAdcLut(ExpressionUtils.expression(c), codebook, m, k))
+
+  def pq_adc_score(code: Column, lut: Column): Column =
+    ExpressionUtils.column(PqAdcScore(
+      ExpressionUtils.expression(code), ExpressionUtils.expression(lut)))
+
   /** Bounded top-k aggregate over a struct column (k smallest under the
     * struct's lexicographic order; lead with a negated field for "top by x
     * desc"). Map-side partial state is capped at k rows per key. */

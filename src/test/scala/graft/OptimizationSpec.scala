@@ -154,6 +154,25 @@ class OptimizationSpec extends AnyFunSuite {
       s"index scan must be dynamically partition-pruned:\n${plan.take(3000)}")
   }
 
+  test("s07 IVF-PQ scan is partition-pruned AND reads codes, not vectors") {
+    // the two multiplicative scan reductions of IVF-PQ, both visible in the
+    // plan: DPP prunes the index scan to the probed buckets, and the index
+    // scan's schema carries the 8-byte code column — the embedding column
+    // appears only in the bounded re-rank scan of the vector table
+    val plan = SparkEntry.queries("s07_knn_ivfpq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(pivot_id"),
+      s"PQ index scan must be dynamically partition-pruned:\n${plan.take(3000)}")
+    val idxScans = plan.linesIterator.filter(l =>
+      l.contains("embeddings_pq") && l.contains("ReadSchema")).toSeq
+    assert(idxScans.nonEmpty, s"expected a PQ index scan:\n${plan.take(3000)}")
+    // judge the ReadSchema alone — the scan PATH itself contains the
+    // substring "embedding" (…/embeddings_pq)
+    val schemas = idxScans.map(_.split("ReadSchema:").last)
+    assert(schemas.forall(sch => sch.contains("code:binary") && !sch.contains("embedding")),
+      s"PQ index scan must read codes only:\n${idxScans.mkString("\n")}")
+  }
+
   test("t10/t13 per-doc scoring is map-side only: zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.graft.PlanIntrospection

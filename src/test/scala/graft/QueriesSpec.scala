@@ -237,6 +237,26 @@ class QueriesSpec extends AnyFunSuite {
       s"IVF recall ${hits.toDouble / total} below 0.4 ($hits of $total)")
   }
 
+  test("s07 IVF-PQ equals s02 on the fixture: the exact re-rank absorbs PQ loss") {
+    // s07 scans 8-byte PQ codes of the same probed buckets s02 scores
+    // exactly, keeps the top-100 ADC candidates, and re-ranks those with
+    // exact cosine. When the bucket-true top-5 always survives the ADC
+    // cut — it must on this fixture, or this assertion fails — the two
+    // queries are row-for-row identical, which pins both the candidate
+    // generation and the re-rank in one check.
+    val pq = SparkEntry.queries("s07_knn_ivfpq")(spark, sf)
+    val ivf = SparkEntry.queries("s02_knn_ivf")(spark, sf)
+    assert(pq.count() === ivf.count())
+    assert(pq.exceptAll(ivf).count() === 0)
+    assert(ivf.exceptAll(pq).count() === 0)
+    // portable floor independent of the equality above: compressed-domain
+    // search still finds the bulk of the true neighbors
+    val truth = SparkEntry.queries("s01_knn_brute")(spark, sf)
+      .select("query_id", "neighbor_id")
+    val hits = pq.select("query_id", "neighbor_id").intersect(truth).count()
+    assert(hits.toDouble / truth.count() >= 0.4)
+  }
+
   test("bounded top-k aggregate equals the window row_number formulation") {
     val windowed = SparkEntry.queries("q07_window_topk")(spark, sf)
     val bounded = SparkEntry.queries("q59_topk_bounded")(spark, sf)
