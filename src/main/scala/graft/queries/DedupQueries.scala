@@ -77,17 +77,48 @@ object DedupQueries {
     }
   }
 
+  /** Degenerate-bucket guard for the LSH band family (d03/d04/d05/d07): a
+    * band bucket of m members pairs into m(m-1)/2 candidates inside ONE
+    * reducer of the self-join, so a single boilerplate bucket (thousands of
+    * near-identical docs sharing a band hash) can dominate the whole job at
+    * corpus scale. Buckets larger than `cap` are stoplisted out BEFORE
+    * pairing — the [[invertedCandidates]] df-stoplist pattern: the stoplist
+    * is a tiny aggregate shipped as a broadcast anti-join, so the guard adds
+    * one cheap pass over the banded triples and no new wide shuffle.
+    *
+    * Recall: a pair dropped in one band can still surface via any OTHER
+    * band (that is the point of banding); only pairs whose EVERY collision
+    * lands in over-cap buckets are lost, and those are precisely the
+    * boilerplate mega-clusters a dedup pipeline caps deliberately (pairing
+    * them is Θ(m²) work to rediscover one cluster that exact dedup already
+    * collapses). DedupCapSpec proves fixture-equality (no fixture bucket
+    * comes near the cap — max identical-shingle-set cluster is 2 at sf0.1)
+    * and the candidate drop + bound on a synthetic boilerplate corpus. */
+  private[graft] val LshBucketCap = 2048L
+
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+    val big = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(big), keys, "left_anti")
+  }
+
   /** Candidate pairs (doc_a < doc_b) from LSH band collisions for a given
     * (bands × rowsPerBand) layout — fewer rows per band → more permissive
     * buckets (catches lower Jaccard). The self-join shuffles only
-    * (band_id, band_hash, doc_id) triples, never documents. */
-  private def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * (band_id, band_hash, doc_id) triples, never documents; degenerate
+    * buckets are capped (see [[LshBucketCap]]) before pairing. */
+  private[graft] def lshCandidates(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      bucketCap: Long = LshBucketCap): DataFrame = {
     val bd = sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
-    bd.withColumnsRenamed(Map("doc_id" -> "doc_a"))
-      .join(bd.withColumnsRenamed(Map("doc_id" -> "doc_b")), Seq("band_id", "band_hash"))
+    val kept = capBuckets(bd, Seq("band_id", "band_hash"), bucketCap)
+    kept.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+      .join(kept.withColumnsRenamed(Map("doc_id" -> "doc_b")), Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -157,6 +188,44 @@ object DedupQueries {
     }
   }
 
+  /** Containment >= 0.8 pairs over a shingle table (d14's core) — the d08
+    * shape with |A∩B| normalized by the SMALLER set instead of the union.
+    *
+    * Default path: intersections counted directly on the inverted-index
+    * self-join, sizes broadcast — no shingle array shuffled. Stoplisted
+    * path (`dfStopThreshold = Some(t)`): candidates come from the pruned
+    * posting lists ([[invertedCandidates]] — the same Σ df² cap as d08),
+    * then containment is verified EXACTLY against the FULL shingle sets,
+    * so every reported value is exact; only pairs overlapping EXCLUSIVELY
+    * in stoplisted (boilerplate) shingles are never considered. */
+  private[graft] def containmentPairsOf(
+      sh: DataFrame, dfStopThreshold: Option[Long] = None): DataFrame = {
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    dfStopThreshold match {
+      case None =>
+        val post = sh.select(col("doc_id"), explode(col("sh")).as("e"))
+        post.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+          .join(post.withColumnsRenamed(Map("doc_id" -> "doc_b")), "e")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+          .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+          .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+          .withColumn("containment_milli",
+            expr("(1000L * n_inter) DIV least(na, nb)"))
+          .filter(col("containment_milli") >= 800)
+          .select("doc_a", "doc_b", "containment_milli")
+      case some =>
+        invertedCandidates(sh, some)
+          .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+          .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("containment_milli",
+            expr("(1000L * n_inter) DIV least(size(sh_a), size(sh_b))"))
+          .filter(col("containment_milli") >= 800)
+          .select("doc_a", "doc_b", "containment_milli")
+    }
+  }
+
   /** d08's core, reused by d09 — persisted once per (session, dir) via the
     * shared registry so the components query reuses the SAME instance. */
   private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
@@ -217,6 +286,25 @@ object DedupQueries {
       .filter(bloom_count_hits(col("sh"), bf) * 2 >= size(col("sh")))
   }
 
+  /** d04's banded self-join over (doc_id, simhash): same 16-bit band →
+    * verify hamming <= 3. Degenerate band buckets are capped before pairing
+    * (see [[LshBucketCap]]); the cap is a parameter so DedupCapSpec can pin
+    * capped ≡ uncapped on the fixture. */
+  private[graft] def simhashPairs(d: DataFrame, bucketCap: Long = LshBucketCap): DataFrame = {
+    val banded = d.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535L)")))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_val"))
+    val kept = capBuckets(banded, Seq("band_id", "band_val"), bucketCap)
+    val a = kept.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
+    val b = kept.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   val defs: Map[String, Q] = Map(
     "d01_dedup_exact" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -265,18 +353,7 @@ object DedupQueries {
         tbl(s, dir, "documents")
           .select(col("doc_id"), simhash64(col("text")).as("simhash"))
       }
-      // near-dup candidates: same 16-bit band → hamming distance <= 3
-      val banded = d.select(col("doc_id"), col("simhash"),
-        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535L)")))
-        .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_val"))
-      val a = banded.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sim_a"))
-      val b = banded.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sim_b"))
-      a.join(b, Seq("band_id", "band_val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      simhashPairs(d)
     }),
 
     "d05_ngram_jaccard" -> ((s, dir) => {
@@ -408,22 +485,11 @@ object DedupQueries {
       // Jaccard misses: a short document quoted/embedded inside a longer
       // one has |A∩B|/|A| ≈ 1 while |A∩B|/|A∪B| stays small. Reports
       // ordered pairs where >= 80% of the smaller side's shingles appear
-      // in the other doc. Same scale shape as d08: the inverted-index
-      // self-join counts intersections on (hash, doc_id) pairs, set sizes
-      // arrive via broadcast, no shingle array is shuffled.
-      val sh = shingleTable(s, dir)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val post = sh.select(col("doc_id"), explode(col("sh")).as("e"))
-      post.withColumnsRenamed(Map("doc_id" -> "doc_a"))
-        .join(post.withColumnsRenamed(Map("doc_id" -> "doc_b")), "e")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
-        .withColumn("containment_milli",
-          expr("(1000L * n_inter) DIV least(na, nb)"))
-        .filter(col("containment_milli") >= 800)
-        .select("doc_a", "doc_b", "containment_milli")
+      // in the other doc. Same scale shape AND the same scale lever as
+      // d08: at bench scale Σ df² is cheap without a stoplist; at corpus
+      // scale pass dfStopThreshold to containmentPairsOf (DedupCacheSpec
+      // proves fixture equality and the candidate drop).
+      containmentPairsOf(shingleTable(s, dir))
     }),
 
     "d09_dup_components" -> ((s, dir) => {
@@ -440,6 +506,19 @@ object DedupQueries {
 
   import org.apache.spark.sql.graft.functions.{vec_cosine, vec_srp}
 
+  /** d07's banded candidates over (vec_id, sk) SRP sketches: 4×8-bit bands,
+    * degenerate buckets capped before pairing (see [[LshBucketCap]]). */
+  private[graft] def srpCandidates(sk: DataFrame, bucketCap: Long = LshBucketCap): DataFrame = {
+    val banded = sk.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sk, b * 8) & 255L)")))
+      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_val"))
+    val kept = capBuckets(banded, Seq("band_id", "band_val"), bucketCap)
+    kept.withColumnsRenamed(Map("vec_id" -> "vec_a"))
+      .join(kept.withColumnsRenamed(Map("vec_id" -> "vec_b")), Seq("band_id", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
   private val embeddingNearDup: Q = (s, dir) => {
     // embedding-cosine near-dup: 32-plane SRP sketch per vector (one long),
     // band into 4x8-bit buckets, verify candidates with exact cosine.
@@ -451,14 +530,7 @@ object DedupQueries {
     val sk = sharedDf(s, s"srp|$dir") {
       emb.select(col("vec_id"), col("embedding"), vec_srp(col("embedding"), 32).as("sk"))
     }
-    val banded = sk.select(col("vec_id"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sk, b * 8) & 255L)")))
-      .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_val"))
-    val cand = banded.withColumnsRenamed(Map("vec_id" -> "vec_a"))
-      .join(banded.withColumnsRenamed(Map("vec_id" -> "vec_b")), Seq("band_id", "band_val"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    cand
+    srpCandidates(sk)
       .join(sk.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
       .join(sk.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"), vec_cosine(col("e_a"), col("e_b")).as("cos"))

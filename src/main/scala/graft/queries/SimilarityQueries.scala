@@ -44,12 +44,18 @@ object SimilarityQueries {
     * holds nlist×dim floats per dir — driver-sized by construction. */
   private val trainedPivots =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
-  private[graft] def ivfPivots(s: SparkSession, dir: String): Seq[Seq[Float]] =
-    trainedPivots.computeIfAbsent(dir, _ => {
-      val (_, cents) = graft.operators.KMeansOps.sphericalKMeans(
-        tbl(s, dir, "embeddings"), "vec_id", "embedding", k = IvfNlist, iters = 2)
-      cents.orderBy("cluster").collect().toSeq.map(_.getSeq[Float](1))
-    })
+  private[graft] def ivfPivots(s: SparkSession, dir: String): Seq[Seq[Float]] = {
+    // train OUTSIDE the map (a multi-second Spark job must not hold a CHM
+    // bin lock — the ivfIndexPath pattern); concurrent losers discard their
+    // (deterministic, identical) result
+    val existing = trainedPivots.get(dir)
+    if (existing != null) return existing
+    val (_, cents) = graft.operators.KMeansOps.sphericalKMeans(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", k = IvfNlist, iters = 2)
+    val trained = cents.orderBy("cluster").collect().toSeq.map(_.getSeq[Float](1))
+    val prev = trainedPivots.putIfAbsent(dir, trained)
+    if (prev != null) prev else trained
+  }
 
   /** Per-group top-k via the bounded [[org.apache.spark.sql.graft.TopKStruct]]
     * aggregate: map-side state is k rows per query, so the only shuffle
@@ -94,12 +100,17 @@ object SimilarityQueries {
     * equivalent. */
   private val trainedCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
-  private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Float] =
-    trainedCodebooks.computeIfAbsent(dir, _ => {
-      val sample = tbl(s, dir, "embeddings").filter(col("vec_id") < 2048)
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      org.apache.spark.sql.graft.PqOps.train(sample, PqM, PqK, iters = 8)
-    })
+  private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Float] = {
+    // same build-outside-the-map shape as ivfPivots/pqIndexPath: the Spark
+    // collect + training must not run under a CHM bin lock
+    val existing = trainedCodebooks.get(dir)
+    if (existing != null) return existing
+    val sample = tbl(s, dir, "embeddings").filter(col("vec_id") < 2048)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val trained = org.apache.spark.sql.graft.PqOps.train(sample, PqM, PqK, iters = 8)
+    val prev = trainedCodebooks.putIfAbsent(dir, trained)
+    if (prev != null) prev else trained
+  }
 
   /** Materialized IVF-PQ index, built ONCE per (session, corpus): every
     * vector's m-byte PQ code, written as parquet PARTITIONED BY its nearest

@@ -267,30 +267,48 @@ object AsOf {
       else org.apache.spark.sql.catalyst.plans.logical.Project(
         rp0.output.map(a =>
           org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
-    val lt = check(resolve(lp, leftTime), "leftTime")
-    val rt = check(resolve(rp, rightTime), "rightTime")
+    val lt0 = check(resolve(lp, leftTime), "leftTime")
+    val rt0 = check(resolve(rp, rightTime), "rightTime")
     // The merge compares raw time values, so both sides must live on the
     // same axis: plain integers may mix widths (one user-defined unit), and
-    // the two timestamp encodings may mix — both are microsecond counts,
-    // TIMESTAMP anchored at the UTC instant and NTZ at the wall clock,
-    // which coincide under the UTC sessions the entry points pin (mixed
-    // sources rarely agree on one encoding). What the guard rejects is a
-    // timestamp against an integer of arbitrary units, where the comparison
-    // and any tolerance are meaningless.
-    val sameAxis = (lt.dataType, rt.dataType) match {
+    // the two timestamp encodings may mix — but NOT by comparing raw micros
+    // (TIMESTAMP is anchored at the UTC instant, NTZ at the wall clock;
+    // they only coincide when the wall clock IS UTC). When the encodings
+    // mix, the NTZ side is converted through the session timezone — the
+    // same coercion Spark applies to a mixed BinaryComparison — so the
+    // merge always compares instants, under any session zone. What the
+    // guard still rejects is a timestamp against an integer of arbitrary
+    // units, where the comparison and any tolerance are meaningless.
+    val ntz = org.apache.spark.sql.types.TimestampNTZType
+    def toInstantAxis(plan: LogicalPlan, a: Attribute): (LogicalPlan, Attribute) = {
+      val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+      val fields = plan.output.map {
+        case o if o.exprId == a.exprId => Alias(Cast(o, TimestampType, tz), o.name)()
+        case o => o
+      }
+      val proj = org.apache.spark.sql.catalyst.plans.logical.Project(fields, plan)
+      (proj, proj.output(plan.output.indexWhere(_.exprId == a.exprId)))
+    }
+    val (lpF, ltF, rpF, rtF) = (lt0.dataType, rt0.dataType) match {
+      case (`ntz`, TimestampType) =>
+        val (p, t) = toInstantAxis(lp, lt0); (p, t, rp, rt0)
+      case (TimestampType, `ntz`) =>
+        val (p, t) = toInstantAxis(rp, rt0); (lp, lt0, p, t)
+      case _ => (lp, lt0, rp, rt0)
+    }
+    val sameAxis = (ltF.dataType, rtF.dataType) match {
       case (org.apache.spark.sql.types.IntegerType | LongType,
             org.apache.spark.sql.types.IntegerType | LongType) => true
-      case (TimestampType | org.apache.spark.sql.types.TimestampNTZType,
-            TimestampType | org.apache.spark.sql.types.TimestampNTZType) => true
+      case (TimestampType, TimestampType) | (`ntz`, `ntz`) => true
       case _ => false
     }
     require(sameAxis,
-      s"leftTime (${lt.dataType}) and rightTime (${rt.dataType}) must be on the same " +
+      s"leftTime (${ltF.dataType}) and rightTime (${rtF.dataType}) must be on the same " +
         "time axis: both integral, or both timestamps")
-    val node = AsOfJoin(lp, rp,
-      leftKeys.map(k => check(resolve(lp, k), "leftKey")),
-      rightKeys.map(k => check(resolve(rp, k), "rightKey")),
-      lt, rt,
+    val node = AsOfJoin(lpF, rpF,
+      leftKeys.map(k => check(resolve(lpF, k), "leftKey")),
+      rightKeys.map(k => check(resolve(rpF, k), "rightKey")),
+      ltF, rtF,
       direction = direction, tolerance = tolerance)
     ClassicDataset.ofRows(session, node)
   }

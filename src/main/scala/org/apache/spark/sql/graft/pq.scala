@@ -92,11 +92,21 @@ object PqOps {
     best
   }
 
+  /** The subspace width the codebook was trained for; a vector of any other
+    * length would silently drop tail dimensions (or read out of bounds), so
+    * mismatches fail loudly at eval time. */
+  private def checkDim(v: ArrayData, cb: Array[Float], m: Int, k: Int): Int = {
+    val subDim = cb.length / (m * k)
+    require(v.numElements() == m * subDim,
+      s"PQ vector length ${v.numElements()} does not match the codebook's " +
+        s"m*subDim = ${m * subDim} (m=$m, k=$k, codebook length ${cb.length})")
+    subDim
+  }
+
   /** Vector → m-byte code: per subspace, the id of the nearest centroid
     * (L2, doubles in fixed order; ties to the lowest id). */
   def encode(v: ArrayData, cb: Array[Float], m: Int, k: Int): Array[Byte] = {
-    val dim = v.numElements()
-    val subDim = dim / m
+    val subDim = checkDim(v, cb, m, k)
     val out = new Array[Byte](m)
     var s = 0
     while (s < m) {
@@ -126,8 +136,7 @@ object PqOps {
     * together enough to rank codes by approximate cosine (the query's own
     * norm is a per-query constant and cannot change its ranking). */
   def adcLut(q: ArrayData, cb: Array[Float], m: Int, k: Int): ArrayData = {
-    val dim = q.numElements()
-    val subDim = dim / m
+    val subDim = checkDim(q, cb, m, k)
     val out = new Array[Double](2 * m * k)
     var s = 0
     while (s < m) {

@@ -248,13 +248,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     val got = AsOf.join(li, rl, "k", "k", "t_i", "t_l")
       .select(col("v")).collect().map(_.getDouble(0))
     assert(got.toSeq === Seq(7.0))
-    // TIMESTAMP vs TIMESTAMP_NTZ are both microsecond counts (q38's shape:
-    // events vs a parquet NTZ column) — allowed
-    val rn = Seq((1L, "2024-01-01 09:00:00", 3.0)).toDF("k", "s", "v")
-      .select(col("k"), col("s").cast("timestamp_ntz").as("t_ntz"), col("v"))
-    val got2 = AsOf.join(l, rn, "k", "k", "t_ts", "t_ntz")
-      .select(col("v")).collect().map(_.getDouble(0))
-    assert(got2.toSeq === Seq(3.0))
+    // TIMESTAMP vs TIMESTAMP_NTZ may mix (q38's shape: events vs a parquet
+    // NTZ column): the NTZ side is converted through the SESSION zone (the
+    // coercion Spark applies to mixed comparisons), so the merge compares
+    // instants under any zone. Both sides are built from strings under a
+    // pinned session zone so the expectation is JVM-default-TZ independent.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val ln = Seq((1L, "2024-01-01 10:00:00")).toDF("k", "s")
+        .select(col("k"), col("s").cast("timestamp").as("t_ts"))
+      val rn = Seq((1L, "2024-01-01 09:00:00", 3.0)).toDF("k", "s", "v")
+        .select(col("k"), col("s").cast("timestamp_ntz").as("t_ntz"), col("v"))
+      val got2 = AsOf.join(ln, rn, "k", "k", "t_ts", "t_ntz")
+        .select(col("v")).collect().map(_.getDouble(0))
+      assert(got2.toSeq === Seq(3.0))
+      // NTZ on the LEFT converts the same way
+      val got3 = AsOf.join(rn.select(col("k"), col("t_ntz")), ln.withColumn("v", lit(5.0)),
+          "k", "k", "t_ntz", "t_ts", direction = "forward")
+        .select(col("v")).collect().map(_.getDouble(0))
+      assert(got3.toSeq === Seq(5.0))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("rejects non-orderable key/time types with a clear error") {
