@@ -1,6 +1,75 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Emits ONE compact machine-parseable JSON line as the
+  * LAST stdout line — the driver keeps only a bounded tail of the run's
+  * stdout, so the line uses short query ids ("q01", "d14") and
+  * millisecond-precision values to fit the window whole; full names and
+  * full-precision timings go to `bench_details.json` in the working
+  * directory.
+  *
+  * Two tiers:
+  *   - the full inventory at SPARK_GRAFT_SF_DIR (two passes, min per query:
+  *     pass 1 absorbs codegen + JIT, pass 2 is steady-state);
+  *   - a "heavy" tier (disable with SPARK_GRAFT_HEAVY=0): the heaviest
+  *     queries on a synthetic 10× scale-up of documents/embeddings, because
+  *     sf0.1 is overhead-dominated (~0.3-0.5 s/query floor) and plan
+  *     regressions on the quadratic-ish operators hide in that noise. The
+  *     scale-up is faithful, not a naive union of copies: each copy's
+  *     tokens are prefixed per copy, so shingles are DISJOINT across copies
+  *     — document frequencies and the near-dup cluster structure match a
+  *     real 10× corpus (a plain union would multiply every df by 10 and
+  *     quadratically inflate the inverted-index joins instead).
+  */
 object Bench {
+
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** "q01_pricing_summary" -> "q01" — unique across the inventory (asserted
+    * below), and the id scheme CORRECTNESS/COVERAGE already key on. */
+  private def shortId(name: String): String = name.takeWhile(_ != '_')
+
+  private def jsonMap(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** Synthetic 10× documents+embeddings under a temp dir (removed on JVM
+    * exit). Copy i shifts ids by i·10^8 and prefixes every non-leading
+    * token with "c{i}" so cross-copy docs share no shingles. */
+  private def buildHeavyDir(spark: SparkSession, sfDir: String, copies: Int): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-10x")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      if (Files.exists(tmp)) {
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    }))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until copies).map { i =>
+      val text = if (i == 0) col("text") else regexp_replace(col("text"), lit(" "), lit(s" c$i"))
+      docs.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until copies).map { i =>
+      emb.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    tmp.toString
+  }
+
+  /** The quadratic-ish inventory members whose plans the 10× tier guards. */
+  private val HeavyNames = Seq(
+    "d03_minhash_lsh", "d08_jaccard_exact_join", "d09_dup_components",
+    "d11_dedup_pipeline", "d12_bloom_incremental", "d13_leakage_free_split",
+    "d14_containment", "t08_doc_top_terms", "s01_knn_brute", "s05_kmeans_ivf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,33 +88,60 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => }
     }
-    // two passes, report the min per query: pass 1 absorbs per-plan codegen
-    // and JIT compilation, so pass 2 measures steady-state execution — the
-    // regime a long-lived cluster session actually runs in
+    val names = SparkEntry.queries.keys.toSeq
+    require(names.map(shortId).distinct.size == names.size,
+      "short query ids must stay unique — rename the colliding query")
     // optional comma-separated name-prefix filter for focused timing runs
     // (e.g. SPARK_GRAFT_ONLY=d08,d09); absent = full inventory
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    def runAll(): Map[String, Double] =
+    def time(name: String, fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-        .map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
-        }.toMap
+        .map { case (name, fn) => name -> time(name, fn, sfDir) }
+    // two passes, report the min per query: pass 1 absorbs per-plan codegen
+    // and JIT compilation, so pass 2 measures steady-state execution — the
+    // regime a long-lived cluster session actually runs in
     val first = runAll()
     // drop caches persisted by pass 1 (shingle/signature/pair tables): the
-    // min must measure re-execution with warm JIT, not cache scans.
-    // releaseShared clears the dedup registry too, so pass 2 rebuilds and
-    // re-persists instead of silently reusing unpersisted instances
+    // min must measure re-execution with warm JIT, not cache scans
     graft.queries.DedupQueries.releaseShared()
     spark.catalog.clearCache()
-    val second = runAll()
-    val results = first.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val secondByName = runAll().toMap
+    val results = first.map { case (k, v) => k -> math.min(v, secondByName.getOrElse(k, v)) }
+    // heavy tier: one pass (JIT is warm by now) on the synthetic 10× corpus
+    val heavy: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0") || only.nonEmpty) Seq.empty
+      else {
+        val heavyDir = buildHeavyDir(spark, sfDir, copies = 10)
+        graft.queries.DedupQueries.releaseShared()
+        spark.catalog.clearCache()
+        val r = HeavyNames.filter(SparkEntry.queries.contains)
+          .map(n => n -> time(n, SparkEntry.queries(n), heavyDir))
+        graft.queries.DedupQueries.releaseShared()
+        spark.catalog.clearCache()
+        r
+      }
+    val total = results.map(_._2).sum
+    // full-precision, full-name details for humans and local diffing
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
+         |"queries":${results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"heavy_10x":${heavy.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_details.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // THE machine-readable line — keep it LAST and under ~1900 chars so the
+    // driver's bounded stdout tail always contains it whole
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","queries":${jsonMap(results.map { case (k, v) => shortId(k) -> v })}""" +
+      s""","heavy_10x":${jsonMap(heavy.map { case (k, v) => shortId(k) -> v })}""" +
+      s""","sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic fake (hash-seeded); everything Spark-side —
-  * schema, binary handling, batch shape, partition-parallel feature
-  * extraction via mapPartitions — is real and tested. On a real cluster the
-  * fake decoder body is the only thing to swap for (e.g.) a JNI codec.
+  * m03's decode is REAL: payloads are actual PNGs and the extractor runs
+  * them through the JDK's public codec (javax.imageio), partition-parallel
+  * via mapPartitions — the batch shape a production encoder uses. m02's
+  * "frame" decode remains a clearly-marked deterministic fake (the
+  * container has no video codec); its Spark-side plumbing — schema, binary
+  * handling, per-frame fan-out — is real and oracle-checked. What no stage
+  * here has is a learned embedding model; swapping one in replaces only a
+  * mapPartitions body.
   */
 object MultimodalQueries {
   import QueryDsl._
@@ -47,30 +50,77 @@ object MultimodalQueries {
     }),
 
     "m03_feature_extract" -> ((s, dir) => {
-      // partition-parallel feature extraction with the batch shape a real
-      // encoder would use: mapPartitions over (id, bytes) → (id, float[8]).
-      // STUB: features are a seeded hash of the payload, not a real model.
-      val schema = StructType(Seq(
+      // REAL image decode via javax.imageio (the JDK's public PNG codec):
+      // stage 1 materializes a binary media column of actual PNG payloads
+      // (pixels are a closed-form function of (media_id, x, y), so an
+      // oracle can recompute the decoded stats without a codec); stage 2 —
+      // the feature extractor — DECODES each payload with ImageIO.read and
+      // emits width/height/per-channel mean. Both stages keep the
+      // partition-parallel mapPartitions batch shape a production encoder
+      // uses; PNG is lossless, so the stats are exact (hash-exact oracle).
+      // The only still-missing piece on this container is a learned
+      // embedding model; the codec path itself is real.
+      val pngSchema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
-        StructField("feat", ArrayType(FloatType, containsNull = false), nullable = false)))
-      val enc = org.apache.spark.sql.Encoders.row(schema)
-      val out = mediaTable(s, dir).select("media_id", "content")
+        StructField("png", BinaryType, nullable = false)))
+      val pngEnc = org.apache.spark.sql.Encoders.row(pngSchema)
+      val pngs = mediaTable(s, dir).select("media_id")
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
-            // deterministic fake "embedding": folded byte sums per lane
-            val feat = Array.tabulate(8) { lane =>
-              var acc = 1469598103934665603L ^ (id * 31 + lane)
-              var i = lane
-              while (i < bytes.length) { acc = acc * 1099511628211L + bytes(i); i += 8 }
-              (acc % 1000L).toFloat / 1000.0f
+            val w = (4 + id % 13).toInt
+            val h = (3 + id % 11).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val red = ((id * 31 + x * 7 + y * 13) % 256).toInt
+                val green = ((id * 17 + x * 11 + y * 3) % 256).toInt
+                val blue = ((id * 29 + x * 5 + y * 19) % 256).toInt
+                img.setRGB(x, y, (red << 16) | (green << 8) | blue)
+                x += 1
+              }
+              y += 1
             }
-            Row(id, feat)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(id, bos.toByteArray)
           }
-        }(enc)
-      out.select(col("media_id"), round(element_at(col("feat"), 1) * 1000, 0).cast("long").as("f0_milli"),
-        size(col("feat")).as("n_dims"))
+        }(pngEnc)
+      val featSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("r_mean_milli", LongType, nullable = false),
+        StructField("g_mean_milli", LongType, nullable = false),
+        StructField("b_mean_milli", LongType, nullable = false)))
+      val featEnc = org.apache.spark.sql.Encoders.row(featSchema)
+      pngs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth
+          val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              rs += (rgb >> 16) & 0xff
+              gs += (rgb >> 8) & 0xff
+              bs += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(id, w, h, 1000L * rs / n, 1000L * gs / n, 1000L * bs / n)
+        }
+      }(featEnc)
     }),
 
     "m04_chunk_freq" -> ((s, dir) => {
@@ -123,10 +173,27 @@ object MultimodalQueries {
              source
       FROM documents""",
 
-    // m03 stays rows-only: its features come from a JVM-side stub encoder
-    // (mapPartitions), deliberately not expressible in SQL.
     // m05 stays rows-only: content-defined chunk boundaries come from the
     // native gear-rolling-hash expression, not expressible in DuckDB SQL.
+
+    // m03's oracle recomputes the DECODED stats from the closed-form pixel
+    // function — the Spark side must round-trip those pixels through a real
+    // PNG encode + ImageIO decode to match, so a codec-plumbing bug (wrong
+    // channel order, lossy format, dropped rows) breaks the hash.
+    "m03_feature_extract" -> """
+      WITH dims AS (
+        SELECT doc_id AS media_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 11 AS h
+        FROM documents),
+      px AS (SELECT media_id, w, h, UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM dims),
+      pxy AS (SELECT media_id, w, h, x, UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM px)
+      SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST((1000 * SUM((media_id * 31 + x * 7 + y * 13) % 256)) // (w * h) AS BIGINT) AS r_mean_milli,
+             CAST((1000 * SUM((media_id * 17 + x * 11 + y * 3) % 256)) // (w * h) AS BIGINT) AS g_mean_milli,
+             CAST((1000 * SUM((media_id * 29 + x * 5 + y * 19) % 256)) // (w * h) AS BIGINT) AS b_mean_milli
+      FROM pxy
+      GROUP BY media_id, w, h""",
 
     // byte chunks equal character chunks because the fixture is ASCII —
     // the same equivalence m01's sha256(text) oracle already relies on
