@@ -243,6 +243,66 @@ class SQLFlowTests(ReusedSQLTestCase):
         self.assertIn('"stage_one"', contracted)
         self.assertIn('"stage_two"', contracted)
 
+    def test_conf_driven_listener_end_to_end(self):
+        """The zero-code README path: a user sets ONLY session confs
+        (spark.sql.queryExecutionListeners=ConfSQLFlowListener +
+        spark.sql.flow.sink.outputDirPath) and every successful query
+        appends a lineage file. queryExecutionListeners is a STATIC conf, so
+        this needs a fresh JVM — the test drives a pyspark subprocess, the
+        same way a real job would be submitted."""
+        import subprocess
+        import textwrap
+
+        work = tempfile.mkdtemp()
+        sink_dir = os.path.join(work, "lineage")
+        script = textwrap.dedent(
+            """
+            import glob, os, sys, time
+            from pyspark.sql import SparkSession
+
+            jar = os.environ["SQLFLOW_LIB"]
+            out = sys.argv[1]
+            spark = (
+                SparkSession.builder.master("local[2]")
+                .appName("conf-listener-e2e")
+                .config("spark.ui.enabled", "false")
+                .config("spark.sql.shuffle.partitions", "2")
+                .config("spark.jars", jar)
+                .config("spark.driver.extraClassPath", jar)
+                .config("spark.sql.queryExecutionListeners",
+                        "org.apache.spark.sql.graft.ConfSQLFlowListener")
+                .config("spark.sql.flow.sink.outputDirPath", out)
+                .getOrCreate()
+            )
+            spark.range(10).selectExpr("id % 3 AS k").groupBy("k").count().collect()
+            # the listener bus is async: wait for the lineage file to land
+            deadline = time.time() + 30
+            while time.time() < deadline and not glob.glob(os.path.join(out, "*", "*.dot")):
+                time.sleep(0.5)
+            spark.stop()
+            """
+        )
+        script_path = os.path.join(work, "driver_script.py")
+        with open(script_path, "w") as fh:
+            fh.write(script)
+        env = dict(os.environ)
+        env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+        proc = subprocess.run(
+            [sys.executable, script_path, sink_dir],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        self.assertEqual(proc.returncode, 0, f"subprocess failed:\n{proc.stderr[-2000:]}")
+        import glob as _glob
+        dots = _glob.glob(os.path.join(sink_dir, "*", "*.dot"))
+        self.assertTrue(dots, f"conf-driven listener wrote no .dot under {sink_dir}")
+        with open(dots[0]) as fh:
+            content = fh.read()
+        self.assertIn("digraph", content)
+        self.assertIn("->", content)
+        # the lineage root is a query node stamped with runtime props
+        self.assertIn("query_", content)
+        shutil.rmtree(work, ignore_errors=True)
+
 
 if __name__ == "__main__":
     unittest.main(verbosity=2)

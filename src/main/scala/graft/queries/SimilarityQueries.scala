@@ -181,6 +181,49 @@ object SimilarityQueries {
     }
   }
 
+  /** s07's query path — the full IVF-PQ architecture (the FAISS-style ANN
+    * design, re-expressed as a Spark plan): probe nprobe IVF buckets →
+    * partition-pruned scan of the CODE column only → ADC scoring (m table
+    * lookups per pair, native expression) → bounded top-`rerank` candidates
+    * per query → exact cosine re-rank of just those. Approximation
+    * surfaces: bucket recall (as s02) and PQ quantization (absorbed by the
+    * re-rank unless a bucket-true neighbor falls outside the top-`rerank`
+    * ADC candidates — QueriesSpec pins recall at the default depth and its
+    * degradation at a starved depth). */
+  private[graft] def ivfPqKnn(s: SparkSession, dir: String, rerank: Int = PqRerank): DataFrame = {
+    import org.apache.spark.sql.graft.functions.{pq_adc_lut, pq_adc_score, top_k_struct}
+    val cb = pqCodebook(s, dir)
+    val score = pivotScores(ivfPivots(s, dir)) _
+    val idx = s.read.parquet(pqIndexPath(s, dir))
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // each query ships its 2·m·k-double ADC table with its probes —
+    // queries×nprobe rows, broadcast; the index side never shuffles
+    val probes = queries
+      .select(col("query_id"), pq_adc_lut(col("q_emb"), cb, PqM, PqK).as("lut"),
+        explode(slice(sort_array(score(col("q_emb")), asc = false), 1, IvfNprobe)).as("p"))
+      .select(col("query_id"), col("lut"), (-col("p.negp")).as("pivot_id"))
+    val approx = idx.join(broadcast(probes), "pivot_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        pq_adc_score(col("code"), col("lut")).as("ascore"))
+    // bounded top-C per query: map-side state is C rows, the shuffle
+    // moves C·queries (score, id) pairs (ties to the lowest id)
+    val cand = approx.groupBy("query_id")
+      .agg(top_k_struct(struct((col("ascore") * -1).as("neg"),
+        col("neighbor_id")), rerank).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
+    // exact re-rank: C·queries candidate ids broadcast against the
+    // vector table — the only touch of raw embeddings in the query path
+    val scored = emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+    topKPerQuery(scored, 5)
+  }
+
   val defs: Map[String, Q] = Map(
     // DETERMINISM (ADVICE r3): s01's oracle match rests on rank ORDER over
     // raw float cosines agreeing across engines. There is no cheap exact
@@ -251,47 +294,7 @@ object SimilarityQueries {
       topKPerQuery(scored, 5)
     }),
 
-    "s07_knn_ivfpq" -> ((s, dir) => {
-      // the full IVF-PQ query path (the FAISS-style ANN architecture,
-      // re-expressed as a Spark plan): probe nprobe IVF buckets →
-      // partition-pruned scan of the CODE column only → ADC scoring (m
-      // table lookups per pair, native expression) → bounded top-C
-      // candidates per query → exact cosine re-rank of just those C.
-      // Approximation surfaces: bucket recall (as s02) and PQ quantization
-      // (absorbed by the re-rank unless the true neighbor falls outside
-      // the top-C ADC candidates). QueriesSpec pins recall@5 against s01.
-      import org.apache.spark.sql.graft.functions.{pq_adc_lut, pq_adc_score, top_k_struct}
-      val cb = pqCodebook(s, dir)
-      val score = pivotScores(ivfPivots(s, dir)) _
-      val idx = s.read.parquet(pqIndexPath(s, dir))
-      val emb = tbl(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      // each query ships its 2·m·k-double ADC table with its probes —
-      // queries×nprobe rows, broadcast; the index side never shuffles
-      val probes = queries
-        .select(col("query_id"), pq_adc_lut(col("q_emb"), cb, PqM, PqK).as("lut"),
-          explode(slice(sort_array(score(col("q_emb")), asc = false), 1, IvfNprobe)).as("p"))
-        .select(col("query_id"), col("lut"), (-col("p.negp")).as("pivot_id"))
-      val approx = idx.join(broadcast(probes), "pivot_id")
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          pq_adc_score(col("code"), col("lut")).as("ascore"))
-      // bounded top-C per query: map-side state is C rows, the shuffle
-      // moves C·queries (score, id) pairs (ties to the lowest id)
-      val cand = approx.groupBy("query_id")
-        .agg(top_k_struct(struct((col("ascore") * -1).as("neg"),
-          col("neighbor_id")), PqRerank).as("top"))
-        .select(col("query_id"), explode(col("top")).as("t"))
-        .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
-      // exact re-rank: C·queries candidate ids broadcast against the
-      // vector table — the only touch of raw embeddings in the query path
-      val scored = emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
-        .join(broadcast(queries), "query_id")
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(col("q_emb"), col("embedding")).as("score"))
-      topKPerQuery(scored, 5)
-    }),
+    "s07_knn_ivfpq" -> ((s, dir) => ivfPqKnn(s, dir)),
 
     "s05_kmeans_ivf" -> ((s, dir) => {
       // trained IVF: 3 iterations of spherical k-means, then per-cluster

@@ -257,6 +257,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(hits.toDouble / truth.count() >= 0.4)
   }
 
+  test("s07 recall is pinned, not incidental: rerank-depth sensitivity at two SFs") {
+    // s07 ≡ s02 at the default rerank depth holds because the exact
+    // re-rank absorbs PQ loss — this test pins that as a RECALL surface
+    // instead of an incidental equality: against the bucket-restricted
+    // ground truth (s02, which isolates the PQ/ADC surface from bucket
+    // recall), the default depth C=100 must recover >= 90% of bucket-true
+    // top-5 neighbors, and a starved C=10 cut can only do worse (the ADC
+    // ordering decides which candidates survive) while still clearing a
+    // floor. Run at sf0.001 AND sf0.01 so the property is not an artifact
+    // of one corpus size.
+    import graft.queries.SimilarityQueries
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bucketTruth = SparkEntry.queries("s02_knn_ivf")(spark, dir)
+        .select("query_id", "neighbor_id")
+      val total = bucketTruth.count()
+      assert(total > 0)
+      def recall(rerank: Int): Double =
+        SimilarityQueries.ivfPqKnn(spark, dir, rerank)
+          .select("query_id", "neighbor_id")
+          .intersect(bucketTruth).count().toDouble / total
+      val rFull = recall(100)
+      val rStarved = recall(10)
+      assert(rFull >= 0.9, s"recall@5 vs bucket truth at C=100 is $rFull in $dir")
+      assert(rStarved <= rFull,
+        s"starving the ADC cut cannot raise recall ($rStarved > $rFull) in $dir")
+      // floor: random top-10 of a ~nprobe/nlist bucket scan would land ~2%
+      // of bucket-true top-5; the ADC ordering must do far better even
+      // starved (measured 0.42 at sf0.001 / higher at sf0.01 — m=8,k=16 PQ
+      // at 64 dims is deliberately coarse, the re-rank is what fixes it)
+      assert(rStarved >= 0.3,
+        s"C=10 recall collapsed to $rStarved in $dir — ADC ordering is broken")
+    }
+  }
+
   test("bounded top-k aggregate equals the window row_number formulation") {
     val windowed = SparkEntry.queries("q07_window_topk")(spark, sf)
     val bounded = SparkEntry.queries("q59_topk_bounded")(spark, sf)
