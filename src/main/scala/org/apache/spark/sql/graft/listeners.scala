@@ -79,6 +79,15 @@ class ConfSQLFlowListener extends QueryExecutionListener with Logging {
       val contracted = conf.getOption("spark.sql.flow.sink.contracted").exists(_.toBoolean)
       val sink = conf.getOption("spark.sql.flow.sink.format") match {
         case Some("cypher") => CypherFileSink()
+        case Some("neo4j") =>
+          // live-graph audit (the reference's Aura workflow) by conf alone:
+          // uri defaults to a file: stream under the output dir, so the
+          // same conf works with or without the optional bolt driver
+          Neo4jAuraSink(
+            conf.getOption("spark.sql.flow.sink.neo4j.uri")
+              .getOrElse(s"file:$dirPath/sqlflow_neo4j.cypher"),
+            conf.getOption("spark.sql.flow.sink.neo4j.user").getOrElse("neo4j"),
+            conf.getOption("spark.sql.flow.sink.neo4j.passwd").getOrElse(""))
         case _ => GraphVizSink()
       }
       SQLFlowListener(sink, contracted, Map("outputDirPath" -> dirPath))

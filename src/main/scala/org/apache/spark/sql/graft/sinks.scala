@@ -218,12 +218,10 @@ case class AdjacencyListSink(sep: String = " -> ") extends FlowBatchSink with Fl
   }
 }
 
-/** Cypher-statement sink: emits the same MERGE/CONSTRAINT statement stream
-  * the reference sends to Neo4j Aura (Neo4jAuraSink.scala:124-214), written
-  * to a .cypher file instead of a bolt connection — this container has no
-  * network egress. Point any Neo4j at the file to load the graph. */
-case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowFormat {
-  import SinkIO._
+/** The MERGE/CONSTRAINT statement stream the reference sends to Neo4j Aura
+  * (Neo4jAuraSink.scala:124-214) — shared by [[CypherFileSink]] (statements
+  * to a file) and [[Neo4jAuraSink]] (statements through a transport). */
+private[graft] object CypherStatements {
 
   private def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
 
@@ -263,14 +261,16 @@ case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowF
     buf.distinct.toSeq
   }
 
-  override def toGraphString(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): String = {
-    // one uniqueness constraint per label, like the reference
-    // (Neo4jAuraSink.scala:124-141); uids here are deterministic, so they
-    // serve as the unique key for plan nodes too
-    val constraints = Seq("Table", "View", "Query", "Plan").map { l =>
-      s"CREATE CONSTRAINT unique_${l.toLowerCase(java.util.Locale.ROOT)}_node_uid " +
-        s"IF NOT EXISTS FOR (n:$l) REQUIRE n.uid IS UNIQUE;"
-    }
+  /** One uniqueness constraint per label, like the reference
+    * (Neo4jAuraSink.scala:124-141); uids here are deterministic, so they
+    * serve as the unique key for plan nodes too. */
+  def constraints: Seq[String] = Seq("Table", "View", "Query", "Plan").map { l =>
+    s"CREATE CONSTRAINT unique_${l.toLowerCase(java.util.Locale.ROOT)}_node_uid " +
+      s"IF NOT EXISTS FOR (n:$l) REQUIRE n.uid IS UNIQUE;"
+  }
+
+  /** Idempotent node + relationship MERGEs for one graph increment. */
+  def merges(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): Seq[String] = {
     val nodeStmts = nodes.map { n =>
       s"MERGE (n:Node {uid: '${esc(n.uniqueId)}'}) " +
         s"SET n:${label(n)}, n.ident = '${esc(n.ident)}', n.cached = ${n.isCached}, " +
@@ -292,8 +292,20 @@ case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowF
         s"ON CREATE SET r.dstNodeIds = $dsts " +
         s"ON MATCH SET r.dstNodeIds = r.dstNodeIds + $dsts;"
     }
-    (constraints ++ nodeStmts ++ edgeStmts).mkString("\n") + "\n"
+    nodeStmts ++ edgeStmts
   }
+}
+
+/** Cypher-statement sink: emits the same MERGE/CONSTRAINT statement stream
+  * the reference sends to Neo4j Aura (Neo4jAuraSink.scala:124-214), written
+  * to a .cypher file instead of a bolt connection — this container has no
+  * network egress. Point any Neo4j at the file to load the graph. */
+case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowFormat {
+  import SinkIO._
+
+  override def toGraphString(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): String =
+    (CypherStatements.constraints ++ CypherStatements.merges(nodes, edges))
+      .mkString("\n") + "\n"
 
   override def write(nodes: Seq[FlowNode], edges: Seq[FlowEdge],
       options: Map[String, String]): Unit = {
@@ -313,4 +325,101 @@ case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowF
     Files.write(f, toGraphString(nodes, edges).getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
+}
+
+/** How [[Neo4jAuraSink]] delivers Cypher: one transaction per batch. The
+  * sink stays transport-agnostic so the same statement stream runs against
+  * a live bolt endpoint in production and a file (or a recording stub in
+  * tests) where no network exists. */
+trait CypherTransport extends AutoCloseable {
+  /** Run one batch of statements atomically (one transaction). */
+  def runBatch(statements: Seq[String]): Unit
+  override def close(): Unit = ()
+}
+
+/** Appends each batch to a .cypher file — exactly the statements a bolt
+  * transport would send, separated by transaction markers so the batching
+  * is auditable. Loadable as-is by cypher-shell. */
+class FileCypherTransport(path: java.nio.file.Path) extends CypherTransport {
+  override def runBatch(statements: Seq[String]): Unit = {
+    Option(path.getParent).foreach(Files.createDirectories(_))
+    val payload = statements.mkString("", "\n", "\n")
+    Files.write(path, (s":begin\n$payload:commit\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+}
+
+/** Bolt transport over the public neo4j-java-driver, loaded reflectively:
+  * the driver jar is an OPTIONAL runtime dependency (this build cannot
+  * resolve it — zero egress), so nothing here links against it at compile
+  * time. Add `org.neo4j.driver:neo4j-java-driver` to the cluster classpath
+  * and this transport lights up; without it, construction fails with a
+  * clear message instead of a NoClassDefFoundError mid-query. */
+class BoltCypherTransport(uri: String, user: String, passwd: String) extends CypherTransport {
+  private val (driver, sessionM, driverCloseM) =
+    try {
+      val graphDb = Class.forName("org.neo4j.driver.GraphDatabase")
+      val authTokens = Class.forName("org.neo4j.driver.AuthTokens")
+      val authToken = Class.forName("org.neo4j.driver.AuthToken")
+      val driverCls = Class.forName("org.neo4j.driver.Driver")
+      val token = authTokens.getMethod("basic", classOf[String], classOf[String])
+        .invoke(null, user, passwd)
+      val d = graphDb.getMethod("driver", classOf[String], authToken).invoke(null, uri, token)
+      (d, driverCls.getMethod("session"), driverCls.getMethod("close"))
+    } catch {
+      case _: ClassNotFoundException =>
+        throw new IllegalStateException(
+          "neo4j-java-driver not on the classpath: add " +
+            "org.neo4j.driver:neo4j-java-driver to use the bolt transport, or " +
+            "use a file: URI to emit the statement stream to disk")
+    }
+
+  override def runBatch(statements: Seq[String]): Unit = {
+    val session = sessionM.invoke(driver)
+    // resolve run/close on the session's own (public) type hierarchy: the
+    // declaring interface moved between driver 4.x and 5.x
+    val runM = session.getClass.getMethod("run", classOf[String])
+    val closeM = session.getClass.getMethod("close")
+    try statements.foreach(st => { runM.invoke(session, st); () })
+    finally closeM.invoke(session)
+  }
+
+  override def close(): Unit = { driverCloseM.invoke(driver); () }
+}
+
+/** Neo4j Aura sink with the reference's signature
+  * (Neo4jAuraSink.scala:118-240): uniqueness constraints, then idempotent
+  * MERGE batches, each batch one transaction. Transport is resolved from
+  * the URI — `neo4j://`/`bolt://` opens the reflective bolt driver,
+  * `file:<path>` appends the identical statement stream to disk (the
+  * no-egress mode this container runs, and a dry-run/audit mode anywhere).
+  * Tests inject a recording transport via `openTransport`. */
+case class Neo4jAuraSink(uri: String, user: String, passwd: String)
+  extends FlowBatchSink with FlowStreamSink {
+
+  /** Statements per transaction: bounds bolt round-trip payloads and keeps
+    * any one failed transaction's replay small. */
+  val batchSize: Int = 128
+
+  protected def openTransport(): CypherTransport =
+    if (uri.startsWith("file:")) {
+      new FileCypherTransport(java.nio.file.Paths.get(uri.stripPrefix("file:")))
+    } else new BoltCypherTransport(uri, user, passwd)
+
+  private def deliver(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): Unit = {
+    val t = openTransport()
+    try {
+      t.runBatch(CypherStatements.constraints)
+      CypherStatements.merges(nodes, edges).grouped(batchSize).foreach(t.runBatch)
+    } finally t.close()
+  }
+
+  override def write(nodes: Seq[FlowNode], edges: Seq[FlowEdge],
+      options: Map[String, String]): Unit = deliver(nodes, edges)
+
+  /** Listener mode: MERGE + dstNodeIds accumulation make appends
+    * idempotent-per-edge and additive across queries, so the stream path is
+    * the same delivery as the batch path. */
+  override def append(nodes: Seq[FlowNode], edges: Seq[FlowEdge],
+      options: Map[String, String]): Unit = deliver(nodes, edges)
 }
