@@ -812,8 +812,37 @@ object CoreQueries {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"))
+    }),
+
+    "q75_zorder_layout" -> ((s, dir) => {
+      // multi-dimensional layout keys (the lakehouse OPTIMIZE ZORDER BY
+      // step): each row gets the Morton-interleaved key of its two
+      // scan-predicate columns, computed by the native codegen'd
+      // [[org.apache.spark.sql.graft.ZOrderKey]] — a pure map-side
+      // projection at ingest. Writing range-partitioned + sorted by this
+      // key clusters rows close in BOTH dimensions into the same files,
+      // so parquet min/max zone maps prune scans filtered on EITHER
+      // column (LayoutSpec measures the pruning win vs a single-column
+      // sort; here the bit arithmetic itself is oracle-checked exactly).
+      // The per-tile rollup (key >> 12) keeps the output bounded at any SF.
+      import org.apache.spark.sql.graft.functions.zorder_key
+      tbl(s, dir, "lineitem")
+        .select(zorder_key(col("l_partkey"), col("l_suppkey"), 16).as("zkey"))
+        .groupBy(shiftright(col("zkey"), 12).as("tile_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("zkey")).as("sum_zkey"),
+          min(col("zkey")).as("min_zkey"),
+          max(col("zkey")).as("max_zkey"))
     })
   )
+
+  /** DuckDB-side Morton interleave of the low `bits` bits of two integer
+    * columns — the explicit shift/mask expansion of what ZOrderKey's
+    * spread-mask rounds compute (bit i of x → 2i, bit i of y → 2i+1). */
+  private def zorderOracleExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> """
@@ -1358,6 +1387,16 @@ object CoreQueries {
       SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 5 MINUTE AS session_end,
              COUNT(*) AS n_events
       FROM s
-      GROUP BY user_id, sid"""
+      GROUP BY user_id, sid""",
+
+    "q75_zorder_layout" -> s"""
+      WITH z AS (SELECT ${zorderOracleExpr("l_partkey", "l_suppkey", 16)} AS zkey
+                 FROM lineitem)
+      SELECT zkey >> 12 AS tile_id, COUNT(*) AS n_rows,
+             CAST(SUM(zkey) AS BIGINT) AS sum_zkey,
+             CAST(MIN(zkey) AS BIGINT) AS min_zkey,
+             CAST(MAX(zkey) AS BIGINT) AS max_zkey
+      FROM z
+      GROUP BY tile_id"""
   )
 }

@@ -501,6 +501,34 @@ object DedupQueries {
       // propagation (localCheckpoint between rounds) beyond.
       graft.operators.GraphOps.connectedComponents(
         exactJaccardPairs(s, dir).select("doc_a", "doc_b"))
+    }),
+
+    "d15_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al., 2023): semantic near-dup pruning with the
+      // pairwise work BOUNDED BY A COARSE CLUSTERING — vectors are first
+      // assigned to their nearest trained IVF centroid (s02's literal-pivot
+      // map-side rule), then exact cosine runs only WITHIN a cluster. The
+      // one shuffle keys the corpus by pivot_id; per-reducer work is
+      // O(cluster²), and production scales nlist with the corpus so the
+      // expected cluster stays fixed-size (same lever as IVF itself —
+      // nlist is a constant independent of total corpus bytes). A vector
+      // is dropped when a smaller-id cluster-mate sits above the cosine
+      // threshold; rep_id = the smallest such mate, so keep-lists are
+      // deterministic. Approximation surface (cross-cluster pairs are
+      // never compared) is pinned by QueriesSpec: every reported pair is
+      // exactly verified sound, recall vs the brute-force pair set is
+      // floored, and the threshold uses this corpus' cosine range (max
+      // pairwise ≈ 0.48; production would use ~0.95).
+      import org.apache.spark.sql.graft.functions.vec_cosine
+      val a = SimilarityQueries.ivfAssigned(s, dir)
+      a.select(col("pivot_id"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        .join(a.select(col("pivot_id"), col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+          "pivot_id")
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(vec_cosine(col("emb_a"), col("emb_b")) >= 0.3)
+        .groupBy(col("vec_b"))
+        .agg(min(col("vec_a")).as("rep_id"), count(lit(1)).as("n_sem_dups"))
+        .select(col("vec_b").as("vec_id"), col("rep_id"), col("n_sem_dups"))
     })
   )
 

@@ -73,6 +73,16 @@ object SimilarityQueries {
         col("col.neighbor_id").as("neighbor_id"))
   }
 
+  /** Every corpus vector tagged with its nearest trained-centroid id — the
+    * assignment half of IVF (one narrow map-side projection over literal
+    * pivots; ties to max sim then lowest pivot id), shared by s02's probe
+    * path and d15's SemDeDup cluster bound. */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    val score = pivotScores(ivfPivots(s, dir)) _
+    tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      (-array_max(score(col("embedding"))).getField("negp")).as("pivot_id"))
+  }
+
   /** Nearest-pivot scoring with the trained centroids embedded as
     * LITERALS: an array of (sim, -pivot) structs — array_max picks the
     * assignment, sort+slice picks probe buckets. ONE definition shared by
@@ -253,8 +263,7 @@ object SimilarityQueries {
       // projection — no crossJoin row blow-up, no per-vector window, and
       // the embedding column never enters an Exchange.
       // (Ties: max sim, then lowest pivot id.)
-      val assigned = emb.select(col("vec_id"), col("embedding"),
-        (-array_max(score(col("embedding"))).getField("negp")).as("pivot_id"))
+      val assigned = ivfAssigned(s, dir)
       // probe: each query searches its nprobe nearest pivot buckets —
       // same literal scoring, sorted in-row, top nprobe exploded
       val probes = emb.filter(col("vec_id") < 10)

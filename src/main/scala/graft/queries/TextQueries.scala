@@ -262,8 +262,67 @@ object TextQueries {
         .select(col("doc_id"),
           aggregate(col("tokens"), lit("graftseed"),
             (acc, t) => md5(concat(acc, t))).as("fingerprint"))
+    }),
+
+    "t15_pii_redact" -> ((s, dir) => {
+      // PII scrubbing — the redaction pass every training corpus gets
+      // before anything else: count and replace emails / phone spans /
+      // IPv4 literals with typed placeholders. Pure regexp projections
+      // (Spark's codegen'd regexp_count/regexp_replace — no UDF), so the
+      // pass is map-side only and scales linearly; patterns are kept to
+      // the Java∩RE2 common dialect (no lookaround) so the DuckDB oracle
+      // hash-checks the REDACTED BYTES, not just the counts. The fixture
+      // text contains no PII, so deterministic spans derived from doc_id
+      // are appended first — the same construction runs in the oracle,
+      // and the redactor is what's under test.
+      val aug = concat(col("text"), expr(
+        "CASE WHEN doc_id % 4 = 0 THEN ' contact agent' || CAST(doc_id AS STRING) || '@example.com now' " +
+          "WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today' " +
+          "WHEN doc_id % 4 = 2 THEN ' node 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || CAST((doc_id * 7) % 256 AS STRING) || ' up' " +
+          "ELSE '' END"))
+      tbl(s, dir, "documents")
+        .withColumn("t", aug)
+        .withColumn("red",
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            PiiEmail, "[EMAIL]"), PiiIp, "[IP]"), PiiPhone, "[PHONE]"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(PiiEmail)).as("n_emails"),
+          regexp_count(col("t"), lit(PiiPhone)).as("n_phones"),
+          regexp_count(col("t"), lit(PiiIp)).as("n_ips"),
+          md5(col("red")).as("redacted_md5"),
+          length(col("red")).as("n_chars_clean"))
+    }),
+
+    "t16_model_score" -> ((s, dir) => {
+      // quality-model inference — the fasttext-style linear classifier
+      // pass that scores every document against offline-trained weights.
+      // The weight vector ships as plan literals (the ivfPivots pattern:
+      // model size is independent of corpus size, no join against a
+      // weights table), features are the t03 fixed-point milli-ratios,
+      // and the logit stays in exact integer arithmetic end to end →
+      // bit-deterministic at any parallelism, oracle-checked exactly.
+      val stopArr = array(stopEn.map(lit): _*)
+      tbl(s, dir, "documents")
+        .withColumn("tokens", toks(col("text")))
+        .select(col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          size(filter(col("tokens"), t => array_contains(stopArr, t))).as("n_stop"),
+          size(array_distinct(col("tokens"))).as("n_unique"))
+        .withColumn("logit_milli", expr(
+          "3 * ((1000 * n_unique) DIV greatest(n_tokens, 1)) " +
+            "- 2 * ((1000 * n_stop) DIV greatest(n_tokens, 1)) " +
+            "+ 5 * least(n_tokens, 100) - 1500"))
+        .select(col("doc_id"), col("logit_milli"),
+          when(col("logit_milli") > 0, "keep").otherwise("drop").as("label"))
     })
   )
+
+  /** PII patterns, restricted to the Java∩RE2 common dialect (character
+    * classes, bounded repeats, ASCII \b — no lookaround, no backrefs) so
+    * Spark and the DuckDB oracle match identical spans. */
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhone = "\\b555-[0-9]{4}\\b"
+  private val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> """
@@ -432,6 +491,46 @@ object TextQueries {
       SELECT doc_id,
              list_reduce(list_prepend('graftseed', LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')),
                          (acc, x) -> md5(acc || x)) AS fingerprint
-      FROM documents"""
+      FROM documents""",
+
+    "t15_pii_redact" -> """
+      WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0 THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                            WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                            WHEN doc_id % 4 = 2 THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up'
+                            ELSE '' END AS t
+        FROM documents),
+      r AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+                 '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS red
+        FROM aug)
+      SELECT doc_id,
+             CAST(LEN(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(LEN(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
+             CAST(LEN(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+             md5(red) AS redacted_md5,
+             CAST(LEN(red) AS INT) AS n_chars_clean
+      FROM r""",
+
+    "t16_model_score" -> """
+      WITH f AS (
+        SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t))) AS n_stop,
+               LEN(LIST_DISTINCT(toks)) AS n_unique
+        FROM (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS toks FROM documents)),
+      g AS (
+        SELECT doc_id,
+               3 * ((1000 * n_unique) // GREATEST(n_tokens, 1))
+                 - 2 * ((1000 * n_stop) // GREATEST(n_tokens, 1))
+                 + 5 * LEAST(n_tokens, 100) - 1500 AS logit_milli
+        FROM f)
+      SELECT doc_id, CAST(logit_milli AS BIGINT) AS logit_milli,
+             CASE WHEN logit_milli > 0 THEN 'keep' ELSE 'drop' END AS label
+      FROM g"""
   )
 }

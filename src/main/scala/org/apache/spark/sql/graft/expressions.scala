@@ -308,6 +308,63 @@ case class CdcChunkHashes(child: Expression, minSize: Int = 16, maskBits: Int = 
     copy(child = newChild)
 }
 
+/** Morton (Z-order) curve keys for multi-dimensional data layout.
+  *
+  * Writing 100 TB sorted by ONE column gives min/max file pruning on that
+  * column only; sorting by the interleaved bits of TWO columns gives
+  * useful (sqrt-factor) pruning on EITHER — the lakehouse OPTIMIZE
+  * ZORDER BY layout. The key itself is a pure bit-shuffle, computed here
+  * with the standard mask-spread (5 shift/mask rounds per coordinate, no
+  * loop, no branch), so it stays a one-instruction-stream codegen'd
+  * projection at ingest time. */
+object ZOrderOps {
+  /** Spread the low 32 bits of `v` into the even bit positions. */
+  private def spread(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Interleave the low `bits` bits of x and y: bit i of x lands at 2i,
+    * bit i of y at 2i+1. Monotone in each coordinate when the other is
+    * fixed, and ≤ 2·bits result bits, so the key is always non-negative. */
+  def interleave2(x: Long, y: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1L
+    spread(x & mask) | (spread(y & mask) << 1)
+  }
+}
+
+/** `zorder_key(x, y[, bits])` — Morton-interleaved layout key of two
+  * integer columns (low `bits` of each; callers quantize wider domains
+  * first). Range-partitioning + sorting writes by this key clusters rows
+  * that are close in BOTH dimensions into the same files, so min/max
+  * zone maps prune scans filtered on either column (LayoutSpec measures
+  * the bounding-box shrink vs a single-column sort). */
+case class ZOrderKey(left: Expression, right: Expression, bits: Int = 16)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+  private def isIntegral(dt: DataType): Boolean =
+    dt == IntegerType || dt == LongType || dt == ShortType || dt == ByteType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(isIntegral(left.dataType) && isIntegral(right.dataType),
+      "integral types on both sides", left.dataType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderOps.interleave2(
+      a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue(), bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // int/short/byte operands widen to long implicitly in the generated Java
+    defineCodeGen(ctx, ev,
+      (a, b) => s"org.apache.spark.sql.graft.ZOrderOps.interleave2($a, $b, $bits)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Membership testing against a driver-built Bloom filter digest. */
 object BloomOps {
   /** Count of array elements that might be members of `bf` — one tight
@@ -440,6 +497,10 @@ object functions {
   def cdc_chunk_hashes(c: Column, minSize: Int = 16, maskBits: Int = 6): Column =
     ExpressionUtils.column(CdcChunkHashes(ExpressionUtils.expression(c), minSize, maskBits))
 
+  def zorder_key(x: Column, y: Column, bits: Int = 16): Column =
+    ExpressionUtils.column(ZOrderKey(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
+
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))
 
@@ -482,5 +543,7 @@ object functions {
       exprs => NormalizeText(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("cdc_chunk_hashes",
       exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6)), "built-in")
+    reg.createOrReplaceTempFunction("zorder_key",
+      exprs => ZOrderKey(exprs(0), exprs(1), intArg(exprs, 2, 16)), "built-in")
   }
 }

@@ -189,4 +189,42 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
     assert(withNull(1) === Some(2) && withNull(2) === None)
   }
+
+  test("zorder_key: matches the per-bit interleave reference over mixed int/long input") {
+    val df = spark.range(2000).select(
+      (col("id") * 2654435761L % 100003).cast("int").as("x"),
+      (col("id") * 40503 % 65543).as("y")) // y stays LONG — widening path
+      .select(col("x"), col("y"), zorder_key(col("x"), col("y"), 16).as("z"))
+    df.collect().foreach { r =>
+      val (x, y, z) = (r.getInt(0).toLong, r.getLong(1), r.getLong(2))
+      var ref = 0L
+      var i = 0
+      while (i < 16) {
+        ref |= ((x >> i) & 1L) << (2 * i)
+        ref |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      assert(z === ref, s"x=$x y=$y")
+      assert(z >= 0L, "key must stay non-negative (fits in 2·bits bits)")
+    }
+  }
+
+  test("zorder_key: monotone per coordinate, SQL-registered, null-safe, type-checked") {
+    // fixing y, increasing x must increase the key (zone-map usefulness)
+    val keys = (0 until 64).map(x =>
+      org.apache.spark.sql.graft.ZOrderOps.interleave2(x, 7, 16))
+    assert(keys == keys.sorted && keys.distinct.size == keys.size)
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    // 5=101b → even bits 10001b=17; 3=011b → odd bits 1010b=10
+    assert(spark.sql("SELECT zorder_key(5, 3)").head().getLong(0) === 27L)
+    assert(spark.sql("SELECT zorder_key(5, 3, 2)").head().getLong(0) === 11L,
+      "bits=2 masks x's third bit")
+    val n = Seq((Some(1), None: Option[Int])).toDF("x", "y")
+      .select(zorder_key($"x", $"y").as("z")).head()
+    assert(n.isNullAt(0), "null coordinate -> null key")
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", 1)).toDF("x", "y").select(zorder_key($"x", $"y")).collect()
+    }
+    assert(bad.getMessage.contains("integral"))
+  }
 }

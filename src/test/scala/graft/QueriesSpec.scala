@@ -329,6 +329,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(edgeDist > 1e-11, s"s04 oracle at risk: norm $edgeDist from a decile edge")
   }
 
+  test("d15 semdedup: sound (exact cosine ≥ τ, rep is the smallest such mate), " +
+      "recall above the random-assignment baseline, deterministic") {
+    import org.apache.spark.sql.graft.functions.vec_cosine
+    val tau = 0.3
+    val out = SparkEntry.queries("d15_semdedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // vec_id, rep_id, n_sem_dups
+    assert(out.nonEmpty)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // soundness: every reported (vec, rep) is a genuine semantic near-dup
+    out.foreach { case (vec, rep, _) =>
+      assert(rep < vec, s"rep $rep must be the smaller id of pair ($rep, $vec)")
+      assert(cos(emb(vec), emb(rep)) >= tau, s"pair ($rep, $vec) below threshold")
+    }
+    // recall: caught within-cluster pairs vs ALL τ-pairs. Cross-cluster
+    // pairs are SemDeDup's accepted loss; with nlist=16 a random
+    // assignment would catch ~1/16 ≈ 6%, so the 15% floor proves the
+    // clustering concentrates similar vectors (this corpus is weakly
+    // correlated — real near-dup corpora sit far above both numbers).
+    val ids = emb.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      if cos(emb(ids(i)), emb(ids(j))) >= tau
+    } yield 1).sum
+    val caught = out.map(_._3).sum
+    assert(caught.toDouble / brute >= 0.15,
+      s"semdedup recall ${caught.toDouble / brute} below floor ($caught of $brute)")
+    // deterministic: a second run reports the identical drop list
+    val again = SparkEntry.queries("d15_semdedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
