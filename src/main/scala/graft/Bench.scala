@@ -68,8 +68,8 @@ object Bench {
   private val HeavyNames = Seq(
     "d03_minhash_lsh", "d08_jaccard_exact_join", "d09_dup_components",
     "d11_dedup_pipeline", "d12_bloom_incremental", "d13_leakage_free_split",
-    "d14_containment", "d15_semdedup", "t08_doc_top_terms", "s01_knn_brute",
-    "s05_kmeans_ivf")
+    "d14_containment", "d15_semdedup", "d16_substring_dup", "t08_doc_top_terms",
+    "s01_knn_brute", "s05_kmeans_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -529,6 +529,35 @@ object DedupQueries {
         .groupBy(col("vec_b"))
         .agg(min(col("vec_a")).as("rep_id"), count(lit(1)).as("n_sem_dups"))
         .select(col("vec_b").as("vec_id"), col("rep_id"), col("n_sem_dups"))
+    }),
+
+    "d16_substring_dup" -> ((s, dir) => {
+      // exact-substring duplication profile (Lee et al. 2022's ExactSubstr
+      // class): verbatim spans reused across otherwise-different documents
+      // — the duplication token-level Jaccard under-weights (a 50-char
+      // boilerplate inside a 5000-char doc barely moves its shingle set
+      // but is exactly what a model memorizes). Fingerprints come from the
+      // native winnowing expression, whose guarantee is alignment-free:
+      // any shared verbatim span ≥ w+k−1 = 39 chars yields at least one
+      // identical fingerprint in every copy, at ANY offsets (see
+      // WinnowOps; ExpressionsSpec proves the guarantee on shifted spans).
+      // Only 8-byte fingerprints shuffle — never text; df = distinct docs
+      // per fingerprint is the t11 posting-list shape, linear at 100 TB.
+      // Output: per-doc duplicated-fingerprint ratio. The fixture's word
+      // salad shares few long spans, so a deterministic boilerplate
+      // sentence is appended to every 5th doc in-query (the t15 pattern —
+      // same construction in the oracle; winnowing is what's under test).
+      import org.apache.spark.sql.graft.functions.winnow_fingerprints
+      val f = tbl(s, dir, "documents")
+        .withColumn("t", concat(col("text"), expr(
+          "CASE WHEN doc_id % 5 = 0 THEN ' standard corpus boilerplate notice applies to this document and may be ignored' ELSE '' END")))
+        .select(col("doc_id"), explode(winnow_fingerprints(col("t"), 32, 8)).as("fp"))
+      val dfs = f.groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
+      f.join(dfs, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_fps"))
+        .withColumn("dup_ratio_milli", expr("(1000L * n_dup_fps) DIV n_fingerprints"))
     })
   )
 
@@ -595,6 +624,28 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d03_minhash_lsh" -> exactJaccardOracle.format(500),
+
+    // winnowing replicated in SQL: k-gram hash = first 15 hex chars of md5
+    // (the one hash both engines share; t07 precedent), window minima via
+    // list slicing; GREATEST keeps both series bounds ≥ 1 for short docs
+    // (one whole-text gram / one truncated window — WinnowOps' edge rule)
+    "d16_substring_dup" -> """
+      WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0 THEN ' standard corpus boilerplate notice applies to this document and may be ignored' ELSE '' END AS t
+        FROM documents),
+      g AS (SELECT doc_id, LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 31, 1)),
+              i -> CAST(CONCAT('0x', SUBSTRING(md5(SUBSTR(t, i, 32)), 1, 15)) AS BIGINT)) AS h
+            FROM aug),
+      f AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(h) - 7, 1)),
+              i -> LIST_MIN(h[i:i+7])))) AS fp
+            FROM g),
+      d AS (SELECT fp, COUNT(DISTINCT doc_id) AS df FROM f GROUP BY fp)
+      SELECT doc_id, COUNT(*) AS n_fingerprints,
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fps,
+             (1000 * CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_ratio_milli
+      FROM f JOIN d USING (fp)
+      GROUP BY doc_id""",
 
     // shingle construction mirrors the d08 oracle (string domain equals the
     // 64-bit hash domain up to ~2^-64 collisions)

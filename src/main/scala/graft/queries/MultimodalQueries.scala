@@ -162,6 +162,87 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_shared_chunks"),
           coalesce(sum(col("n_occurrences")), lit(0L)).as("n_shared_occurrences"),
           coalesce(max(col("n_media")), lit(0L)).cast("long").as("max_spread"))
+    }),
+
+    "m06_image_neardup" -> ((s, dir) => {
+      // perceptual image dedup — the LAION/image-corpus architecture: a
+      // perceptual hash computed IN the decode pass (mapPartitions, once
+      // per image), then dedup is a plain hash groupBy: linear, no
+      // pairwise anything. The hash is dHash (difference hash): sample the
+      // decoded image to a 9×8 grayscale grid and emit one bit per
+      // horizontal neighbor comparison → 64 bits. Comparisons are
+      // invariant under uniform brightness shifts, so re-encoded /
+      // brightness-adjusted copies collapse to the SAME hash while
+      // different content does not — exactly what byte-level sha256 (m01)
+      // cannot do. The fixture builds 50 base patterns × 10
+      // brightness-shifted copies (pixels stay in [0, 215] — no clamping,
+      // which would break gradient invariance at saturation); QueriesSpec
+      // proves the groups collapse soundly and completely. Rows-only: the
+      // oracle cannot decode PNGs.
+      val pngSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("png", BinaryType, nullable = false)))
+      val pngEnc = org.apache.spark.sql.Encoders.row(pngSchema)
+      val pngs = mediaTable(s, dir).select("media_id")
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val g = id % 50 // base pattern group
+            val delta = ((id / 50) % 10).toInt * 4 // uniform brightness shift ≤ 36
+            val w = (4 + g % 13).toInt
+            val h = (3 + g % 11).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val red = ((g * 31 + x * 7 + y * 13) % 180).toInt + delta
+                val green = ((g * 17 + x * 11 + y * 3) % 180).toInt + delta
+                val blue = ((g * 29 + x * 5 + y * 19) % 180).toInt + delta
+                img.setRGB(x, y, (red << 16) | (green << 8) | blue)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(id, bos.toByteArray)
+          }
+        }(pngEnc)
+      val hashSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("dhash", LongType, nullable = false)))
+      val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
+      val hashed = pngs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val w = img.getWidth
+          val h = img.getHeight
+          // 9×8 point-sample grid (integer math — deterministic on any
+          // JVM; PNG is lossless so pixels are exact), then 8 horizontal
+          // comparisons per row → 64 bits
+          val gray = Array.tabulate(8, 9) { (gy, gx) =>
+            val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+            ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114
+          }
+          var bits = 0L
+          var i = 0
+          while (i < 64) {
+            val gy = i / 8
+            val gx = i % 8
+            if (gray(gy)(gx + 1) > gray(gy)(gx)) bits |= 1L << i
+            i += 1
+          }
+          Row(id, bits)
+        }
+      }(hashEnc)
+      hashed.groupBy("dhash")
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+        .select(col("keep_id"), col("n_copies"))
     })
   )
 

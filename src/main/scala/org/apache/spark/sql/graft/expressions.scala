@@ -308,6 +308,86 @@ case class CdcChunkHashes(child: Expression, minSize: Int = 16, maskBits: Int = 
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+  * the MOSS algorithm): hash every k-char window of the text, then keep
+  * the MINIMUM hash of each run of w consecutive window hashes. Selection
+  * is content-based, so it is ALIGNMENT-INDEPENDENT — the winnowing
+  * guarantee: any verbatim span of ≥ w+k−1 chars shared by two documents
+  * (at ANY offsets) contributes at least one identical fingerprint to
+  * both, at an expected density of 2/(w+1) fingerprints per position.
+  * That is the detection property stride-sampled k-grams cannot give
+  * (spans only match if their offsets agree mod the stride).
+  *
+  * The k-gram hash is the first 15 hex chars of md5 — md5 is the one
+  * hash both engines share, so the DuckDB oracle reproduces fingerprints
+  * bit-for-bit (`CAST('0x' || SUBSTRING(md5(..), 1, 15) AS BIGINT)`,
+  * the t07 precedent). Production at 100 TB would swap in a rolling
+  * Karp-Rabin/xxhash kernel (O(1) per position instead of O(k)); the
+  * selection logic — and everything downstream — is hash-agnostic. */
+object WinnowOps {
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Sorted distinct fingerprint set. Texts shorter than k yield one
+    * k-gram (the whole text); fewer than w window hashes yield one
+    * (truncated) winnowing window. */
+  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val m = if (n < k) 1 else n - k + 1
+    val h = new Array[Long](m)
+    val md = Md5.get()
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val g = if (n < k) str else str.substring(i, i + k)
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits of the big-endian first 8 bytes
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      h(i) = v >>> 4
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    // w is a small constant (default 8): the direct per-window scan is
+    // O(m·w) with no allocation — simpler than a monotone deque and just
+    // as fast at these widths
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var t = j
+      val end = math.min(j + w, m)
+      while (t < end) { if (h(t) < mn) mn = h(t); t += 1 }
+      out.add(mn)
+      j += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var z = 0
+    while (it.hasNext) { arr(z) = it.next(); z += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** `winnow_fingerprints(text[, k, w])` — the winnowed fingerprint SET of a
+  * document (sorted distinct); see [[WinnowOps]] for the guarantee. */
+case class WinnowFingerprints(child: Expression, k: Int = 32, w: Int = 8)
+  extends UnaryExpression {
+  require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowOps.fingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WinnowOps.fingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Morton (Z-order) curve keys for multi-dimensional data layout.
   *
   * Writing 100 TB sorted by ONE column gives min/max file pruning on that
@@ -501,6 +581,9 @@ object functions {
     ExpressionUtils.column(ZOrderKey(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
 
+  def winnow_fingerprints(c: Column, k: Int = 32, w: Int = 8): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(c), k, w))
+
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))
 
@@ -545,5 +628,8 @@ object functions {
       exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6)), "built-in")
     reg.createOrReplaceTempFunction("zorder_key",
       exprs => ZOrderKey(exprs(0), exprs(1), intArg(exprs, 2, 16)), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8)),
+      "built-in")
   }
 }

@@ -190,6 +190,42 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(withNull(1) === Some(2) && withNull(2) === None)
   }
 
+  test("winnow_fingerprints: the winnowing guarantee — a shared span ≥ w+k−1 chars " +
+      "is detected at ANY alignment; disjoint texts share nothing; edges covered") {
+    val span = "the exact boilerplate sentence that repeats verbatim across documents"
+    assert(span.length >= 39) // w+k−1 with k=32, w=8
+    // the span is embedded at deliberately misaligned offsets (1, 7, 16
+    // chars of distinct prefix) — stride sampling would miss these
+    val docs = Seq(
+      ("a", s"x $span and then some unrelated tail content here"),
+      ("b", s"seven77 $span completely different continuation text"),
+      ("c", s"sixteen chars!! $span yet another distinct ending"),
+      ("d", "entirely unrelated content with no overlap whatsoever in any window of it"))
+    val m = docs.toDF("id", "t")
+      .select($"id", winnow_fingerprints($"t", 32, 8).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    for (x <- Seq("a", "b", "c"); y <- Seq("a", "b", "c") if x < y) {
+      assert(m(x).intersect(m(y)).nonEmpty, s"span not detected between $x and $y")
+    }
+    Seq("a", "b", "c").foreach(x =>
+      assert(m(x).intersect(m("d")).isEmpty, s"false sharing between $x and d"))
+    // short-doc edges: shorter than k → one whole-text gram; equal texts agree
+    val short = Seq(("s1", "tiny"), ("s2", "tiny"), ("s3", "other")).toDF("id", "t")
+      .select($"id", winnow_fingerprints($"t", 32, 8).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(short("s1").length === 1 && short("s1") === short("s2"))
+    assert(short("s1") !== short("s3"))
+    // density: expected 2/(w+1) of positions — allow wide slack, but the
+    // set must be far smaller than the gram count and sorted distinct
+    val t = docs.head._2
+    val fps = m("a")
+    assert(fps.size < (t.length - 31) / 2)
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    val viaSql = spark.sql(
+      s"SELECT winnow_fingerprints('${docs.head._2}', 32, 8)").head().getSeq[Long](0)
+    assert(viaSql.toSet === fps, "SQL registration must agree with the Column API")
+  }
+
   test("zorder_key: matches the per-bit interleave reference over mixed int/long input") {
     val df = spark.range(2000).select(
       (col("id") * 2654435761L % 100003).cast("int").as("x"),

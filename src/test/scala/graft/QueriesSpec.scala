@@ -371,6 +371,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("m06 image near-dup: dHash collapses every brightness-shifted group whole; " +
+      "cross-group collisions stay rare") {
+    val out = SparkEntry.queries("m06_image_neardup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the fixture builds 50 base patterns × 10 uniform-brightness copies
+    // (media ids g, g+50, …, g+450). COMPLETENESS is the provable
+    // invariant: a uniform shift preserves every gradient sign, so each
+    // group's 10 copies always share one hash — groups never SPLIT
+    // (n_copies is a multiple of 10, keep_id is a base id < 50, all 500
+    // images are accounted for). Two groups MAY merge when their 64
+    // sampled gradient signs coincide — a perceptual-hash false positive
+    // (64-bit dHash has them by design; production stacks a verify pass,
+    // as every LSH family here does) — so the group count is bounded, not
+    // pinned: ≥ 45 keeps the false-positive rate honest (≤ 10%).
+    assert(out.values.forall(_ % 10 == 0), s"a brightness group split: $out")
+    assert(out.values.sum === 500L, "every image must land in exactly one group")
+    assert(out.keySet.forall(_ < 50L), "keep_id must be a base-pattern media id")
+    assert(out.size >= 45 && out.size <= 50, s"group count ${out.size} outside [45, 50]")
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
