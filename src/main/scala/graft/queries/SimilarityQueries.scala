@@ -172,7 +172,7 @@ object SimilarityQueries {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivf-index")
     val path = tmpRoot.resolve("embeddings_ivf").toString
     tbl(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("label"),
         (-array_max(pivotScores(pivotVecs)(col("embedding"))).getField("negp")).as("pivot_id"))
       .write.mode("overwrite").partitionBy("pivot_id").parquet(path)
     val prev = indexPaths.putIfAbsent(key, path)
@@ -304,6 +304,35 @@ object SimilarityQueries {
     }),
 
     "s07_knn_ivfpq" -> ((s, dir) => ivfPqKnn(s, dir)),
+
+    "s08_knn_filtered" -> ((s, dir) => {
+      // metadata-FILTERED ANN ("top-k similar where label = 3") — the
+      // vector-search shape every retrieval stack needs once vectors carry
+      // attributes. The predicate composes with BOTH index scan
+      // reductions: DPP prunes the scan to the probed pivot buckets AND
+      // the label predicate pushes into the parquet index read
+      // (PushedFilters — OptimizationSpec pins both), so row groups whose
+      // label stats exclude 3 are skipped inside the surviving buckets.
+      // Filtered search probes MORE buckets (nprobe 2→4): the predicate
+      // thins every bucket ~10×, so candidate count is rebuilt by widening
+      // the probe set — the standard filtered-ANN lever (raise nprobe,
+      // not k). Pre- vs post-filtering: the filter applies BEFORE scoring
+      // (cheap column compare), never after top-k (which would starve k).
+      // QueriesSpec pins soundness (every neighbor has label 3) and
+      // recall vs the exact filtered brute force.
+      val idx = s.read.parquet(ivfIndexPath(s, dir)).filter(col("label") === 3)
+      val score = pivotScores(ivfPivots(s, dir)) _
+      val probes = tbl(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(slice(sort_array(score(col("embedding")), asc = false),
+            1, 2 * IvfNprobe)).as("p"))
+        .select(col("query_id"), col("q_emb"), (-col("p.negp")).as("pivot_id"))
+      val scored = idx.join(broadcast(probes), "pivot_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      topKPerQuery(scored, 5)
+    }),
 
     "s05_kmeans_ivf" -> ((s, dir) => {
       // trained IVF: 3 iterations of spherical k-means, then per-cluster

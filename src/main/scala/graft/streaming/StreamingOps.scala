@@ -121,6 +121,45 @@ object StreamingOps {
       .drop("sh")
   }
 
+  /** One-pass streaming corpus-ingest gate — the full training-data intake
+    * pipeline as a SINGLE stateless projection chain: (1) PII redaction
+    * (t15's email→IPv4→phone chain, codegen'd regexp_replace), (2) quality
+    * verdict over the redacted text (t13's cascade: too_short /
+    * low_diversity / repetitive / keep, built on the native shingle
+    * expression), (3) novelty against the already-ingested corpus's
+    * broadcast Bloom digest (d12's sound half-shingle bound). Nothing here
+    * shuffles, joins, or keeps streaming state — at firehose scale the
+    * gate is embarrassingly parallel per micro-batch partition, and the
+    * only cross-epoch state is the digest the BATCH side rebuilds (d12).
+    * Emits the redacted text plus the gate's decision columns; callers
+    * filter `verdict = 'keep' AND novel` (kept separate so rejected docs
+    * can be routed to a quarantine sink instead of dropped silently). */
+  def ingestGate(
+      docs: DataFrame, digest: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    import org.apache.spark.sql.graft.functions.{bloom_count_hits, token_shingle_hashes}
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b555-[0-9]{4}\\b"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    docs
+      .withColumn("red",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "[EMAIL]"), ip, "[IP]"), phone, "[PHONE]"))
+      .withColumn("tk", filter(split(col("red"), " "), t => t =!= ""))
+      .withColumn("sh", token_shingle_hashes(col("red"), 3))
+      .withColumn("verdict",
+        when(size(col("tk")) < 10, "too_short")
+          .when(expr("(1000 * size(array_distinct(tk))) DIV greatest(size(tk), 1)") < 300,
+            "low_diversity")
+          // the shingle SET is deduped by construction, so repetition =
+          // how many of the doc's 3-gram positions collapsed into fewer
+          // distinct shingles
+          .when(expr("(1000 * (greatest(size(tk) - 2, 1) - size(sh))) " +
+            "DIV greatest(size(tk) - 2, 1)") > 300, "repetitive")
+          .otherwise("keep"))
+      .withColumn("novel", bloom_count_hits(col("sh"), digest) * 2 < size(col("sh")))
+      .drop("tk", "sh")
+  }
+
   /** Gap-based sessionization with explicit state: a session closes when no
     * event arrives within `gapMinutes` (event time). Emits closed sessions. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 5): Dataset[Session] = {

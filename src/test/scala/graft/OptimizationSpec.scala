@@ -154,6 +154,20 @@ class OptimizationSpec extends AnyFunSuite {
       s"index scan must be dynamically partition-pruned:\n${plan.take(3000)}")
   }
 
+  test("s08 filtered-ANN index scan: DPP to the probed buckets AND the label " +
+      "predicate pushed into the parquet read") {
+    // the two reductions must COMPOSE: dynamic partition pruning keeps the
+    // scan to nprobe buckets, and inside them the pushed label filter
+    // skips row groups whose stats exclude the value — the plan shape that
+    // makes attribute-filtered vector search corpus-size-independent
+    val plan = SparkEntry.queries("s08_knn_filtered")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(pivot_id"),
+      s"filtered index scan must be dynamically partition-pruned:\n${plan.take(3000)}")
+    assert(plan.contains("EqualTo(label,3)"),
+      s"label predicate must reach the index scan's PushedFilters:\n${plan.take(3000)}")
+  }
+
   test("s07 IVF-PQ scan is partition-pruned AND reads codes, not vectors") {
     // the two multiplicative scan reductions of IVF-PQ, both visible in the
     // plan: DPP prunes the index scan to the probed buckets, and the index

@@ -371,6 +371,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("s08 filtered ANN: every neighbor satisfies the predicate; " +
+      "recall vs the exact filtered brute force is floored") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.functions.vec_cosine
+    val out = SparkEntry.queries("s08_knn_filtered")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (query_id, neighbor_id)
+    assert(out.nonEmpty)
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (q, n) =>
+      assert(labels(n) == 3, s"query $q returned neighbor $n with label ${labels(n)}")
+    }
+    // exact filtered ground truth: label-3 corpus, exact cosine, top-5
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val truth = emb.filter(col("label") === 3).crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        vec_cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = out.count(truth.contains)
+    // 2·nprobe = 4 of 16 buckets probed: bucket recall bounds filtered
+    // recall exactly as in s02; the floor mirrors s02's 40%
+    assert(hits.toDouble / truth.size >= 0.4,
+      s"filtered recall ${hits.toDouble / truth.size} below 0.4 ($hits of ${truth.size})")
+  }
+
   test("m06 image near-dup: dHash collapses every brightness-shifted group whole; " +
       "cross-group collisions stay rare") {
     val out = SparkEntry.queries("m06_image_neardup")(spark, sf).collect()

@@ -98,6 +98,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(undirected.distinct().count() === batch.count())
   }
 
+  test("streaming ingest gate: redact → grade → novelty in one stateless pass, " +
+      "each rejection class routed; stream equals the batch gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.functions.token_shingle_hashes
+    val rows = Seq(
+      (100L, "fresh wholesome document discussing catalyst optimizer details contact admin@example.com for help"),
+      (101L, "a b c"), // too_short
+      (102L, "a b a b a b a b a b a b"), // low_diversity: 2 of 12 distinct
+      (103L, "p q r s t p q r s t p q r s t"), // repetitive: 5-token cycle
+      (104L, "seen baseline document about spark joins and shuffles repeated verbatim downstream"))
+    val seenText = rows.last._2 // 104 is an exact dup of the ingested corpus
+    val seen = Seq((0L, seenText)).toDF("doc_id", "text")
+      .select(explode(token_shingle_hashes($"text", 3)).as("e")).distinct()
+    val digest = seen.stat.bloomFilter("e", 1000L, 0.01)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-gate")
+    val df = rows.toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet(dir.resolve("in").toString)
+    val incoming = spark.readStream.schema(df.schema).parquet(dir.resolve("in").toString)
+    val q = StreamingOps.ingestGate(incoming, digest)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_gate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ingest_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("red"), r.getAs[String]("verdict"), r.getAs[Boolean]("novel"))).toMap
+
+    assert(out(100L)._2 === "keep" && out(100L)._3, "clean novel doc must pass")
+    assert(out(100L)._1.contains("[EMAIL]") && !out(100L)._1.contains("admin@example.com"),
+      "PII must be redacted before anything downstream sees the text")
+    assert(out(101L)._2 === "too_short")
+    assert(out(102L)._2 === "low_diversity")
+    assert(out(103L)._2 === "repetitive")
+    assert(out(104L)._2 === "keep" && !out(104L)._3,
+      "an exact dup of the ingested corpus is quality-clean but NOT novel")
+
+    // micro-batch execution must equal the same gate run in batch
+    val batch = StreamingOps.ingestGate(df, digest).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("red"), r.getAs[String]("verdict"), r.getAs[Boolean]("novel"))).toMap
+    assert(out === batch)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
   test("streaming novelty filter drops every true near-dup, stateless and map-side") {
     import org.apache.spark.sql.graft.functions.token_shingle_hashes
     // static digest of the "ingested" corpus (doc_id < 400), built in batch
