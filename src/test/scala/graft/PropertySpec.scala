@@ -105,4 +105,50 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("zorder_key: de-interleave recovers both coordinates on random input; " +
+      "keys of distinct points are distinct") {
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      var i = 0
+      while (i < 31) {
+        x |= ((z >>> (2 * i)) & 1L) << i
+        y |= ((z >>> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (x, y)
+    }
+    val pts = Seq.fill(2000)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val keys = pts.map { case (x, y) =>
+      (x, y, org.apache.spark.sql.graft.ZOrderOps.interleave2(x, y, 16))
+    }
+    keys.foreach { case (x, y, z) =>
+      assert(deinterleave(z) === ((x, y)), s"roundtrip failed for ($x, $y)")
+    }
+    // injectivity on the masked domain: distinct (x, y) -> distinct keys
+    assert(keys.map(_._3).distinct.size === pts.distinct.size)
+  }
+
+  test("winnow_fingerprints: the guarantee holds for random spans at random offsets") {
+    // plant one shared span (length ≥ w+k−1 = 39) into two random carriers
+    // at independent random offsets; the fingerprint sets must intersect
+    val wordRnd = new scala.util.Random(7)
+    def words(n: Int): String =
+      Seq.fill(n)(Seq.fill(3 + wordRnd.nextInt(6))(
+        ('a' + wordRnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val cases = (0 until 20).map { _ =>
+      val span = words(12) // ~70-90 chars of random words, well over 39
+      val a = words(wordRnd.nextInt(20)) + " " + span + " " + words(wordRnd.nextInt(20))
+      val b = words(wordRnd.nextInt(20)) + " " + span + " " + words(wordRnd.nextInt(20))
+      (a, b)
+    }
+    val df = cases.toDF("a", "b").select(
+      winnow_fingerprints($"a", 32, 8).as("fa"),
+      winnow_fingerprints($"b", 32, 8).as("fb"))
+    df.collect().zipWithIndex.foreach { case (r, i) =>
+      val fa = r.getSeq[Long](0).toSet
+      val fb = r.getSeq[Long](1).toSet
+      assert(fa.intersect(fb).nonEmpty, s"case $i: planted span not detected")
+    }
+  }
 }
