@@ -315,10 +315,21 @@ object AsOf {
 }
 
 /** `SparkSessionExtensions` hook for cluster-wide registration via
-  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`. */
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`:
+  * the custom planner strategies AND every native SQL function, so a
+  * session configured with the extension needs no per-session
+  * `functions.registerAll` call (ExtensionsSpec drives this path through
+  * a real conf-built session). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => TailStrategy)
+    functions.sqlBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "org.apache.spark.sql.graft.functions", name),
+        builder))
+    }
   }
 }

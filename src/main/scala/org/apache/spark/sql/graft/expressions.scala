@@ -601,10 +601,12 @@ object functions {
     ExpressionUtils.column(TopKStruct(ExpressionUtils.expression(c), k)
       .toAggregateExpression())
 
-  /** Make the expressions callable from SQL (temp functions). */
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  /** SQL builders for every native expression — ONE list consumed by both
+    * registration paths: [[registerAll]] (session temp functions) and
+    * [[GraftExtensions]] (`spark.sql.extensions` cluster conf). */
+  private[graft] def sqlBuilders: Seq[
+      (String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
     def intArg(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         i: Int, default: Int): Int =
       if (exprs.length > i) exprs(i) match {
@@ -612,24 +614,28 @@ object functions {
         case other => throw new IllegalArgumentException(
           s"argument ${i + 1} must be an integer literal, got $other")
       } else default
-    reg.createOrReplaceTempFunction("token_shingle_hashes",
-      exprs => TokenShingleHashes(exprs.head, intArg(exprs, 1, 3)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs.head, intArg(exprs, 1, 32)), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("vec_cosine",
-      exprs => FloatVecCosine(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_srp",
-      exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32)), "built-in")
-    reg.createOrReplaceTempFunction("normalize_text",
-      exprs => NormalizeText(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("cdc_chunk_hashes",
-      exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6)), "built-in")
-    reg.createOrReplaceTempFunction("zorder_key",
-      exprs => ZOrderKey(exprs(0), exprs(1), intArg(exprs, 2, 16)), "built-in")
-    reg.createOrReplaceTempFunction("winnow_fingerprints",
-      exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8)),
-      "built-in")
+    Seq(
+      "token_shingle_hashes" ->
+        (exprs => TokenShingleHashes(exprs.head, intArg(exprs, 1, 3))),
+      "minhash_signature" ->
+        (exprs => MinHashSignature(exprs.head, intArg(exprs, 1, 32))),
+      "simhash64" -> (exprs => SimHash64(exprs.head)),
+      "vec_cosine" -> (exprs => FloatVecCosine(exprs(0), exprs(1))),
+      "vec_srp" -> (exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32))),
+      "normalize_text" -> (exprs => NormalizeText(exprs.head)),
+      "cdc_chunk_hashes" ->
+        (exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6))),
+      "zorder_key" -> (exprs => ZOrderKey(exprs(0), exprs(1), intArg(exprs, 2, 16))),
+      "winnow_fingerprints" ->
+        (exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))))
+  }
+
+  /** Make the expressions callable from SQL (temp functions). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
