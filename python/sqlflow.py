@@ -138,3 +138,17 @@ def save_data_lineage(output_dir_path: str, filename_prefix: str = "sqlflow",
 def export_data_lineage_into(graph_sink: str, contracted: bool = False,
                              options: Dict[str, str] = {}) -> None:
     _jvm_api().exportSQLFlowInto(graph_sink, contracted, _options_string(options))
+
+
+def register_sql_functions(spark: SparkSession = None) -> None:
+    """Expose the engine's native SQL functions (``zorder_key``,
+    ``winnow_fingerprints``, ``vec_cosine``, ``token_shingle_hashes``,
+    ``minhash_signature``, ``simhash64``, ``normalize_text``,
+    ``cdc_chunk_hashes``, ``vec_srp``) as session temp functions, so
+    pyspark SQL can call them without the
+    ``spark.sql.extensions=...GraftExtensions`` driver conf.  The
+    expressions are codegen'd Catalyst natives — NOT Python UDFs — so
+    there is no serialization boundary and no per-row Python cost."""
+    spark = spark or SparkSession.getActiveSession()
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.spark.sql.graft.functions.registerAll(spark._jsparkSession)

@@ -243,6 +243,30 @@ class SQLFlowTests(ReusedSQLTestCase):
         self.assertIn('"stage_one"', contracted)
         self.assertIn('"stage_two"', contracted)
 
+    def test_register_sql_functions(self):
+        """Native Catalyst functions reachable from pyspark SQL — no
+        Python UDF boundary, one py4j call to register."""
+        from sqlflow import register_sql_functions
+
+        register_sql_functions(self.spark)
+        self.assertEqual(
+            self.spark.sql("SELECT zorder_key(5, 3) AS z").head().z, 27)
+        self.assertEqual(
+            self.spark.sql(
+                "SELECT size(winnow_fingerprints('tiny', 32, 8)) AS n").head().n, 1)
+        self.assertEqual(
+            self.spark.sql("SELECT size(token_shingle_hashes('a b c d', 3)) AS n").head().n, 2)
+        self.assertAlmostEqual(
+            self.spark.sql(
+                "SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), "
+                "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head().c, 1.0)
+        # and lineage flows through a native-function query like any other
+        self.spark.sql(
+            "SELECT zorder_key(id, id + 1) AS zk FROM range(10)"
+        ).createOrReplaceTempView("zorder_view")
+        edges = self._graphviz_edges()
+        self.assertTrue(any("zorder_view" in e for e in edges), edges)
+
     def test_conf_driven_listener_end_to_end(self):
         """The zero-code README path: a user sets ONLY session confs
         (spark.sql.queryExecutionListeners=ConfSQLFlowListener +
