@@ -506,12 +506,12 @@ object DedupQueries {
     "d15_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al., 2023): semantic near-dup pruning with the
       // pairwise work BOUNDED BY A COARSE CLUSTERING — vectors are first
-      // assigned to their nearest trained IVF centroid (s02's literal-pivot
+      // assigned to their nearest trained centroid (s02's literal-pivot
       // map-side rule), then exact cosine runs only WITHIN a cluster. The
       // one shuffle keys the corpus by pivot_id; per-reducer work is
-      // O(cluster²), and production scales nlist with the corpus so the
-      // expected cluster stays fixed-size (same lever as IVF itself —
-      // nlist is a constant independent of total corpus bytes). A vector
+      // O(cluster²), and the cluster count √-SCALES with the corpus
+      // (SimilarityQueries.semdedupNlist — 16 on the fixture, 50 on the
+      // 10× bench tier), keeping per-cluster cost sub-linear. A vector
       // is dropped when a smaller-id cluster-mate sits above the cosine
       // threshold; rep_id = the smallest such mate, so keep-lists are
       // deterministic. Approximation surface (cross-cluster pairs are
@@ -520,7 +520,7 @@ object DedupQueries {
       // floored, and the threshold uses this corpus' cosine range (max
       // pairwise ≈ 0.48; production would use ~0.95).
       import org.apache.spark.sql.graft.functions.vec_cosine
-      val a = SimilarityQueries.ivfAssigned(s, dir)
+      val a = SimilarityQueries.semdedupAssigned(s, dir)
       a.select(col("pivot_id"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
         .join(a.select(col("pivot_id"), col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
           "pivot_id")

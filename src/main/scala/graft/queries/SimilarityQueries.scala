@@ -83,6 +83,42 @@ object SimilarityQueries {
       (-array_max(score(col("embedding"))).getField("negp")).as("pivot_id"))
   }
 
+  /** d15's cluster count, √-SCALED with the corpus: SemDeDup's within-
+    * cluster work is O(cluster²), so a FIXED nlist turns 10× data into
+    * ~100× pairwise cost. √-scaling keeps both the per-cluster population
+    * (≈ √(2n)) and the centroid table (nlist·dim floats of literals)
+    * sub-linear — the paper's "scale the clustering with the corpus"
+    * lever as code, not a comment. Floored at IvfNlist so the fixture
+    * (500 vectors → 16) matches the shared IVF quantizer exactly; the
+    * 10× bench tier trains 50. Past ~1k clusters the literal-pivot
+    * projection should swap for a broadcast centroid table (same
+    * assignment semantics, one broadcast join). */
+  private[graft] def semdedupNlist(n: Long): Int =
+    math.max(IvfNlist, math.ceil(math.sqrt(n / 2.0)).toInt)
+
+  private val semPivots =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
+  private[graft] def semdedupAssigned(s: SparkSession, dir: String): DataFrame = {
+    val existing = semPivots.get(dir)
+    val pivots = if (existing != null) existing else {
+      // train OUTSIDE the map (the ivfPivots pattern); losers discard
+      val emb = tbl(s, dir, "embeddings")
+      val nlist = semdedupNlist(emb.count())
+      val trained =
+        if (nlist == IvfNlist) ivfPivots(s, dir)
+        else {
+          val (_, cents) = graft.operators.KMeansOps.sphericalKMeans(
+            emb, "vec_id", "embedding", k = nlist, iters = 2)
+          cents.orderBy("cluster").collect().toSeq.map(_.getSeq[Float](1))
+        }
+      val prev = semPivots.putIfAbsent(dir, trained)
+      if (prev != null) prev else trained
+    }
+    val score = pivotScores(pivots) _
+    tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      (-array_max(score(col("embedding"))).getField("negp")).as("pivot_id"))
+  }
+
   /** Nearest-pivot scoring with the trained centroids embedded as
     * LITERALS: an array of (sim, -pivot) structs — array_max picks the
     * assignment, sort+slice picks probe buckets. ONE definition shared by

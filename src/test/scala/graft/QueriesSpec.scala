@@ -371,6 +371,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("semdedup cluster count √-scales with the corpus (the anti-quadratic lever)") {
+    import graft.queries.SimilarityQueries.semdedupNlist
+    assert(semdedupNlist(500) === 16, "fixture floored at the shared IVF nlist")
+    assert(semdedupNlist(5000) === 50, "10× bench tier trains 50 clusters")
+    val big = semdedupNlist(500L * 1000 * 1000)
+    assert(big === 15812 && big < 500000000L / 1000,
+      "centroid table must stay sub-linear in the corpus")
+  }
+
   test("s08 filtered ANN: every neighbor satisfies the predicate; " +
       "recall vs the exact filtered brute force is floored") {
     import org.apache.spark.sql.functions._
