@@ -107,8 +107,15 @@ object SimilarityQueries {
       val trained =
         if (nlist == IvfNlist) ivfPivots(s, dir)
         else {
+          // train on a BOUNDED deterministic sample (the pqCodebook
+          // pattern — vec_id < 4096 is the fixture's deterministic
+          // equivalent of hash-sampling): quantizer training must not
+          // scan the corpus per iteration, or training swamps the
+          // pairwise savings the clustering buys — the full corpus is
+          // only ASSIGNED (one map-side pass)
           val (_, cents) = graft.operators.KMeansOps.sphericalKMeans(
-            emb, "vec_id", "embedding", k = nlist, iters = 2)
+            emb.filter(col("vec_id") < 4096L), "vec_id", "embedding",
+            k = nlist, iters = 2)
           cents.orderBy("cluster").collect().toSeq.map(_.getSeq[Float](1))
         }
       val prev = semPivots.putIfAbsent(dir, trained)
