@@ -814,6 +814,35 @@ object CoreQueries {
           col("n_events"))
     }),
 
+    "q76_incremental_rollup" -> ((s, dir) => {
+      // incremental aggregate maintenance — the warehouse's nightly-merge
+      // pattern: at 100 TB a standing rollup is maintained by MERGING the
+      // previous state with the new ingest batch's partial aggregate,
+      // never by rescanning history. This entry executes that exact path:
+      // the corpus splits into "standing" and "delta" batches, each side
+      // partially aggregated, then the two STATES are merged by
+      // re-aggregation. Counts and DECIMAL sums are associative and exact
+      // (the QueryDsl discipline), so the merge is bit-equal to a full
+      // recompute at ANY merge granularity — and the ORACLE is the full
+      // recompute, so the state-merge ≡ recompute equivalence is
+      // hash-checked every round instead of asserted in a comment. The
+      // merge step shuffles only state rows (days × types), never events.
+      // day key emitted as yyyy-MM-dd (q73 precedent: both engines hash
+      // the same string, no date-dtype ambiguity through pandas)
+      val e = events(s, dir).select(
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"), col("event_type"),
+        col("event_id"), dec2(col("value")).as("v"))
+      def state(df: DataFrame): DataFrame =
+        df.groupBy("d", "event_type")
+          .agg(count(lit(1)).as("pn"), sum(col("v")).as("ps"))
+      val standing = state(e.filter(col("event_id") % 5 =!= 0))
+      val delta = state(e.filter(col("event_id") % 5 === 0))
+      standing.unionAll(delta)
+        .groupBy("d", "event_type")
+        .agg(sum(col("pn")).as("n_events"),
+          sum(col("ps")).cast("double").as("sum_value"))
+    }),
+
     "q75_zorder_layout" -> ((s, dir) => {
       // multi-dimensional layout keys (the lakehouse OPTIMIZE ZORDER BY
       // step): each row gets the Morton-interleaved key of its two
@@ -1388,6 +1417,15 @@ object CoreQueries {
              COUNT(*) AS n_events
       FROM s
       GROUP BY user_id, sid""",
+
+    // the ORACLE is the FULL RECOMPUTE — hash-equality proves the Spark
+    // side's state-merge path is exactly equivalent to rescanning
+    "q76_incremental_rollup" -> """
+      SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS d, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2""",
 
     "q75_zorder_layout" -> s"""
       WITH z AS (SELECT ${zorderOracleExpr("l_partkey", "l_suppkey", 16)} AS zkey

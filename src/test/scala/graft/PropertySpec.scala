@@ -150,5 +150,17 @@ class PropertySpec extends AnyFunSuite {
       val fb = r.getSeq[Long](1).toSet
       assert(fa.intersect(fb).nonEmpty, s"case $i: planted span not detected")
     }
+    // robustness: arbitrary unicode (multi-byte, surrogate pairs, empty)
+    // neither crashes nor breaks determinism (the d16 ORACLE is
+    // ASCII-scoped — char-vs-codepoint slicing differs across engines —
+    // but the expression itself must be total)
+    val uni = Seq("", "héllo wörld ünïcode tëxt with äccents everywhere",
+      "日本語のテキストとemoji 😀😀😀 surrogate pairs", "a" * 100)
+    val once = uni.toDF("t").select(winnow_fingerprints($"t", 32, 8)).collect()
+      .map(_.getSeq[Long](0))
+    val twice = uni.toDF("t").select(winnow_fingerprints($"t", 32, 8)).collect()
+      .map(_.getSeq[Long](0))
+    assert(once.map(_.toList).toList === twice.map(_.toList).toList)
+    once.foreach(f => assert(f.nonEmpty))
   }
 }
