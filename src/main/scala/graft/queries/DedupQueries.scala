@@ -558,6 +558,32 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_fingerprints"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_fps"))
         .withColumn("dup_ratio_milli", expr("(1000L * n_dup_fps) DIV n_fingerprints"))
+    }),
+
+    "d17_fuzzy_join" -> ((s, dir) => {
+      // fuzzy self-join at scale — the FastSS/SymSpell deletion-
+      // neighborhood block: two strings within edit distance 1 MUST share
+      // a member of {s} ∪ {s − char i} (substitution at i ⇒ both sides
+      // delete i; insertion ⇒ the shorter string IS a deletion variant of
+      // the longer), so blocking on deletion variants is provably
+      // COMPLETE for distance ≤ 1, and the exact codegen'd levenshtein
+      // verify keeps it sound — candidate generation is O(n·len) keys
+      // against the brute force's O(n²) levenshtein calls. Shuffles move
+      // (variant, name) pairs; variant buckets are bounded by the number
+      // of strings one substitution apart (cap with capBuckets on a
+      // pathological key space). Runs on REAL structure: customer names
+      // differ in single digit positions, no synthetic spans needed.
+      val c = tbl(s, dir, "customer").select(col("c_name").as("name"))
+      val vars = c.select(col("name"), explode(expr(
+        "array_union(array(name), transform(sequence(1, length(name)), " +
+          "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name) - i))))"))
+        .as("v"))
+      vars.withColumnRenamed("name", "name_a")
+        .join(vars.withColumnRenamed("name", "name_b"), "v")
+        .filter(col("name_a") < col("name_b"))
+        .select("name_a", "name_b").distinct()
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 1)
     })
   )
 
@@ -624,6 +650,15 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d03_minhash_lsh" -> exactJaccardOracle.format(500),
+
+    // brute-force O(n²) ground truth — the neighborhood join must be
+    // exactly sound AND complete for distance ≤ 1, so hash-equality
+    // against the full pairwise scan proves the blocking theorem holds
+    "d17_fuzzy_join" -> """
+      SELECT a.c_name AS name_a, b.c_name AS name_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1""",
 
     // winnowing replicated in SQL: k-gram hash = first 15 hex chars of md5
     // (the one hash both engines share; t07 precedent), window minima via

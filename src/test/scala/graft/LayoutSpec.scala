@@ -62,6 +62,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(touchedX(byZ, 8, 11) <= 8, "x-band filters must also prune under z-order")
   }
 
+  test("zorderWrite: REAL written parquet files tile both dimensions where an " +
+      "x-sorted write leaves every file spanning all of y") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-write")
+    val pts = spark.range(4096).select(
+      (col("id") % 64).cast("int").as("x"),
+      expr("id DIV 64").cast("int").as("y"))
+    graft.operators.LayoutOps.zorderWrite(pts, "x", "y", 16, dir.resolve("z").toString, bits = 6)
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir.resolve("x").toString)
+    // per-FILE bounding boxes — what parquet footer min/max stats expose
+    def fileBoxes(path: String): Array[(Int, Int, Int, Int)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val z = fileBoxes(dir.resolve("z").toString)
+    val xs = fileBoxes(dir.resolve("x").toString)
+    assert(z.length >= 8 && xs.length >= 8, s"${z.length} z-files, ${xs.length} x-files")
+    def touched(b: Array[(Int, Int, Int, Int)], lo: Int, hi: Int): Int =
+      b.count { case (_, _, y0, y1) => y1 >= lo && y0 <= hi }
+    assert(touched(xs, 8, 11) == xs.length,
+      "every x-sorted file must span the y band — zone maps prune nothing")
+    assert(touched(z, 8, 11) <= z.length / 2,
+      s"z-ordered files must prune the y band (${touched(z, 8, 11)} of ${z.length})")
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
   test("q75's tile rollup reflects the key's locality: every tile's key range is disjoint") {
     // tiles are zkey >> 12 — contiguity of tiles in key space is what makes
     // range-partitioned writes cluster them; verify tiles partition the key
