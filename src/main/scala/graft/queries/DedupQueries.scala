@@ -573,13 +573,26 @@ object DedupQueries {
       // of strings one substitution apart (cap with capBuckets on a
       // pathological key space). Runs on REAL structure: customer names
       // differ in single digit positions, no synthetic spans needed.
+      // variants travel as 8-byte hashes from the native
+      // deletion_variant_hashes expression (one tight loop per row — the
+      // interpreted transform/substring/concat equivalent allocates len
+      // strings per row per pass); a hash collision can only ADD a
+      // candidate, which the exact verify removes (soundness unharmed,
+      // completeness untouched)
+      import org.apache.spark.sql.graft.functions.deletion_variant_hashes
+      // the name table arrives as ONE input split at small SFs, which
+      // would serialize the whole explode→probe→verify fan-out onto one
+      // core — spread the names first with an EXPLICIT partition count
+      // (a bare column repartition is an ENSURE_REQUIREMENTS exchange AQE
+      // coalesces straight back to one partition for 15k tiny rows; the
+      // numbered form pins the fan-out parallelism, which is where the
+      // Σ bucket² verify work actually happens)
       val c = tbl(s, dir, "customer").select(col("c_name").as("name"))
-      val vars = c.select(col("name"), explode(expr(
-        "array_union(array(name), transform(sequence(1, length(name)), " +
-          "i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name) - i))))"))
-        .as("v"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("name"))
+      val vars = c.select(col("name"),
+        explode(deletion_variant_hashes(col("name"))).as("vh"))
       vars.withColumnRenamed("name", "name_a")
-        .join(vars.withColumnRenamed("name", "name_b"), "v")
+        .join(vars.withColumnRenamed("name", "name_b"), "vh")
         .filter(col("name_a") < col("name_b"))
         .select("name_a", "name_b").distinct()
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))

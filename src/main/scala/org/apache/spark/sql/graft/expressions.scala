@@ -388,6 +388,58 @@ case class WinnowFingerprints(child: Expression, k: Int = 32, w: Int = 8)
     copy(child = newChild)
 }
 
+/** Deletion-neighborhood hashing for edit-distance blocking (FastSS /
+  * SymSpell): the sorted distinct xxhash64 set of {s} ∪ {s minus char i}.
+  * Two strings within edit distance 1 always share a member (substitution
+  * at i ⇒ both delete i; insertion ⇒ the shorter string IS a deletion of
+  * the longer), so an equi-join on these hashes is a COMPLETE candidate
+  * generator for distance ≤ 1 at O(n·len) keys — vs O(n²) brute-force
+  * verify calls. Hash collisions only ADD candidates; the caller's exact
+  * verify removes them. One tight JVM loop per row (the interpreted
+  * transform/substring/concat equivalent allocates len strings per row
+  * per pass and is several times slower). */
+object DeletionOps {
+  def variantHashes(s: UTF8String, seed: Long): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new Array[Long](n + 1)
+    out(0) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, n, seed)
+    val buf = new Array[Byte](math.max(n - 1, 0))
+    var i = 0
+    while (i < n) {
+      // bytes minus byte i (ASCII-safe; multi-byte code points still hash
+      // deterministically — a "deletion" is then a byte deletion, which
+      // only perturbs candidate generation, never the exact verify)
+      System.arraycopy(bytes, 0, buf, 0, i)
+      System.arraycopy(bytes, i + 1, buf, i, n - i - 1)
+      out(i + 1) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, n - 1, seed)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** `deletion_variant_hashes(s)` — see [[DeletionOps]]. */
+case class DeletionVariantHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    DeletionOps.variantHashes(input.asInstanceOf[UTF8String], ShingleOps.Seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.DeletionOps.variantHashes($c, ${ShingleOps.Seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Morton (Z-order) curve keys for multi-dimensional data layout.
   *
   * Writing 100 TB sorted by ONE column gives min/max file pruning on that
@@ -584,6 +636,9 @@ object functions {
   def winnow_fingerprints(c: Column, k: Int = 32, w: Int = 8): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(c), k, w))
 
+  def deletion_variant_hashes(c: Column): Column =
+    ExpressionUtils.column(DeletionVariantHashes(ExpressionUtils.expression(c)))
+
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))
 
@@ -627,7 +682,8 @@ object functions {
         (exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6))),
       "zorder_key" -> (exprs => ZOrderKey(exprs(0), exprs(1), intArg(exprs, 2, 16))),
       "winnow_fingerprints" ->
-        (exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))))
+        (exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))),
+      "deletion_variant_hashes" -> (exprs => DeletionVariantHashes(exprs.head)))
   }
 
   /** Make the expressions callable from SQL (temp functions). */

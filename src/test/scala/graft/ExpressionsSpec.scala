@@ -226,6 +226,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql.toSet === fps, "SQL registration must agree with the Column API")
   }
 
+  test("deletion_variant_hashes: complete blocking for edit distance ≤ 1, " +
+      "sorted distinct, SQL-registered") {
+    import org.apache.spark.sql.graft.functions.deletion_variant_hashes
+    val cases = Seq(
+      ("sub", "abcdef", "abXdef"), // substitution
+      ("ins", "abcdef", "abcdefg"), // insertion at the end
+      ("insm", "abdef", "abcdef"), // insertion in the middle
+      ("del", "abcdef", "bcdef"), // deletion
+      ("eq", "abcdef", "abcdef"), // identical
+      ("far", "abcdef", "xyzuvw")) // unrelated
+    val got = cases.map { case (k, a, b) => (k, a, b) }.toDF("k", "a", "b")
+      .select($"k",
+        deletion_variant_hashes($"a").as("va"),
+        deletion_variant_hashes($"b").as("vb"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    Seq("sub", "ins", "insm", "del", "eq").foreach { k =>
+      val (va, vb) = got(k)
+      assert(va.toSet.intersect(vb.toSet).nonEmpty, s"$k: no shared variant hash")
+    }
+    assert(got("far")._1.toSet.intersect(got("far")._2.toSet).isEmpty)
+    got.values.foreach { case (va, vb) =>
+      Seq(va, vb).foreach(v => assert(v == v.sorted && v.distinct.size == v.size))
+    }
+    // |variants| ≤ len + 1 (identity + one per deleted char, deduped)
+    assert(got("eq")._1.size <= 7)
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    val viaSql = spark.sql("SELECT deletion_variant_hashes('abcdef')").head().getSeq[Long](0)
+    assert(viaSql === got("eq")._1)
+  }
+
   test("zorder_key: matches the per-bit interleave reference over mixed int/long input") {
     val df = spark.range(2000).select(
       (col("id") * 2654435761L % 100003).cast("int").as("x"),
