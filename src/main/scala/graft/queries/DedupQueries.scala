@@ -548,7 +548,9 @@ object DedupQueries {
       // sentence is appended to every 5th doc in-query (the t15 pattern —
       // same construction in the oracle; winnowing is what's under test).
       import org.apache.spark.sql.graft.functions.winnow_fingerprints
-      val f = tbl(s, dir, "documents")
+      // spread() before the winnow projection: the per-doc k-gram hashing
+      // is the work here, and a one-split scan would serialize it
+      val f = spread(tbl(s, dir, "documents"))
         .withColumn("t", concat(col("text"), expr(
           "CASE WHEN doc_id % 5 = 0 THEN ' standard corpus boilerplate notice applies to this document and may be ignored' ELSE '' END")))
         .select(col("doc_id"), explode(winnow_fingerprints(col("t"), 32, 8)).as("fp"))

@@ -64,8 +64,9 @@ object MultimodalQueries {
         StructField("media_id", LongType, nullable = false),
         StructField("png", BinaryType, nullable = false)))
       val pngEnc = org.apache.spark.sql.Encoders.row(pngSchema)
-      val pngs = mediaTable(s, dir).select("media_id")
+      val pngs = spread(mediaTable(s, dir).select("media_id"))
         .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false) // no temp-file cache (see decode stage)
           rows.map { r =>
             val id = r.getLong(0)
             val w = (4 + id % 13).toInt
@@ -98,6 +99,10 @@ object MultimodalQueries {
         StructField("b_mean_milli", LongType, nullable = false)))
       val featEnc = org.apache.spark.sql.Encoders.row(featSchema)
       pngs.mapPartitions { rows =>
+        // in-memory ImageInputStreams: the default file-backed cache
+        // creates and locks a temp file per read — serializing 32 decode
+        // threads on filesystem contention
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -183,8 +188,9 @@ object MultimodalQueries {
         StructField("media_id", LongType, nullable = false),
         StructField("png", BinaryType, nullable = false)))
       val pngEnc = org.apache.spark.sql.Encoders.row(pngSchema)
-      val pngs = mediaTable(s, dir).select("media_id")
+      val pngs = spread(mediaTable(s, dir).select("media_id"))
         .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false) // no temp-file cache (see m03)
           rows.map { r =>
             val id = r.getLong(0)
             val g = id % 50 // base pattern group
@@ -215,6 +221,7 @@ object MultimodalQueries {
         StructField("dhash", LongType, nullable = false)))
       val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
       val hashed = pngs.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // see m03: no temp-file cache
         rows.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(

@@ -36,6 +36,20 @@ object QueryDsl {
   def events(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+  /** Spread a SMALL input across the session's cores before a
+    * compute-heavy projection (winnowing, image codecs): a one-row-group
+    * parquet file is ONE split, which serializes the per-row work on one
+    * core regardless of cluster size — and AQE coalesces a bare
+    * repartition of a few thousand tiny rows straight back (the d17
+    * lesson, BUILD_NOTES). At corpus scale the scan already yields
+    * thousands of splits and this is a NO-OP — the round-robin shuffle
+    * only fires when the scan undershoots the session's parallelism, so
+    * it never moves more than one undersized input's worth of data. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Exact 2-decimal monetary cast (testdata doubles are 2-decimal clean). */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
