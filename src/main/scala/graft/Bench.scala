@@ -119,10 +119,18 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0") || only.nonEmpty) Seq.empty
       else {
         val heavyDir = buildHeavyDir(spark, sfDir, copies = 10)
-        graft.queries.DedupQueries.releaseShared()
-        spark.catalog.clearCache()
-        val r = HeavyNames.filter(SparkEntry.queries.contains)
-          .map(n => n -> time(n, SparkEntry.queries(n), heavyDir))
+        // min-of-2 like the main tier: single heavy samples on a shared
+        // container swing up to ±50% under contention bursts (BUILD_NOTES
+        // "heavy-tier noise caveat"), which made round-over-round
+        // comparisons of exactly-unchanged queries read as regressions
+        def heavyPass(): Seq[(String, Double)] = {
+          graft.queries.DedupQueries.releaseShared()
+          spark.catalog.clearCache()
+          HeavyNames.filter(SparkEntry.queries.contains)
+            .map(n => n -> time(n, SparkEntry.queries(n), heavyDir))
+        }
+        val h1 = heavyPass().toMap
+        val r = heavyPass().map { case (k, v) => k -> math.min(v, h1.getOrElse(k, v)) }
         graft.queries.DedupQueries.releaseShared()
         spark.catalog.clearCache()
         r
