@@ -150,5 +150,7 @@ def register_sql_functions(spark: SparkSession = None) -> None:
     expressions are codegen'd Catalyst natives — NOT Python UDFs — so
     there is no serialization boundary and no per-row Python cost."""
     spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession: start one or pass it explicitly")
     jvm = spark.sparkContext._jvm
     jvm.org.apache.spark.sql.graft.functions.registerAll(spark._jsparkSession)

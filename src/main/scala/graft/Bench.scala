@@ -97,8 +97,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def time(name: String, fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      // a failed query must NOT masquerade as a fast success: report -1
+      // (kept out of the total below) so a broken query reads as broken
+      // in round-over-round compares instead of as a huge speedup
+      try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
+      }
     }
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -135,7 +141,7 @@ object Bench {
         spark.catalog.clearCache()
         r
       }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // full-precision, full-name details for humans and local diffing
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",

@@ -320,9 +320,9 @@ object TextQueries {
   /** PII patterns, restricted to the Java∩RE2 common dialect (character
     * classes, bounded repeats, ASCII \b — no lookaround, no backrefs) so
     * Spark and the DuckDB oracle match identical spans. */
-  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PiiPhone = "\\b555-[0-9]{4}\\b"
-  private val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhone = "\\b555-[0-9]{4}\\b"
+  private[graft] val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   val oracles: Map[String, String] = Map(
     "t01_token_count" -> """

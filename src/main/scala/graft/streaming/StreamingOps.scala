@@ -137,15 +137,20 @@ object StreamingOps {
   def ingestGate(
       docs: DataFrame, digest: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     import org.apache.spark.sql.graft.functions.{bloom_count_hits, token_shingle_hashes}
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\b555-[0-9]{4}\\b"
-    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    // ONE set of PII patterns (t15's, shared — a pattern fix there cannot
+    // desynchronize this gate)
+    import graft.queries.TextQueries.{PiiEmail, PiiIp, PiiPhone}
     docs
       .withColumn("red",
         regexp_replace(regexp_replace(regexp_replace(col("text"),
-          email, "[EMAIL]"), ip, "[IP]"), phone, "[PHONE]"))
+          PiiEmail, "[EMAIL]"), PiiIp, "[IP]"), PiiPhone, "[PHONE]"))
       .withColumn("tk", filter(split(col("red"), " "), t => t =!= ""))
-      .withColumn("sh", token_shingle_hashes(col("red"), 3))
+      // novelty shingles the RAW text: the corpus digest (d12) is built
+      // from raw text, and the soundness bound (jaccard >= 0.5 => half
+      // the shingles hit) only holds when both sides shingle the SAME
+      // text — shingling the redacted form would let a PII-dense exact
+      // duplicate slip through as "novel"
+      .withColumn("sh", token_shingle_hashes(col("text"), 3))
       .withColumn("verdict",
         when(size(col("tk")) < 10, "too_short")
           .when(expr("(1000 * size(array_distinct(tk))) DIV greatest(size(tk), 1)") < 300,

@@ -280,14 +280,16 @@ object AsOf {
     // guard still rejects is a timestamp against an integer of arbitrary
     // units, where the comparison and any tolerance are meaningless.
     val ntz = org.apache.spark.sql.types.TimestampNTZType
+    // the instant key is APPENDED as a synthetic column, never substituted
+    // for the user's NTZ column: the merge compares instants, but the join
+    // OUTPUT must keep the original column with its original type and
+    // wall-clock values (a final Project below drops the synthetic)
     def toInstantAxis(plan: LogicalPlan, a: Attribute): (LogicalPlan, Attribute) = {
       val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
-      val fields = plan.output.map {
-        case o if o.exprId == a.exprId => Alias(Cast(o, TimestampType, tz), o.name)()
-        case o => o
-      }
-      val proj = org.apache.spark.sql.catalyst.plans.logical.Project(fields, plan)
-      (proj, proj.output(plan.output.indexWhere(_.exprId == a.exprId)))
+      val synth = Alias(Cast(a, TimestampType, tz), "__asof_instant")()
+      val proj = org.apache.spark.sql.catalyst.plans.logical.Project(
+        plan.output :+ synth, plan)
+      (proj, proj.output.last)
     }
     val (lpF, ltF, rpF, rtF) = (lt0.dataType, rt0.dataType) match {
       case (`ntz`, TimestampType) =>
@@ -310,7 +312,14 @@ object AsOf {
       rightKeys.map(k => check(resolve(rpF, k), "rightKey")),
       ltF, rtF,
       direction = direction, tolerance = tolerance)
-    ClassicDataset.ofRows(session, node)
+    // mixed-encoding coercion appended a synthetic instant column; restore
+    // the user-facing schema (original columns, original types/values —
+    // right-side nullability adjustments carried over from node.output)
+    val restored =
+      if (lpF.eq(lp) && rpF.eq(rp)) node
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        (lp.output ++ rp.output).map(a => node.output.find(_.exprId == a.exprId).get), node)
+    ClassicDataset.ofRows(session, restored)
   }
 }
 

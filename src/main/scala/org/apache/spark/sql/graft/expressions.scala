@@ -483,7 +483,8 @@ case class ZOrderKey(left: Expression, right: Expression, bits: Int = 16)
     dt == IntegerType || dt == LongType || dt == ShortType || dt == ByteType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.expect(isIntegral(left.dataType) && isIntegral(right.dataType),
-      "integral types on both sides", left.dataType)
+      "integral types on both sides",
+      if (isIntegral(left.dataType)) right.dataType else left.dataType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ZOrderOps.interleave2(

@@ -374,14 +374,38 @@ class BoltCypherTransport(uri: String, user: String, passwd: String) extends Cyp
             "use a file: URI to emit the statement stream to disk")
     }
 
+  private def method(obj: AnyRef, name: String, sig: Class[_]*): java.lang.reflect.Method = {
+    // resolve on the object's own type hierarchy (the declaring interface
+    // moved between driver 4.x and 5.x); impl classes may be package-
+    // private, so unlock the handle for invocation
+    val m = obj.getClass.getMethod(name, sig: _*)
+    m.setAccessible(true)
+    m
+  }
+
   override def runBatch(statements: Seq[String]): Unit = {
     val session = sessionM.invoke(driver)
-    // resolve run/close on the session's own (public) type hierarchy: the
-    // declaring interface moved between driver 4.x and 5.x
-    val runM = session.getClass.getMethod("run", classOf[String])
-    val closeM = session.getClass.getMethod("close")
-    try statements.foreach(st => { runM.invoke(session, st); () })
-    finally closeM.invoke(session)
+    try {
+      // ONE explicit transaction per batch — the contract every other
+      // transport honors (FileCypherTransport's :begin/:commit) and the
+      // reason batchSize bounds a failed replay: per-statement auto-commit
+      // (Session.run) would leave a half-applied batch on a mid-batch
+      // failure
+      val tx = method(session, "beginTransaction").invoke(session)
+      try {
+        statements.foreach { st =>
+          val res = method(tx, "run", classOf[String]).invoke(tx, st)
+          // drain so server-side errors surface HERE, inside the tx,
+          // not at session close after later statements were sent
+          method(res, "consume").invoke(res)
+        }
+        method(tx, "commit").invoke(tx)
+      } catch {
+        case e: Throwable =>
+          try method(tx, "rollback").invoke(tx) catch { case _: Throwable => }
+          throw e
+      } finally method(tx, "close").invoke(tx)
+    } finally method(session, "close").invoke(session)
   }
 
   override def close(): Unit = { driverCloseM.invoke(driver); () }
@@ -407,6 +431,13 @@ case class Neo4jAuraSink(uri: String, user: String, passwd: String)
     } else new BoltCypherTransport(uri, user, passwd)
 
   private def deliver(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): Unit = {
+    // a fresh transport + constraints per delivery is REFERENCE PARITY
+    // (its sink re-creates constraints on every save; IF NOT EXISTS makes
+    // them idempotent) and keeps delivery stateless across long-lived
+    // listener sessions (no pinned connection to go stale). A deployment
+    // with per-query latency budgets would cache the transport for the
+    // sink's lifetime and send constraints once — the trait is already
+    // AutoCloseable for exactly that.
     val t = openTransport()
     try {
       t.runBatch(CypherStatements.constraints)

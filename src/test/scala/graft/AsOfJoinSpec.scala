@@ -260,9 +260,17 @@ class AsOfJoinSpec extends AnyFunSuite {
         .select(col("k"), col("s").cast("timestamp").as("t_ts"))
       val rn = Seq((1L, "2024-01-01 09:00:00", 3.0)).toDF("k", "s", "v")
         .select(col("k"), col("s").cast("timestamp_ntz").as("t_ntz"), col("v"))
-      val got2 = AsOf.join(ln, rn, "k", "k", "t_ts", "t_ntz")
-        .select(col("v")).collect().map(_.getDouble(0))
-      assert(got2.toSeq === Seq(3.0))
+      val joined = AsOf.join(ln, rn, "k", "k", "t_ts", "t_ntz")
+      // the coercion is INTERNAL: the join output keeps the user's NTZ
+      // column — original name, original TIMESTAMP_NTZ type, original
+      // wall-clock value (no synthetic instant column leaks either)
+      assert(joined.columns.toSeq === Seq("k", "t_ts", "k", "t_ntz", "v"))
+      assert(joined.schema.find(_.name == "t_ntz").get.dataType ===
+        org.apache.spark.sql.types.TimestampNTZType)
+      val row = joined.select(col("t_ntz").cast("string"), col("v")).head()
+      assert(row.getString(0) === "2024-01-01 09:00:00",
+        "NTZ wall-clock value must survive the join unshifted")
+      assert(row.getDouble(1) === 3.0)
       // NTZ on the LEFT converts the same way
       val got3 = AsOf.join(rn.select(col("k"), col("t_ntz")), ln.withColumn("v", lit(5.0)),
           "k", "k", "t_ntz", "t_ts", direction = "forward")
