@@ -106,20 +106,34 @@ object Bench {
         -1.0
       }
     }
-    def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+    // a transiently-failed pass must not poison the min (math.min(v, -1)
+    // would report a healthy query as broken): take the min over the
+    // non-negative samples, and report -1 only when EVERY pass failed
+    def minOk(samples: Double*): Double = {
+      val ok = samples.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    def runAll(reversed: Boolean): Seq[(String, Double)] = {
+      val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      (if (reversed) ordered.reverse else ordered)
         .map { case (name, fn) => name -> time(name, fn, sfDir) }
+    }
     // two passes, report the min per query: pass 1 absorbs per-plan codegen
     // and JIT compilation, so pass 2 measures steady-state execution — the
-    // regime a long-lived cluster session actually runs in
-    val first = runAll()
+    // regime a long-lived cluster session actually runs in. Pass 2 runs in
+    // REVERSE order: a container contention burst then hits a different
+    // stretch of the inventory in each pass, so no single query can read
+    // as a phantom regression from one burst landing on it twice (the r6
+    // q38 "2.6×" artifact).
+    val first = runAll(reversed = false)
     // drop caches persisted by pass 1 (shingle/signature/pair tables): the
     // min must measure re-execution with warm JIT, not cache scans
     graft.queries.DedupQueries.releaseShared()
     spark.catalog.clearCache()
-    val secondByName = runAll().toMap
-    val results = first.map { case (k, v) => k -> math.min(v, secondByName.getOrElse(k, v)) }
+    val secondByName = runAll(reversed = true).toMap
+    val results = first.map { case (k, v) =>
+      k -> minOk(v, secondByName.getOrElse(k, v)) }
     // heavy tier: one pass (JIT is warm by now) on the synthetic 10× corpus
     val heavy: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0") || only.nonEmpty) Seq.empty
@@ -129,14 +143,17 @@ object Bench {
         // container swing up to ±50% under contention bursts (BUILD_NOTES
         // "heavy-tier noise caveat"), which made round-over-round
         // comparisons of exactly-unchanged queries read as regressions
-        def heavyPass(): Seq[(String, Double)] = {
+        def heavyPass(reversed: Boolean): Seq[(String, Double)] = {
           graft.queries.DedupQueries.releaseShared()
           spark.catalog.clearCache()
-          HeavyNames.filter(SparkEntry.queries.contains)
+          val ordered = HeavyNames.filter(SparkEntry.queries.contains)
+          (if (reversed) ordered.reverse else ordered)
             .map(n => n -> time(n, SparkEntry.queries(n), heavyDir))
         }
-        val h1 = heavyPass().toMap
-        val r = heavyPass().map { case (k, v) => k -> math.min(v, h1.getOrElse(k, v)) }
+        val h1 = heavyPass(reversed = false).toMap
+        val r = heavyPass(reversed = true)
+          .map { case (k, v) => k -> minOk(v, h1.getOrElse(k, v)) }
+          .sortBy(_._1)
         graft.queries.DedupQueries.releaseShared()
         spark.catalog.clearCache()
         r

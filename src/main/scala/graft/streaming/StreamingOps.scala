@@ -151,6 +151,12 @@ object StreamingOps {
       // text — shingling the redacted form would let a PII-dense exact
       // duplicate slip through as "novel"
       .withColumn("sh", token_shingle_hashes(col("text"), 3))
+      // the quality cascade grades the REDACTED text (tk comes from red),
+      // so the repetition check needs its own shingle set over red — a doc
+      // that repeats one sentence with a different email each time is
+      // highly repetitive AFTER redaction ([EMAIL] collapses the variants)
+      // but its raw-text shingles are all distinct
+      .withColumn("shr", token_shingle_hashes(col("red"), 3))
       .withColumn("verdict",
         when(size(col("tk")) < 10, "too_short")
           .when(expr("(1000 * size(array_distinct(tk))) DIV greatest(size(tk), 1)") < 300,
@@ -158,11 +164,11 @@ object StreamingOps {
           // the shingle SET is deduped by construction, so repetition =
           // how many of the doc's 3-gram positions collapsed into fewer
           // distinct shingles
-          .when(expr("(1000 * (greatest(size(tk) - 2, 1) - size(sh))) " +
+          .when(expr("(1000 * (greatest(size(tk) - 2, 1) - size(shr))) " +
             "DIV greatest(size(tk) - 2, 1)") > 300, "repetitive")
           .otherwise("keep"))
       .withColumn("novel", bloom_count_hits(col("sh"), digest) * 2 < size(col("sh")))
-      .drop("tk", "sh")
+      .drop("tk", "sh", "shr")
   }
 
   /** Gap-based sessionization with explicit state: a session closes when no

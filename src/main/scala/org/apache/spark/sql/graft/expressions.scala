@@ -399,30 +399,46 @@ case class WinnowFingerprints(child: Expression, k: Int = 32, w: Int = 8)
   * transform/substring/concat equivalent allocates len strings per row
   * per pass and is several times slower). */
 object DeletionOps {
+  /** Length in bytes of the UTF-8 sequence starting with `b`. */
+  private def utf8Len(b: Byte): Int = {
+    val u = b & 0xff
+    if (u < 0x80) 1
+    else if (u >= 0xf0) 4
+    else if (u >= 0xe0) 3
+    else if (u >= 0xc0) 2
+    else 1 // stray continuation byte: treat as its own unit (defensive)
+  }
+
   def variantHashes(s: UTF8String, seed: Long): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
-    val out = new Array[Long](n + 1)
-    out(0) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, n, seed)
-    val buf = new Array[Byte](math.max(n - 1, 0))
+    // deletions iterate CODE POINTS, not bytes: edit distance is defined
+    // over characters, and deleting one byte of a multi-byte code point
+    // would leave the deletion neighborhoods of a one-char substitution
+    // pair disjoint — silently breaking the distance-≤1 completeness
+    // guarantee on any non-ASCII input (on ASCII the two are identical)
+    val out = new java.util.ArrayList[java.lang.Long]()
+    out.add(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, n, seed))
+    val buf = new Array[Byte](n)
     var i = 0
     while (i < n) {
-      // bytes minus byte i (ASCII-safe; multi-byte code points still hash
-      // deterministically — a "deletion" is then a byte deletion, which
-      // only perturbs candidate generation, never the exact verify)
+      val l = math.min(utf8Len(bytes(i)), n - i)
       System.arraycopy(bytes, 0, buf, 0, i)
-      System.arraycopy(bytes, i + 1, buf, i, n - i - 1)
-      out(i + 1) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, n - 1, seed)
-      i += 1
+      System.arraycopy(bytes, i + l, buf, i, n - i - l)
+      out.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, n - l, seed))
+      i += l
     }
-    java.util.Arrays.sort(out)
+    val arr = new Array[Long](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    java.util.Arrays.sort(arr)
     var w = 0
     var r = 0
-    while (r < out.length) {
-      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+    while (r < arr.length) {
+      if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
       r += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    new GenericArrayData(java.util.Arrays.copyOf(arr, w))
   }
 }
 

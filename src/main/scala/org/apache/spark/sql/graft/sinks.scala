@@ -334,6 +334,16 @@ case class CypherFileSink() extends FlowBatchSink with FlowStreamSink with FlowF
 trait CypherTransport extends AutoCloseable {
   /** Run one batch of statements atomically (one transaction). */
   def runBatch(statements: Seq[String]): Unit
+  /** Whether the target already holds data — backs the reference's
+    * batch-write contract ("Database should be empty" unless overwrite).
+    * Transports that cannot answer report false (the check degrades to
+    * a no-op rather than blocking delivery). */
+  def databaseNonEmpty: Boolean = false
+  /** Clear the target (the reference's resetNeo4jDbState); the default
+    * sends the delete-everything statement through the normal batch path,
+    * which is right for bolt and keeps a file transport a faithful
+    * replay log (cypher-shell replays the reset before the new graph). */
+  def reset(): Unit = runBatch(Seq("MATCH (n) DETACH DELETE n;"))
   override def close(): Unit = ()
 }
 
@@ -341,6 +351,9 @@ trait CypherTransport extends AutoCloseable {
   * transport would send, separated by transaction markers so the batching
   * is auditable. Loadable as-is by cypher-shell. */
 class FileCypherTransport(path: java.nio.file.Path) extends CypherTransport {
+  /** The file IS the database surrogate: non-empty file = non-empty db. */
+  override def databaseNonEmpty: Boolean =
+    Files.exists(path) && Files.size(path) > 0
   override def runBatch(statements: Seq[String]): Unit = {
     Option(path.getParent).foreach(Files.createDirectories(_))
     val payload = statements.mkString("", "\n", "\n")
@@ -408,6 +421,18 @@ class BoltCypherTransport(uri: String, user: String, passwd: String) extends Cyp
     } finally method(session, "close").invoke(session)
   }
 
+  /** `MATCH (n) RETURN 1 LIMIT 1` and probe Result.hasNext — the
+    * reference's isDatabaseEmpty check (Neo4jAuraSink.scala:216-218),
+    * via the same reflective surface as runBatch. */
+  override def databaseNonEmpty: Boolean = {
+    val session = sessionM.invoke(driver)
+    try {
+      val res = method(session, "run", classOf[String])
+        .invoke(session, "MATCH (n) RETURN 1 LIMIT 1")
+      method(res, "hasNext").invoke(res).asInstanceOf[Boolean]
+    } finally method(session, "close").invoke(session)
+  }
+
   override def close(): Unit = { driverCloseM.invoke(driver); () }
 }
 
@@ -430,27 +455,42 @@ case class Neo4jAuraSink(uri: String, user: String, passwd: String)
       new FileCypherTransport(java.nio.file.Paths.get(uri.stripPrefix("file:")))
     } else new BoltCypherTransport(uri, user, passwd)
 
-  private def deliver(nodes: Seq[FlowNode], edges: Seq[FlowEdge]): Unit = {
-    // a fresh transport + constraints per delivery is REFERENCE PARITY
-    // (its sink re-creates constraints on every save; IF NOT EXISTS makes
-    // them idempotent) and keeps delivery stateless across long-lived
-    // listener sessions (no pinned connection to go stale). A deployment
-    // with per-query latency budgets would cache the transport for the
-    // sink's lifetime and send constraints once — the trait is already
-    // AutoCloseable for exactly that.
+  private def deliver(t: CypherTransport, nodes: Seq[FlowNode], edges: Seq[FlowEdge]): Unit = {
+    // constraints re-sent per delivery is REFERENCE PARITY (its sink
+    // re-creates constraints on every save; IF NOT EXISTS makes them
+    // idempotent). A deployment with per-query latency budgets would
+    // cache the transport for the sink's lifetime and send constraints
+    // once — the trait is already AutoCloseable for exactly that.
+    t.runBatch(CypherStatements.constraints)
+    CypherStatements.merges(nodes, edges).grouped(batchSize).foreach(t.runBatch)
+  }
+
+  /** Batch write honors the reference's contract (Neo4jAuraSink.scala:
+    * 219-240): the target must be EMPTY unless `options("overwrite")` is
+    * set, in which case it is reset first. Delivery itself diverges
+    * deliberately — idempotent MERGEs (the CypherFileSink stream) instead
+    * of the reference's CREATEs, so a retried write cannot violate the
+    * uniqueness constraints it just installed. */
+  override def write(nodes: Seq[FlowNode], edges: Seq[FlowEdge],
+      options: Map[String, String]): Unit = {
     val t = openTransport()
     try {
-      t.runBatch(CypherStatements.constraints)
-      CypherStatements.merges(nodes, edges).grouped(batchSize).foreach(t.runBatch)
+      if (options.getOrElse("overwrite", "false").toBoolean) t.reset()
+      else if (t.databaseNonEmpty) {
+        throw new IllegalStateException(
+          "Database should be empty; pass overwrite=true to reset it first")
+      }
+      deliver(t, nodes, edges)
     } finally t.close()
   }
 
-  override def write(nodes: Seq[FlowNode], edges: Seq[FlowEdge],
-      options: Map[String, String]): Unit = deliver(nodes, edges)
-
   /** Listener mode: MERGE + dstNodeIds accumulation make appends
-    * idempotent-per-edge and additive across queries, so the stream path is
-    * the same delivery as the batch path. */
+    * idempotent-per-edge and additive across queries, so the stream path
+    * is the same delivery as the batch path — and, per the reference, no
+    * empty-database check (appending to existing lineage is the point). */
   override def append(nodes: Seq[FlowNode], edges: Seq[FlowEdge],
-      options: Map[String, String]): Unit = deliver(nodes, edges)
+      options: Map[String, String]): Unit = {
+    val t = openTransport()
+    try deliver(t, nodes, edges) finally t.close()
+  }
 }

@@ -235,6 +235,12 @@ class ExpressionsSpec extends AnyFunSuite {
       ("insm", "abdef", "abcdef"), // insertion in the middle
       ("del", "abcdef", "bcdef"), // deletion
       ("eq", "abcdef", "abcdef"), // identical
+      // non-ASCII: one CHAR substitution/insertion of a multi-byte code
+      // point — byte-level deletions would never produce the shared
+      // variant ("caf" is café minus a 2-byte char), so these pin that
+      // the neighborhood iterates code points
+      ("sub8", "café", "cafe"), // é (2 bytes) substituted by e
+      ("ins8", "naïve", "nave"), // ï deleted
       ("far", "abcdef", "xyzuvw")) // unrelated
     val got = cases.map { case (k, a, b) => (k, a, b) }.toDF("k", "a", "b")
       .select($"k",
@@ -242,7 +248,7 @@ class ExpressionsSpec extends AnyFunSuite {
         deletion_variant_hashes($"b").as("vb"))
       .collect().map(r => r.getString(0) ->
         (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
-    Seq("sub", "ins", "insm", "del", "eq").foreach { k =>
+    Seq("sub", "ins", "insm", "del", "eq", "sub8", "ins8").foreach { k =>
       val (va, vb) = got(k)
       assert(va.toSet.intersect(vb.toSet).nonEmpty, s"$k: no shared variant hash")
     }

@@ -69,12 +69,18 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
-  test("the base session is untouched: no leaked temp functions") {
-    // the extension functions are injected into the NEW session's registry
-    // only — the shared base session must not silently gain them
-    base.catalog.dropTempView("__ext_probe__") // no-op, forces catalog init
+  test("a plain sibling session is untouched: no leaked temp functions") {
+    // the extension functions are injected into the conf-built session's
+    // registry only. Probe the REAL function name on a fresh sibling
+    // session (new SessionState → new temp-function registry, never
+    // touched by registerAll or the extensions conf): if injection ever
+    // leaked into shared state, zorder_key would resolve here and this
+    // test would catch it. (Probing the shared base session would be
+    // vacuous the other way — other suites legitimately call registerAll
+    // on it; probing a misspelled name was vacuous full stop.)
+    val sibling = base.newSession()
     val err = intercept[Exception] {
-      base.sql("SELECT zorder_key_does_not_exist(1, 2)").collect()
+      sibling.sql("SELECT zorder_key(1, 2)").collect()
     }
     assert(err.getMessage.toLowerCase.contains("unresolved")
       || err.getMessage.contains("UNRESOLVED_ROUTINE"), err.getMessage.take(200))

@@ -88,6 +88,29 @@ class Neo4jSinkSpec extends AnyFunSuite {
     assert(merges.distinct.size === 3, "re-delivery must repeat identical MERGEs")
   }
 
+  test("batch write honors the reference's empty-database contract: " +
+      "non-empty target rejects unless overwrite, overwrite resets first") {
+    val dir = Files.createTempDirectory("neo4j_overwrite_contract")
+    val path = dir.resolve("stream.cypher")
+    val sink = Neo4jAuraSink(s"file:$path", "u", "p")
+    sink.write(nodes, edges, Map.empty) // empty target: plain write is fine
+    val e = intercept[IllegalStateException] {
+      sink.write(nodes, edges, Map.empty) // target now non-empty
+    }
+    assert(e.getMessage.contains("Database should be empty"), e.getMessage)
+    // overwrite: the reset statement must land BEFORE the new graph
+    sink.write(nodes, edges, Map("overwrite" -> "true"))
+    val stmts = new String(Files.readAllBytes(path)).linesIterator
+      .filterNot(l => l == ":begin" || l == ":commit").toSeq
+    val resetAt = stmts.indexWhere(_.contains("DETACH DELETE"))
+    assert(resetAt >= 0, "overwrite must send the reset statement")
+    assert(!stmts.take(resetAt).exists(_.startsWith("MERGE")) ||
+      stmts.drop(resetAt + 1).exists(_.startsWith("MERGE")),
+      "the reset must precede the re-delivered graph")
+    // append mode never checks emptiness (reference parity)
+    sink.append(nodes, edges, Map.empty)
+  }
+
   test("bolt transport fails with a clear message when the driver jar is absent") {
     val sink = Neo4jAuraSink("neo4j+s://demo.databases.neo4j.io", "u", "p")
     val e = intercept[IllegalStateException] {

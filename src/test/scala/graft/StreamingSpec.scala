@@ -107,8 +107,14 @@ class StreamingSpec extends AnyFunSuite {
       (101L, "a b c"), // too_short
       (102L, "a b a b a b a b a b a b"), // low_diversity: 2 of 12 distinct
       (103L, "p q r s t p q r s t p q r s t"), // repetitive: 5-token cycle
-      (104L, "seen baseline document about spark joins and shuffles repeated verbatim downstream"))
-    val seenText = rows.last._2 // 104 is an exact dup of the ingested corpus
+      (104L, "seen baseline document about spark joins and shuffles repeated verbatim downstream"),
+      // repetitive ONLY after redaction: one sentence repeated with a
+      // DIFFERENT email each time — raw-text shingles are all distinct
+      // (each email differs), but [EMAIL] collapses the copies. The
+      // cascade grades the redacted text, so this must grade repetitive.
+      (105L, "please contact a@x.com about catalyst shuffles today " +
+        "please contact b@y.com about catalyst shuffles today"))
+    val seenText = rows.toMap.apply(104L) // 104 is an exact dup of the ingested corpus
     val seen = Seq((0L, seenText)).toDF("doc_id", "text")
       .select(explode(token_shingle_hashes($"text", 3)).as("e")).distinct()
     val digest = seen.stat.bloomFilter("e", 1000L, 0.01)
@@ -134,6 +140,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(103L)._2 === "repetitive")
     assert(out(104L)._2 === "keep" && !out(104L)._3,
       "an exact dup of the ingested corpus is quality-clean but NOT novel")
+    assert(out(105L)._2 === "repetitive",
+      "repetition must be graded over the REDACTED text: the same sentence " +
+        "repeated with different emails collapses only after [EMAIL] redaction")
 
     // micro-batch execution must equal the same gate run in batch
     val batch = StreamingOps.ingestGate(df, digest).collect()
