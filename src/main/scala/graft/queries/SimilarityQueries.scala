@@ -12,10 +12,11 @@ import org.apache.spark.sql.expressions.Window
   *     product — no shuffle except the final per-query top-k, which moves
   *     only (query_id, neighbor_id, score) triples. At 100 TB the corpus
   *     scan parallelizes per input split; nothing accumulates on the driver.
-  *   - s02 IVF: pivots are chosen deterministically (vec_id % stride), every
-  *     vector is assigned to its nearest pivot ONCE (broadcast pivots), and
-  *     each query probes only its 2 nearest pivot buckets — the classic
-  *     inverted-file trade of recall for a ~nlist/nprobe scan reduction.
+  *   - s02 IVF: a √-scaled number of pivots is trained offline on a bounded
+  *     sample, every vector is assigned to its nearest pivot ONCE, and each
+  *     query probes only its nprobe nearest pivot buckets (a constant
+  *     ~nprobe/nlist fraction of the corpus) — the classic inverted-file
+  *     trade of recall for a ~nlist/nprobe scan reduction.
   *   - scores are doubles computed in a fixed per-pair loop order →
   *     bit-deterministic regardless of partitioning.
   */
@@ -29,19 +30,43 @@ object SimilarityQueries {
   private def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.functions.vec_cosine(a, b)
 
-  /** IVF coarse-quantizer size. FIXED — does not grow with the corpus, so
-    * the driver/literal side stays nlist×dim floats at any scale (raise to
-    * 256+ on a real cluster; 16 keeps per-bucket populations meaningful on
-    * the sf0.001 fixture). */
+  /** IVF nlist floor (and the fixture's value: 500 vectors √-scale to it).
+    * The ACTUAL cluster count √-scales with the corpus — see
+    * [[ivfNlistFor]]. */
   private[graft] val IvfNlist = 16
   private[graft] val IvfNprobe = 2
+
+  /** Cluster count for the whole IVF family, √-SCALED with the corpus: a
+    * FIXED nlist turns 10× data into 10× bucket populations (so 10× probe
+    * scans, and for SemDeDup ~100× within-cluster pairwise cost).
+    * √-scaling keeps the per-cluster population (≈ √(2n)) and the centroid
+    * table (nlist·dim floats) both sub-linear: 500 fixture vectors → 16,
+    * the 10× bench tier → 100, 5e8 vectors → 15,812. Past
+    * [[LiteralPivotMax]] centroids the scoring projection switches from
+    * literal structs to the reference-object [[org.apache.spark.sql.graft
+    * .NearestPivots]] expression — the plan stays O(1) expressions at any
+    * nlist (QueriesSpec pins literal ≡ native at nlist 1024). */
+  private[graft] def ivfNlistFor(n: Long): Int =
+    math.max(IvfNlist, math.ceil(math.sqrt(n / 2.0)).toInt)
+
+  /** d15's chooser — the same √-scaling (SemDeDup shares the IVF
+    * quantizer, so the two cannot drift apart). */
+  private[graft] def semdedupNlist(n: Long): Int = ivfNlistFor(n)
+
+  /** Probe width scales WITH nlist so the probed corpus fraction
+    * (nprobe/nlist ≈ 1/8) — and with it expected recall — stays constant
+    * as the clustering refines; a fixed nprobe over a growing nlist would
+    * silently trade recall for speed on every scale-up. */
+  private[graft] def nprobeFor(nlist: Int): Int = math.max(IvfNprobe, nlist / 8)
 
   /** Trained IVF coarse quantizer, memoized per corpus dir: every real IVF
     * system (FAISS & friends) trains its quantizer OFFLINE and ships the
     * nlist×dim centroid table to the query path as a constant — mirroring
-    * that, training (2 spherical k-means iterations) runs once per corpus
-    * and s02's query path consumes the centroids as literals. The cache
-    * holds nlist×dim floats per dir — driver-sized by construction. */
+    * that, training (2 spherical k-means iterations over a BOUNDED
+    * deterministic sample — vec_id < 4096, the pqCodebook pattern; a
+    * production build would hash-sample) runs once per corpus and the
+    * query path consumes the centroids as a constant table. The cache
+    * holds nlist×dim floats per dir — sub-linear by the √-scaling. */
   private val trainedPivots =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
   private[graft] def ivfPivots(s: SparkSession, dir: String): Seq[Seq[Float]] = {
@@ -50,12 +75,40 @@ object SimilarityQueries {
     // (deterministic, identical) result
     val existing = trainedPivots.get(dir)
     if (existing != null) return existing
+    val emb = tbl(s, dir, "embeddings")
+    val nlist = ivfNlistFor(emb.count())
     val (_, cents) = graft.operators.KMeansOps.sphericalKMeans(
-      tbl(s, dir, "embeddings"), "vec_id", "embedding", k = IvfNlist, iters = 2)
+      emb.filter(col("vec_id") < 4096L), "vec_id", "embedding", k = nlist, iters = 2)
     val trained = cents.orderBy("cluster").collect().toSeq.map(_.getSeq[Float](1))
     val prev = trainedPivots.putIfAbsent(dir, trained)
     if (prev != null) prev else trained
   }
+
+  /** Above this cluster count the literal-pivot projection switches to the
+    * native reference-object expression: O(nlist·dim) literal expressions
+    * blow up analysis/codegen long before the data does. */
+  private[graft] val LiteralPivotMax = 256
+
+  /** Pivot ids of the `k` nearest centroids (cosine desc, ties to the
+    * lowest id) — literal structs up to [[LiteralPivotMax]] centroids, the
+    * [[org.apache.spark.sql.graft.NearestPivots]] reference-object
+    * expression beyond. Both paths share VecOps.cosine's accumulation
+    * order, so they rank identically (QueriesSpec pins it). */
+  private[graft] def topPivotIds(pivots: Seq[Seq[Float]], vec: Column, k: Int): Column =
+    if (pivots.length <= LiteralPivotMax) {
+      transform(slice(sort_array(pivotScores(pivots)(vec), asc = false), 1, k),
+        p => -p.getField("negp"))
+    } else {
+      org.apache.spark.sql.graft.functions.nearest_pivots(
+        vec, pivots.flatten.toArray, pivots.head.length, k)
+    }
+
+  /** Nearest-centroid assignment — the k=1 case, kept as array_max on the
+    * literal path (one reduction, no sort). */
+  private[graft] def assignedPivotId(pivots: Seq[Seq[Float]], vec: Column): Column =
+    if (pivots.length <= LiteralPivotMax) {
+      -array_max(pivotScores(pivots)(vec)).getField("negp")
+    } else element_at(topPivotIds(pivots, vec, 1), 1)
 
   /** Per-group top-k via the bounded [[org.apache.spark.sql.graft.TopKStruct]]
     * aggregate: map-side state is k rows per query, so the only shuffle
@@ -74,63 +127,28 @@ object SimilarityQueries {
   }
 
   /** Every corpus vector tagged with its nearest trained-centroid id — the
-    * assignment half of IVF (one narrow map-side projection over literal
-    * pivots; ties to max sim then lowest pivot id), shared by s02's probe
-    * path and d15's SemDeDup cluster bound. */
+    * assignment half of IVF (one narrow map-side projection; ties to max
+    * sim then lowest pivot id), shared by s02's probe path and d15's
+    * SemDeDup cluster bound. */
   private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
-    val score = pivotScores(ivfPivots(s, dir)) _
+    val pivots = ivfPivots(s, dir)
     tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-      (-array_max(score(col("embedding"))).getField("negp")).as("pivot_id"))
+      assignedPivotId(pivots, col("embedding")).as("pivot_id"))
   }
 
-  /** d15's cluster count, √-SCALED with the corpus: SemDeDup's within-
-    * cluster work is O(cluster²), so a FIXED nlist turns 10× data into
-    * ~100× pairwise cost. √-scaling keeps both the per-cluster population
-    * (≈ √(2n)) and the centroid table (nlist·dim floats of literals)
-    * sub-linear — the paper's "scale the clustering with the corpus"
-    * lever as code, not a comment. Floored at IvfNlist so the fixture
-    * (500 vectors → 16) matches the shared IVF quantizer exactly; the
-    * 10× bench tier trains 50. Past ~1k clusters the literal-pivot
-    * projection should swap for a broadcast centroid table (same
-    * assignment semantics, one broadcast join). */
-  private[graft] def semdedupNlist(n: Long): Int =
-    math.max(IvfNlist, math.ceil(math.sqrt(n / 2.0)).toInt)
-
-  private val semPivots =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Float]]]()
-  private[graft] def semdedupAssigned(s: SparkSession, dir: String): DataFrame = {
-    val existing = semPivots.get(dir)
-    val pivots = if (existing != null) existing else {
-      // train OUTSIDE the map (the ivfPivots pattern); losers discard
-      val emb = tbl(s, dir, "embeddings")
-      val nlist = semdedupNlist(emb.count())
-      val trained =
-        if (nlist == IvfNlist) ivfPivots(s, dir)
-        else {
-          // train on a BOUNDED deterministic sample (the pqCodebook
-          // pattern — vec_id < 4096 is the fixture's deterministic
-          // equivalent of hash-sampling): quantizer training must not
-          // scan the corpus per iteration, or training swamps the
-          // pairwise savings the clustering buys — the full corpus is
-          // only ASSIGNED (one map-side pass)
-          val (_, cents) = graft.operators.KMeansOps.sphericalKMeans(
-            emb.filter(col("vec_id") < 4096L), "vec_id", "embedding",
-            k = nlist, iters = 2)
-          cents.orderBy("cluster").collect().toSeq.map(_.getSeq[Float](1))
-        }
-      val prev = semPivots.putIfAbsent(dir, trained)
-      if (prev != null) prev else trained
-    }
-    val score = pivotScores(pivots) _
-    tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-      (-array_max(score(col("embedding"))).getField("negp")).as("pivot_id"))
-  }
+  /** d15's assignment IS the IVF assignment: one chooser ([[ivfNlistFor]]),
+    * one sampled-training quantizer ([[ivfPivots]]), one assignment rule —
+    * SemDeDup's clustering and the ANN index cannot drift apart. */
+  private[graft] def semdedupAssigned(s: SparkSession, dir: String): DataFrame =
+    ivfAssigned(s, dir)
 
   /** Nearest-pivot scoring with the trained centroids embedded as
     * LITERALS: an array of (sim, -pivot) structs — array_max picks the
     * assignment, sort+slice picks probe buckets. ONE definition shared by
     * s02 / the index build / s06, so the s06 ≡ s02 equivalence QueriesSpec
-    * pins cannot drift out of sync. */
+    * pins cannot drift out of sync. Callers go through [[topPivotIds]] /
+    * [[assignedPivotId]], which swap this for the native reference-object
+    * expression past [[LiteralPivotMax]] centroids. */
   private def pivotScores(pivotVecs: Seq[Seq[Float]])(vec: Column): Column =
     array(pivotVecs.zipWithIndex.map {
       case (p, i) => struct(cosine(vec, typedLit(p)).as("sim"), lit(-i).as("negp"))
@@ -184,7 +202,7 @@ object SimilarityQueries {
     val path = tmpRoot.resolve("embeddings_pq").toString
     tbl(s, dir, "embeddings")
       .select(col("vec_id"), pq_encode(col("embedding"), cb, PqM, PqK).as("code"),
-        (-array_max(pivotScores(pivotVecs)(col("embedding"))).getField("negp")).as("pivot_id"))
+        assignedPivotId(pivotVecs, col("embedding")).as("pivot_id"))
       .write.mode("overwrite").partitionBy("pivot_id").parquet(path)
     val prev = pqIndexPaths.putIfAbsent(key, path)
     if (prev != null) { deleteRecursively(tmpRoot); prev }
@@ -216,7 +234,7 @@ object SimilarityQueries {
     val path = tmpRoot.resolve("embeddings_ivf").toString
     tbl(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"),
-        (-array_max(pivotScores(pivotVecs)(col("embedding"))).getField("negp")).as("pivot_id"))
+        assignedPivotId(pivotVecs, col("embedding")).as("pivot_id"))
       .write.mode("overwrite").partitionBy("pivot_id").parquet(path)
     val prev = indexPaths.putIfAbsent(key, path)
     if (prev != null) { deleteRecursively(tmpRoot); prev }
@@ -246,7 +264,7 @@ object SimilarityQueries {
   private[graft] def ivfPqKnn(s: SparkSession, dir: String, rerank: Int = PqRerank): DataFrame = {
     import org.apache.spark.sql.graft.functions.{pq_adc_lut, pq_adc_score, top_k_struct}
     val cb = pqCodebook(s, dir)
-    val score = pivotScores(ivfPivots(s, dir)) _
+    val pivots = ivfPivots(s, dir)
     val idx = s.read.parquet(pqIndexPath(s, dir))
     val emb = tbl(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
@@ -255,8 +273,7 @@ object SimilarityQueries {
     // queries×nprobe rows, broadcast; the index side never shuffles
     val probes = queries
       .select(col("query_id"), pq_adc_lut(col("q_emb"), cb, PqM, PqK).as("lut"),
-        explode(slice(sort_array(score(col("q_emb")), asc = false), 1, IvfNprobe)).as("p"))
-      .select(col("query_id"), col("lut"), (-col("p.negp")).as("pivot_id"))
+        explode(topPivotIds(pivots, col("q_emb"), nprobeFor(pivots.length))).as("pivot_id"))
     val approx = idx.join(broadcast(probes), "pivot_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -300,20 +317,18 @@ object SimilarityQueries {
 
     "s02_knn_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val score = pivotScores(ivfPivots(s, dir)) _
-      // Nearest-pivot assignment with the pivots embedded as LITERALS:
-      // array_max over nlist (sim, -pivot) structs is one narrow map-side
-      // projection — no crossJoin row blow-up, no per-vector window, and
-      // the embedding column never enters an Exchange.
-      // (Ties: max sim, then lowest pivot id.)
+      val pivots = ivfPivots(s, dir)
+      // Nearest-pivot assignment against the trained centroid table: one
+      // narrow map-side projection — no crossJoin row blow-up, no
+      // per-vector window, and the embedding column never enters an
+      // Exchange. (Ties: max sim, then lowest pivot id.)
       val assigned = ivfAssigned(s, dir)
       // probe: each query searches its nprobe nearest pivot buckets —
-      // same literal scoring, sorted in-row, top nprobe exploded
+      // same scoring, top nprobe ids exploded
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(slice(sort_array(score(col("embedding")), asc = false),
-            1, IvfNprobe)).as("p"))
-        .select(col("query_id"), col("q_emb"), (-col("p.negp")).as("pivot_id"))
+          explode(topPivotIds(pivots, col("embedding"),
+            nprobeFor(pivots.length))).as("pivot_id"))
       // bucket-probe join: probes is ≤ queries×nprobe rows → broadcast, so
       // the corpus side stays map-side (no shuffle of vectors anywhere)
       val scored = assigned.join(broadcast(probes), "pivot_id")
@@ -333,12 +348,11 @@ object SimilarityQueries {
       // assignment cost is paid once at ingest, not per query batch.
       // QueriesSpec proves s06 ≡ s02 row-for-row.
       val idx = s.read.parquet(ivfIndexPath(s, dir))
-      val score = pivotScores(ivfPivots(s, dir)) _
+      val pivots = ivfPivots(s, dir)
       val probes = tbl(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(slice(sort_array(score(col("embedding")), asc = false),
-            1, IvfNprobe)).as("p"))
-        .select(col("query_id"), col("q_emb"), (-col("p.negp")).as("pivot_id"))
+          explode(topPivotIds(pivots, col("embedding"),
+            nprobeFor(pivots.length))).as("pivot_id"))
       val scored = idx.join(broadcast(probes), "pivot_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -364,12 +378,11 @@ object SimilarityQueries {
       // QueriesSpec pins soundness (every neighbor has label 3) and
       // recall vs the exact filtered brute force.
       val idx = s.read.parquet(ivfIndexPath(s, dir)).filter(col("label") === 3)
-      val score = pivotScores(ivfPivots(s, dir)) _
+      val pivots = ivfPivots(s, dir)
       val probes = tbl(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(slice(sort_array(score(col("embedding")), asc = false),
-            1, 2 * IvfNprobe)).as("p"))
-        .select(col("query_id"), col("q_emb"), (-col("p.negp")).as("pivot_id"))
+          explode(topPivotIds(pivots, col("embedding"),
+            2 * nprobeFor(pivots.length))).as("pivot_id"))
       val scored = idx.join(broadcast(probes), "pivot_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),

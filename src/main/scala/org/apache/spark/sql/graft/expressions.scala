@@ -616,6 +616,85 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Coarse-quantizer assignment against a centroid table that rides into
+  * codegen as ONE referenced object (the BloomCountHits/PqEncode pattern)
+  * instead of nlist literal structs. The literal-pivot projection is fine
+  * up to a few hundred centroids, but past that the plan itself becomes
+  * the problem — O(nlist·dim) literal expressions blow up analysis and
+  * codegen long before the data does (a √-scaled 5e8-vector corpus wants
+  * ~16k centroids ≈ 4 MB of float literals). Here the table ships once
+  * per task and scoring is one tight JVM loop per row. */
+object PivotOps {
+  /** Ids of the `k` nearest centroids by cosine, descending; ties to the
+    * lowest id — the exact ordering of the literal-pivot sort_array path.
+    * Cosine accumulates doubles in ascending dimension order, the same
+    * arithmetic as [[VecOps.cosine]], so rankings are bit-identical to
+    * the literal projection this replaces. */
+  def topPivots(v: ArrayData, centroids: Array[Float], dim: Int, k: Int): ArrayData = {
+    require(v.numElements() == dim,
+      s"vector length ${v.numElements()} does not match the centroid dim $dim")
+    val nlist = centroids.length / dim
+    val kk = math.min(k, nlist)
+    var nq = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getFloat(i).toDouble; nq += x * x; i += 1 }
+    val bestSim = new Array[Double](kk)
+    val bestId = new Array[Int](kk)
+    java.util.Arrays.fill(bestSim, Double.NegativeInfinity)
+    var p = 0
+    while (p < nlist) {
+      var dot = 0.0
+      var nc = 0.0
+      val base = p * dim
+      var j = 0
+      while (j < dim) {
+        val x = v.getFloat(j).toDouble
+        val y = centroids(base + j).toDouble
+        dot += x * y
+        nc += y * y
+        j += 1
+      }
+      val denom = math.sqrt(nq) * math.sqrt(nc)
+      val sim = if (denom == 0.0) 0.0 else dot / denom
+      // insertion into the sorted top-k (sim desc, id asc); p ascends, so
+      // a strict comparison keeps the earlier id on ties
+      var pos = kk
+      while (pos > 0 && sim > bestSim(pos - 1)) pos -= 1
+      if (pos < kk) {
+        var q = kk - 1
+        while (q > pos) { bestSim(q) = bestSim(q - 1); bestId(q) = bestId(q - 1); q -= 1 }
+        bestSim(pos) = sim
+        bestId(pos) = p
+      }
+      p += 1
+    }
+    new GenericArrayData(bestId)
+  }
+}
+
+/** `nearest_pivots(vec)` — ARRAY<INT> of the k nearest centroid ids (cosine
+  * desc, ties to the lowest id) against a reference-object centroid table;
+  * see [[PivotOps]] for why this replaces literal pivots past a few
+  * hundred clusters. */
+case class NearestPivots(child: Expression, centroids: Array[Float], dim: Int, k: Int)
+  extends UnaryExpression {
+  require(dim > 0 && k > 0, s"dim and k must be positive, got dim=$dim k=$k")
+  require(centroids.nonEmpty && centroids.length % dim == 0,
+    s"centroid table length ${centroids.length} must be a positive multiple of dim=$dim")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(ExprChecks.isFloatArray(child.dataType), "ARRAY<FLOAT>", child.dataType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    PivotOps.topPivots(input.asInstanceOf[ArrayData], centroids, dim, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.PivotOps.topPivots($c, $ref, $dim, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-facing API + SQL registration for the native expressions. */
 object functions {
   import org.apache.spark.sql.{Column, SparkSession}
@@ -655,6 +734,9 @@ object functions {
 
   def deletion_variant_hashes(c: Column): Column =
     ExpressionUtils.column(DeletionVariantHashes(ExpressionUtils.expression(c)))
+
+  def nearest_pivots(c: Column, centroids: Array[Float], dim: Int, k: Int): Column =
+    ExpressionUtils.column(NearestPivots(ExpressionUtils.expression(c), centroids, dim, k))
 
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))

@@ -263,6 +263,50 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql === got("eq")._1)
   }
 
+  test("nearest_pivots ≡ the literal-pivot projection at nlist 1024 — " +
+      "the >LiteralPivotMax path is bit-identical AND plan-bounded") {
+    // the scale story of the IVF family rests on this equivalence: past
+    // LiteralPivotMax the literal per-pivot structs (O(nlist·dim)
+    // expressions — the plan itself becomes the bottleneck) swap for ONE
+    // reference-object expression. Drive nlist = 1024 (4× past the
+    // switch) through both and require identical ids in identical order.
+    val dim = 8
+    val nlist = 1024
+    val k = 4
+    val pivots: Seq[Seq[Float]] = (0 until nlist).map { i =>
+      (0 until dim).map(j => ((i * 31 + j * 7) % 97 - 48) / 48.0f)
+    }
+    val vecs = (0L until 200L).map { v =>
+      (v, (0 until dim).map(j => ((v * 13 + j * 17) % 101 - 50) / 50.0f).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // literal path, re-derived independently of SimilarityQueries: array
+    // of (sim, -pivot) structs, sorted desc, top-k pivot ids
+    val literalScores = array(pivots.zipWithIndex.map { case (p, i) =>
+      struct(vec_cosine($"embedding", typedLit(p)).as("sim"), lit(-i).as("negp"))
+    }: _*)
+    val lit1024 = df.select($"vec_id",
+      transform(slice(sort_array(literalScores, asc = false), 1, k),
+        p => -p.getField("negp")).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val native = df.select($"vec_id",
+      nearest_pivots($"embedding", pivots.flatten.toArray, dim, k).as("top"))
+    val nat = native.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(nat === lit1024, "native top-k pivot ids must equal the literal path's")
+    // the whole point: the native plan stays O(1) expressions while the
+    // literal plan carries O(nlist·dim) of them
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions.map(_.collect { case e => e }.size).sum
+    assert(exprNodes(native) < 100,
+      s"native pivot plan must stay tiny, got ${exprNodes(native)} expression nodes")
+    // and k=1 (the assignment case) agrees too
+    val a1 = df.select($"vec_id",
+      element_at(nearest_pivots($"embedding", pivots.flatten.toArray, dim, 1), 1).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === lit1024.map { case (id, top) => id -> top.head })
+  }
+
   test("zorder_key: matches the per-bit interleave reference over mixed int/long input") {
     val df = spark.range(2000).select(
       (col("id") * 2654435761L % 100003).cast("int").as("x"),
