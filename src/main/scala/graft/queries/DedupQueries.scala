@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   import QueryDsl._
 
-  import org.apache.spark.sql.graft.functions.{token_shingle_hashes, minhash_signature, simhash64}
+  import org.apache.spark.sql.graft.functions.{token_shingle_hashes, minhash_signature, simhash_md5}
 
   private val NumPerm = 32
 
@@ -287,9 +287,12 @@ object DedupQueries {
   }
 
   /** d04's banded self-join over (doc_id, simhash): same 16-bit band →
-    * verify hamming <= 3. Degenerate band buckets are capped before pairing
-    * (see [[LshBucketCap]]); the cap is a parameter so DedupCapSpec can pin
-    * capped ≡ uncapped on the fixture. */
+    * verify hamming <= 3. Four disjoint bands cover the whole signature
+    * (the top band holds the md5 domain's 12 remaining bits), so by
+    * pigeonhole the candidate set is COMPLETE for hamming ≤ 3. Degenerate
+    * band buckets are capped before pairing (see [[LshBucketCap]]); the
+    * cap is a parameter so DedupCapSpec can pin capped ≡ uncapped on the
+    * fixture. */
   private[graft] def simhashPairs(d: DataFrame, bucketCap: Long = LshBucketCap): DataFrame = {
     val banded = d.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535L)")))
@@ -347,11 +350,18 @@ object DedupQueries {
     }),
 
     "d04_simhash" -> ((s, dir) => {
-      // 64-bit SimHash (native expression): bit j of the signature is the
-      // sign of sum over tokens of (+1 if bit j of xxh64(token) else -1).
+      // 60-bit SimHash in the md5 token-hash domain (native expression):
+      // bit j of the signature is the sign of sum over tokens of (+1 if
+      // bit j of the token hash else -1). The md5 domain is the d16
+      // oracle-parity trick: DuckDB reproduces every signature
+      // bit-for-bit, and since the 4-band candidate join is COMPLETE for
+      // hamming ≤ 3 (pigeonhole: ≤3 differing bits leave one band
+      // identical) and no fixture bucket hits the cap (DedupCapSpec), the
+      // banded pair set hash-matches a brute-force oracle. Production
+      // swaps xxh64 token hashes (simhash64, same selection logic).
       val d = sharedDf(s, s"simhash|$dir") { // reused by both join sides
         tbl(s, dir, "documents")
-          .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+          .select(col("doc_id"), simhash_md5(col("text")).as("simhash"))
       }
       simhashPairs(d)
     }),
@@ -665,6 +675,30 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d03_minhash_lsh" -> exactJaccardOracle.format(500),
+
+    // the 60-bit md5-domain simhash replicated bit-for-bit, then the
+    // BRUTE-FORCE pair scan at hamming ≤ 3 — which equals the banded
+    // candidate join because 4 disjoint bands make it complete for ≤ 3
+    // differing bits (pigeonhole) and no fixture band bucket is capped
+    "d04_simhash" -> """
+      WITH th AS (
+        SELECT doc_id, CAST('0x' || SUBSTRING(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''),
+      bits AS (
+        SELECT th.doc_id, b.j,
+               CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+        FROM th, (SELECT UNNEST(RANGE(60)) AS j) b
+        GROUP BY th.doc_id, b.j),
+      sims AS (
+        SELECT d.doc_id, CAST(COALESCE(SUM(bit), 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+        GROUP BY d.doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 
     // brute-force O(n²) ground truth — the neighborhood join must be
     // exactly sound AND complete for distance ≤ 1, so hash-equality

@@ -97,6 +97,46 @@ object ShingleOps {
     out
   }
 
+  /** 60-bit SimHash over whitespace tokens in the MD5 domain: the
+    * per-token hash is the top 60 bits of md5(token) — the first 15 hex
+    * chars, the one hash digest both engines share, so a DuckDB oracle
+    * reproduces the signature bit-for-bit (the WinnowOps parity trick;
+    * 60 bits keeps every derived value positive where the only 64-bit
+    * integer is signed). Production at 100 TB would swap back to xxh64
+    * token hashes ([[simhash]]) — the sign-counting selection logic is
+    * hash-agnostic; only the verifiability changes. */
+  def simhashMd5(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val md = Md5Local.get()
+    val counts = new Array[Int](60)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          md.reset()
+          md.update(bytes, start, i - start)
+          val d = md.digest()
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          v = v >>> 4 // top 60 bits = first 15 hex chars of the digest
+          var j = 0
+          while (j < 60) {
+            if (((v >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** xxh64 of each non-empty space-separated token, over raw UTF-8 bytes
     * (no String allocation). */
   private def hashTokens(s: UTF8String): Array[Long] = {
@@ -118,6 +158,14 @@ object ShingleOps {
     while (k < arr.length) { arr(k) = out.get(k); k += 1 }
     arr
   }
+}
+
+/** Thread-local MD5 — MessageDigest is stateful and not thread-safe, and
+  * allocating one per row would dominate the hash itself. */
+private[graft] object Md5Local {
+  private val tl = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  def get(): java.security.MessageDigest = tl.get()
 }
 
 /** Vector math over float-array embedding columns. */
@@ -616,6 +664,20 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash_md5(text)` — the oracle-verifiable 60-bit SimHash; see
+  * [[ShingleOps.simhashMd5]]. */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.simhashMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ShingleOps.simhashMd5($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Coarse-quantizer assignment against a centroid table that rides into
   * codegen as ONE referenced object (the BloomCountHits/PqEncode pattern)
   * instead of nlist literal structs. The literal-pivot projection is fine
@@ -709,6 +771,9 @@ object functions {
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
 
+  def simhash_md5(c: Column): Column =
+    ExpressionUtils.column(SimHashMd5(ExpressionUtils.expression(c)))
+
   def vec_cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecCosine(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -774,6 +839,7 @@ object functions {
       "minhash_signature" ->
         (exprs => MinHashSignature(exprs.head, intArg(exprs, 1, 32))),
       "simhash64" -> (exprs => SimHash64(exprs.head)),
+      "simhash_md5" -> (exprs => SimHashMd5(exprs.head)),
       "vec_cosine" -> (exprs => FloatVecCosine(exprs(0), exprs(1))),
       "vec_srp" -> (exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32))),
       "normalize_text" -> (exprs => NormalizeText(exprs.head)),

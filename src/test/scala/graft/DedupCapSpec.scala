@@ -22,7 +22,7 @@ class DedupCapSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  import org.apache.spark.sql.graft.functions.{minhash_signature, simhash64, token_shingle_hashes}
+  import org.apache.spark.sql.graft.functions.{minhash_signature, simhash64, simhash_md5, token_shingle_hashes}
 
   private def shingles(docs: DataFrame) =
     docs.select(col("doc_id"), token_shingle_hashes(col("text"), 3).as("sh"))
@@ -54,8 +54,11 @@ class DedupCapSpec extends AnyFunSuite {
   }
 
   test("capped SimHash pairs equal uncapped on the fixture (d04)") {
+    // run in d04's OWN hash domain (md5): this equality is what licenses
+    // d04's brute-force oracle — capped banded join ≡ uncapped ≡ (by the
+    // pigeonhole completeness of 4 bands over hamming ≤ 3) brute force
     val d = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      .select(col("doc_id"), simhash_md5(col("text")).as("simhash"))
     val capped = pairSet(DedupQueries.simhashPairs(d))
     val uncapped = pairSet(DedupQueries.simhashPairs(d, Long.MaxValue))
     assert(capped === uncapped)

@@ -59,6 +59,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(m("a") !== m("c"))
   }
 
+  test("simhash_md5: 60-bit domain, bag-of-words, bit-replicable from per-token md5") {
+    val df = Seq(
+      ("a", "alpha beta gamma delta"),
+      ("b", "delta gamma beta alpha"), // bag-of-words -> same simhash
+      ("c", "epsilon zeta eta theta iota kappa"),
+      ("e", "")
+    ).toDF("id", "t").select($"id", simhash_md5($"t").as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") === m("b"))
+    assert(m("a") !== m("c"))
+    assert(m("e") === 0L, "no tokens -> all counts 0 -> no bit set")
+    assert(m.values.forall(h => h >= 0 && (h >>> 60) == 0L),
+      "signatures must fit 60 bits (positive in any signed-64 engine)")
+    // the oracle-parity property itself: recompute from first-15-hex-chars
+    // md5 token hashes (exactly what the DuckDB oracle does)
+    def ref(text: String): Long = {
+      val counts = new Array[Int](60)
+      text.split(" ").filter(_.nonEmpty).foreach { tok =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+        val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+        val v = java.lang.Long.parseLong(hex, 16)
+        (0 until 60).foreach(j => if (((v >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1)
+      }
+      (0 until 60).foldLeft(0L)((acc, j) => if (counts(j) > 0) acc | (1L << j) else acc)
+    }
+    assert(m("a") === ref("alpha beta gamma delta"))
+    assert(m("c") === ref("epsilon zeta eta theta iota kappa"))
+  }
+
   test("vec_cosine: self-similarity 1.0, orthogonal 0.0, opposite -1.0, zero-vector safe") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),

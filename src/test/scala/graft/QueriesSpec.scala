@@ -87,14 +87,15 @@ class QueriesSpec extends AnyFunSuite {
 
   test("d04 SimHash pairs equal the brute-force band-collision set at hamming <= 3") {
     // soundness AND completeness on the fixture: recompute every doc's
-    // 64-bit SimHash, enumerate all pairs driver-side, and keep exactly
-    // those that (a) collide on at least one of the four 16-bit bands —
-    // d04's candidate rule — and (b) have hamming distance <= 3 — d04's
-    // verify rule. The query must return precisely this set.
+    // 60-bit md5-domain SimHash (d04's own domain), enumerate all pairs
+    // driver-side, and keep exactly those that (a) collide on at least
+    // one of the four 16-bit bands — d04's candidate rule — and (b) have
+    // hamming distance <= 3 — d04's verify rule. The query must return
+    // precisely this set.
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.graft.functions.simhash64
+    import org.apache.spark.sql.graft.functions.simhash_md5
     val sims = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+      .select(col("doc_id"), simhash_md5(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val expected = (for {
       (ida, sa) <- sims
