@@ -182,8 +182,15 @@ object MultimodalQueries {
       // cannot do. The fixture builds 50 base patterns × 10
       // brightness-shifted copies (pixels stay in [0, 215] — no clamping,
       // which would break gradient invariance at saturation); QueriesSpec
-      // proves the groups collapse soundly and completely. Rows-only: the
-      // oracle cannot decode PNGs.
+      // proves the groups collapse soundly and completely. Oracle: the
+      // m03 closed-form trick one step further — the oracle cannot decode
+      // PNGs, but it does not need to: the sampled-pixel grays are a
+      // closed form of (g, x, y) and the brightness delta adds the same
+      // 1000·delta to both sides of every gradient comparison, so the
+      // EXPECTED dhash grouping is computable in SQL. The Spark side must
+      // still round-trip real pixels through PNG encode + ImageIO decode
+      // to reproduce it, so codec bugs (channel order, lossy path,
+      // clamping) break the hash match.
       val pngSchema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
         StructField("png", BinaryType, nullable = false)))
@@ -296,6 +303,32 @@ object MultimodalQueries {
              UNNEST(GENERATE_SERIES(0,
                GREATEST(CAST(CEIL(OCTET_LENGTH(ENCODE(d.text)) / 64.0) AS INT) - 1, 0))) AS t(i))
       GROUP BY chunk_md5""",
+
+    // m06's dHash grouping in closed form: the 9×8 sample grid coordinates
+    // (integer division, non-negative → DuckDB // ≡ Java /), the pattern
+    // pixel formula, and the 299/587/114 gray weights are all replicated;
+    // the uniform brightness delta cancels in every gradient comparison,
+    // so the 64-bit signature is a function of the base pattern g alone —
+    // grouped here as a '0'/'1' string (no signed-64 overflow at bit 63).
+    "m06_image_neardup" -> """
+      WITH media AS (SELECT doc_id AS media_id, doc_id % 50 AS g FROM documents),
+      pat AS (SELECT DISTINCT g, 4 + g % 13 AS w, 3 + g % 11 AS h FROM media),
+      cells AS (
+        SELECT g, t.i,
+               ((t.i % 8) * w) // 9 AS x1,
+               (((t.i % 8) + 1) * w) // 9 AS x2,
+               ((t.i // 8) * h) // 8 AS y
+        FROM pat, UNNEST(GENERATE_SERIES(0, 63)) AS t(i)),
+      bits AS (
+        SELECT g, STRING_AGG(
+          CASE WHEN ((g*31 + x2*7 + y*13) % 180) * 299 + ((g*17 + x2*11 + y*3) % 180) * 587 + ((g*29 + x2*5 + y*19) % 180) * 114
+                  > ((g*31 + x1*7 + y*13) % 180) * 299 + ((g*17 + x1*11 + y*3) % 180) * 587 + ((g*29 + x1*5 + y*19) % 180) * 114
+               THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+        FROM cells GROUP BY g)
+      SELECT MIN(media_id) AS keep_id, COUNT(*) AS n_copies
+      FROM media JOIN bits USING (g)
+      GROUP BY sig
+      HAVING COUNT(*) >= 2""",
 
     "m02_frame_sample" -> """
       SELECT media_id, n_frames,
