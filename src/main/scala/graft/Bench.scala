@@ -61,15 +61,34 @@ object Bench {
         col("embedding"), col("label"))
     }.reduce(_.unionAll(_))
       .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    // the join/window/as-of families need their tables too. KEY columns
+    // shift per copy so join fan-out and per-group populations scale like
+    // a real 10× corpus — shared key values would instead multiply join
+    // multiplicity by `copies` and quadratically inflate the join tier.
+    def scaled(table: String, keyCols: String*): Unit = {
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      (0 until copies).map { i =>
+        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 100000000L)))
+      }.reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve(s"$table.parquet").toString)
+    }
+    scaled("orders", "o_orderkey", "o_custkey")
+    scaled("lineitem", "l_orderkey", "l_suppkey")
+    scaled("customer", "c_custkey")
+    scaled("events", "event_id", "user_id")
     tmp.toString
   }
 
-  /** The quadratic-ish inventory members whose plans the 10× tier guards. */
+  /** The 10× tier's members: the quadratic-ish dedup/text operators whose
+    * plan regressions hide in the sf0.1 overhead floor, PLUS one
+    * representative per core family (join / window / as-of) so a
+    * regression there cannot hide either (the r6-verdict ask). */
   private val HeavyNames = Seq(
     "d03_minhash_lsh", "d08_jaccard_exact_join", "d09_dup_components",
     "d11_dedup_pipeline", "d12_bloom_incremental", "d13_leakage_free_split",
     "d14_containment", "d15_semdedup", "d16_substring_dup", "t08_doc_top_terms",
-    "s01_knn_brute", "s05_kmeans_ivf")
+    "s01_knn_brute", "s05_kmeans_ivf",
+    "q03_shipping_priority", "q07_window_topk", "q08_running_sum", "q38_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,25 +132,32 @@ object Bench {
       val ok = samples.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
-    def runAll(reversed: Boolean): Seq[(String, Double)] = {
+    // Pass 2 runs the inventory ROTATED BY HALF: a container contention
+    // burst then hits a different stretch of the inventory in each pass,
+    // so no single query can read as a phantom regression from one burst
+    // landing on it twice (the r6 q38 "2.6×" artifact). Rotation — not
+    // reversal — because shared intermediates (the d-family shingle/
+    // signature/pair tables) are built by the first family member to run:
+    // reversal would run d08 AFTER d09/d11 built its pair table and its
+    // "min" would measure marginal cost, not the operator (observed:
+    // 2.1 s → 0.097 s). A half-rotation keeps every family's internal
+    // order, so per-query amortization semantics match pass 1 exactly.
+    def rotate[A](xs: Seq[A]): Seq[A] = xs.drop(xs.size / 2) ++ xs.take(xs.size / 2)
+    def runAll(rotated: Boolean): Seq[(String, Double)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      (if (reversed) ordered.reverse else ordered)
+      (if (rotated) rotate(ordered) else ordered)
         .map { case (name, fn) => name -> time(name, fn, sfDir) }
     }
     // two passes, report the min per query: pass 1 absorbs per-plan codegen
     // and JIT compilation, so pass 2 measures steady-state execution — the
-    // regime a long-lived cluster session actually runs in. Pass 2 runs in
-    // REVERSE order: a container contention burst then hits a different
-    // stretch of the inventory in each pass, so no single query can read
-    // as a phantom regression from one burst landing on it twice (the r6
-    // q38 "2.6×" artifact).
-    val first = runAll(reversed = false)
+    // regime a long-lived cluster session actually runs in.
+    val first = runAll(rotated = false)
     // drop caches persisted by pass 1 (shingle/signature/pair tables): the
     // min must measure re-execution with warm JIT, not cache scans
     graft.queries.DedupQueries.releaseShared()
     spark.catalog.clearCache()
-    val secondByName = runAll(reversed = true).toMap
+    val secondByName = runAll(rotated = true).toMap
     val results = first.map { case (k, v) =>
       k -> minOk(v, secondByName.getOrElse(k, v)) }
     // heavy tier: one pass (JIT is warm by now) on the synthetic 10× corpus
@@ -143,15 +169,17 @@ object Bench {
         // container swing up to ±50% under contention bursts (BUILD_NOTES
         // "heavy-tier noise caveat"), which made round-over-round
         // comparisons of exactly-unchanged queries read as regressions
-        def heavyPass(reversed: Boolean): Seq[(String, Double)] = {
+        def heavyPass(rotated: Boolean): Seq[(String, Double)] = {
           graft.queries.DedupQueries.releaseShared()
           spark.catalog.clearCache()
           val ordered = HeavyNames.filter(SparkEntry.queries.contains)
-          (if (reversed) ordered.reverse else ordered)
+          // same half-rotation as the main tier, same reason: keep each
+          // family's internal order so shared-table amortization matches
+          (if (rotated) rotate(ordered) else ordered)
             .map(n => n -> time(n, SparkEntry.queries(n), heavyDir))
         }
-        val h1 = heavyPass(reversed = false).toMap
-        val r = heavyPass(reversed = true)
+        val h1 = heavyPass(rotated = false).toMap
+        val r = heavyPass(rotated = true)
           .map { case (k, v) => k -> minOk(v, h1.getOrElse(k, v)) }
           .sortBy(_._1)
         graft.queries.DedupQueries.releaseShared()

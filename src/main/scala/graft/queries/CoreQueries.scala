@@ -409,6 +409,28 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("o_orderdate").as("nearest_date"))
     }),
 
+    "q77_scd2_intervals" -> ((s, dir) => {
+      // SCD2 dimension build — the lakehouse "state over time" op:
+      // collapse each user's event stream into event-type VALIDITY
+      // INTERVALS [valid_from, valid_to) with a current flag. Change
+      // detection is lag() over the per-user timeline; interval close is
+      // lead() over the surviving change rows. Both windows share ONE
+      // user_id partitioning, and the second runs on the (much smaller)
+      // change set — at 100 TB this is one shuffle of (user_id, ts, type)
+      // triples, then per-partition linear passes. The (ts, event_id)
+      // order key makes same-timestamp streams deterministic.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = events(s, dir)
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+    }),
+
     "q72_funnel" -> ((s, dir) => {
       // ordered funnel (view → click → purchase): stage timestamps via
       // LAYERED running-min windows — stage N's earliest valid time is a
@@ -1135,6 +1157,15 @@ object CoreQueries {
       SELECT e.event_id, e.user_id, j2.o_orderdate AS nearest_date
       FROM e LEFT JOIN (SELECT event_id, o_orderdate FROM j WHERE rk = 1) j2
         ON e.event_id = j2.event_id""",
+
+    "q77_scd2_intervals" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      c AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+      ch AS (SELECT user_id, event_id, ts, event_type FROM c WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      FROM ch""",
 
     "q72_funnel" -> """
       WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

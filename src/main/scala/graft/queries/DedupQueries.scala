@@ -572,6 +572,42 @@ object DedupQueries {
         .withColumn("dup_ratio_milli", expr("(1000L * n_dup_fps) DIV n_fingerprints"))
     }),
 
+    "d18_weighted_overlap" -> ((s, dir) => {
+      // WEIGHTED near-dup similarity — exact tf-vector cosine with the
+      // threshold decided in EXACT INTEGER arithmetic: cos(a,b) ≥ 9/10
+      // ⇔ 100·dot² ≥ 81·|a|²·|b|² (dot ≥ 0 since tf ≥ 0), so no float
+      // ever enters the result and the oracle hash-matches. (On this
+      // shared-vocabulary fixture a 0.5 threshold keeps 80% of ALL pairs
+      // — tf-cosine needs a high bar to mean "near-dup"; 0.9 keeps 39.)
+      // This is the
+      // near-dup class the SET-based paths (d05/d08 Jaccard) under-weight:
+      // two docs hammering the same few terms at different repeat counts
+      // have high tf-cosine but a modest distinct-shingle overlap.
+      // Scale shape = d08's inverted index: the term self-join moves
+      // (term, doc_id, tf) triples — never documents — one partial-agg
+      // groupBy sums the dot products, and the fixed-width norm table
+      // joins on doc ids. Σ df² governs candidate count; at corpus scale
+      // the same df-stoplist lever applies (heavy-hitter terms carry
+      // negligible cosine weight relative to their candidate cost).
+      val tf = sharedDf(s, s"tf|$dir") {
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), explode(filter(split(col("text"), " "),
+            t => t =!= "")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      }
+      val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      val dots = tf.select(col("doc_id").as("doc_a"), col("term"), col("tf").as("tf_a"))
+        .join(tf.select(col("doc_id").as("doc_b"), col("term"), col("tf").as("tf_b")), "term")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+        .filter(lit(100) * col("dot") * col("dot") >= lit(81) * col("n2_a") * col("n2_b"))
+        .select(col("doc_a"), col("doc_b"), col("dot"), col("n2_a"), col("n2_b"))
+    }),
+
     "d17_fuzzy_join" -> ((s, dir) => {
       // fuzzy self-join at scale — the FastSS/SymSpell deletion-
       // neighborhood block: two strings within edit distance 1 MUST share
@@ -675,6 +711,22 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d03_minhash_lsh" -> exactJaccardOracle.format(500),
+
+    // exact integer arithmetic end-to-end (tf counts, integer dot
+    // products, the cos ≥ 0.9 threshold as 100·dot² ≥ 81·n2a·n2b) →
+    // hash-exact
+    "d18_weighted_overlap" -> """
+      WITH tk AS (SELECT doc_id, UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS term
+                  FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+      norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b
+      FROM dots JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id
+      WHERE 100 * dot * dot >= 81 * na.n2 * nb.n2""",
 
     // the 60-bit md5-domain simhash replicated bit-for-bit, then the
     // BRUTE-FORCE pair scan at hamming ≤ 3 — which equals the banded

@@ -27,6 +27,43 @@ object MultimodalQueries {
         encode(col("text"), "UTF-8").as("content"),
         col("source"), col("n_chars"))
 
+  /** Real PNG payloads, one per document: pixels are a closed-form
+    * function of (media_id, x, y) — see m03 — so oracles can recompute
+    * decoded stats (and header fields) without a codec. Shared by m03's
+    * feature extractor and m07's header scan. */
+  private def pngTable(s: SparkSession, dir: String): DataFrame = {
+    val pngSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
+    val pngEnc = org.apache.spark.sql.Encoders.row(pngSchema)
+    spread(mediaTable(s, dir).select("media_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache (see m03)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 11).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val red = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val green = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val blue = ((id * 29 + x * 5 + y * 19) % 256).toInt
+              img.setRGB(x, y, (red << 16) | (green << 8) | blue)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }(pngEnc)
+  }
+
   val defs: Map[String, Q] = Map(
     "m01_binary_meta" -> ((s, dir) => {
       // byte length + content digest: the standard "media inventory" scan
@@ -60,36 +97,7 @@ object MultimodalQueries {
       // uses; PNG is lossless, so the stats are exact (hash-exact oracle).
       // The only still-missing piece on this container is a learned
       // embedding model; the codec path itself is real.
-      val pngSchema = StructType(Seq(
-        StructField("media_id", LongType, nullable = false),
-        StructField("png", BinaryType, nullable = false)))
-      val pngEnc = org.apache.spark.sql.Encoders.row(pngSchema)
-      val pngs = spread(mediaTable(s, dir).select("media_id"))
-        .mapPartitions { rows =>
-          javax.imageio.ImageIO.setUseCache(false) // no temp-file cache (see decode stage)
-          rows.map { r =>
-            val id = r.getLong(0)
-            val w = (4 + id % 13).toInt
-            val h = (3 + id % 11).toInt
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val red = ((id * 31 + x * 7 + y * 13) % 256).toInt
-                val green = ((id * 17 + x * 11 + y * 3) % 256).toInt
-                val blue = ((id * 29 + x * 5 + y * 19) % 256).toInt
-                img.setRGB(x, y, (red << 16) | (green << 8) | blue)
-                x += 1
-              }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            Row(id, bos.toByteArray)
-          }
-        }(pngEnc)
+      val pngs = pngTable(s, dir)
       val featSchema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
         StructField("width", IntegerType, nullable = false),
@@ -167,6 +175,23 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_shared_chunks"),
           coalesce(sum(col("n_occurrences")), lit(0L)).as("n_shared_occurrences"),
           coalesce(max(col("n_media")), lit(0L)).cast("long").as("max_spread"))
+    }),
+
+    "m07_png_header_meta" -> ((s, dir) => {
+      // media METADATA scan with ZERO decode — at 100 TB the inventory
+      // pass reads structured headers, not pixels: PNG's IHDR chunk puts
+      // width/height as big-endian int32 at (1-based) byte offsets 17/21,
+      // bit depth and color type right after. Pure columnar byte slicing
+      // (substring on BINARY + hex/conv), fully codegen'd — no codec in
+      // the loop, so cost is bytes-scanned, not pixels-decoded. The
+      // closed-form oracle pins parser AND encoder at once: a real
+      // javax.imageio PNG of the generated image must carry exactly
+      // these dims, 8-bit depth, and truecolor type 2.
+      pngTable(s, dir).select(col("media_id"),
+        expr("CAST(conv(hex(substring(png, 17, 4)), 16, 10) AS BIGINT)").as("width"),
+        expr("CAST(conv(hex(substring(png, 21, 4)), 16, 10) AS BIGINT)").as("height"),
+        expr("CAST(conv(hex(substring(png, 25, 1)), 16, 10) AS INT)").as("bit_depth"),
+        expr("CAST(conv(hex(substring(png, 26, 1)), 16, 10) AS INT)").as("color_type"))
     }),
 
     "m06_image_neardup" -> ((s, dir) => {
@@ -303,6 +328,17 @@ object MultimodalQueries {
              UNNEST(GENERATE_SERIES(0,
                GREATEST(CAST(CEIL(OCTET_LENGTH(ENCODE(d.text)) / 64.0) AS INT) - 1, 0))) AS t(i))
       GROUP BY chunk_md5""",
+
+    // m07: the generator's dims in closed form; bit depth 8 / color type 2
+    // are what javax.imageio writes for TYPE_INT_RGB — a Spark-side parse
+    // of real IHDR bytes must land exactly here
+    "m07_png_header_meta" -> """
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 13 AS BIGINT) AS width,
+             CAST(3 + doc_id % 11 AS BIGINT) AS height,
+             CAST(8 AS INT) AS bit_depth,
+             CAST(2 AS INT) AS color_type
+      FROM documents""",
 
     // m06's dHash grouping in closed form: the 9×8 sample grid coordinates
     // (integer division, non-negative → DuckDB // ≡ Java /), the pattern

@@ -13,6 +13,7 @@ class AsOfJoinSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet
     .config("spark.ui.enabled", "false")
     .appName("asof-spec")
     .getOrCreate()
@@ -211,6 +212,50 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(tol(ts("2024-01-01 11:45:00")) === Some(120.0))
     assert(tol(ts("2024-01-01 10:30:00")) === None)
     assert(tol(ts("2024-01-01 11:00:00")) === None)
+  }
+
+  test("nearest+tolerance equals the brute-force window formulation on real data") {
+    // the one merge_asof surface combination without a fixture-scale
+    // check (r6-verdict item 8): every (direction=nearest, tolerance)
+    // decision — in-window match, tie to backward, out-of-tolerance →
+    // null, unmatched key → null — must agree with an independent
+    // brute-force formulation (join all in-tolerance candidates, rank by
+    // |Δt| with backward preferred on ties) over the real events×orders
+    // tables, where same-user order dates collide and events fall on
+    // both sides of them.
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val tol = 3L * 86400L * 1000000L // 3 days in micros
+    val e = graft.queries.QueryDsl.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // distinct right times per key: with duplicates, "which equal-time
+    // row wins" is payload-order-defined in ANY formulation — the
+    // deterministic property is about the matched TIME
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate")).distinct()
+    val got = AsOf.join(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        direction = "nearest", tolerance = Some(tol))
+      .select(col("event_id"), col("o_orderdate"))
+    // o_orderdate is TIMESTAMP_NTZ — cast for unix_micros; the UTC session
+    // makes the NTZ→TZ reinterpretation value-preserving
+    val diff = unix_micros(col("o_orderdate").cast("timestamp")) - unix_micros(col("ts"))
+    val joined = e.join(o,
+      col("user_id") === col("o_custkey") && abs(diff) <= tol, "left_outer")
+    val w = Window.partitionBy("event_id")
+      .orderBy(abs(diff).asc_nulls_last,
+        (diff > 0).cast("int").asc_nulls_last) // tie → backward
+    val expected = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("event_id"), col("o_orderdate"))
+    assert(got.count() === e.count(), "as-of must emit every left row exactly once")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+    // the tolerance must actually bite on this corpus, or the test is
+    // vacuous: some events must be unmatched despite having same-key
+    // orders somewhere in time
+    val unmatched = got.filter(col("o_orderdate").isNull).count()
+    val noTol = AsOf.join(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+      direction = "nearest").filter(col("o_orderdate").isNull).count()
+    assert(unmatched > noTol, s"tolerance dropped no matches ($unmatched vs $noTol)")
   }
 
   test("composite keys join on the full key tuple") {
