@@ -442,9 +442,17 @@ class BoltCypherTransport(uri: String, user: String, passwd: String) extends Cyp
   * the URI — `neo4j://`/`bolt://` opens the reflective bolt driver,
   * `file:<path>` appends the identical statement stream to disk (the
   * no-egress mode this container runs, and a dry-run/audit mode anywhere).
-  * Tests inject a recording transport via `openTransport`. */
-case class Neo4jAuraSink(uri: String, user: String, passwd: String)
-  extends FlowBatchSink with FlowStreamSink {
+  * Tests inject a recording transport via `openTransport`.
+  *
+  * `reuseTransport = true` pins ONE connection for the sink's lifetime and
+  * sends the constraints once — the listener deployment shape, where a
+  * per-query reconnect (driver handshake + constraint round-trip) would
+  * dominate small lineage appends. Call `close()` when done. The default
+  * (fresh transport + constraints per delivery) is reference parity and
+  * keeps long-lived listener sessions free of stale pinned connections. */
+case class Neo4jAuraSink(uri: String, user: String, passwd: String,
+    reuseTransport: Boolean = false)
+  extends FlowBatchSink with FlowStreamSink with AutoCloseable {
 
   /** Statements per transaction: bounds bolt round-trip payloads and keeps
     * any one failed transaction's replay small. */
@@ -455,14 +463,38 @@ case class Neo4jAuraSink(uri: String, user: String, passwd: String)
       new FileCypherTransport(java.nio.file.Paths.get(uri.stripPrefix("file:")))
     } else new BoltCypherTransport(uri, user, passwd)
 
+  /** (transport, constraints-already-sent) under `reuseTransport`. */
+  private var cached: Option[CypherTransport] = None
+
+  /** Lease a transport for one delivery: caller runs `use`, and the
+    * transport is closed after — unless it is the cached one. */
+  private def withTransport[A](use: CypherTransport => A): A = synchronized {
+    if (reuseTransport) {
+      val t = cached.getOrElse { val t = openTransport(); cached = Some(t); t }
+      use(t)
+    } else {
+      val t = openTransport()
+      try use(t) finally t.close()
+    }
+  }
+
+  private var constraintsSent = false
+
   private def deliver(t: CypherTransport, nodes: Seq[FlowNode], edges: Seq[FlowEdge]): Unit = {
     // constraints re-sent per delivery is REFERENCE PARITY (its sink
     // re-creates constraints on every save; IF NOT EXISTS makes them
-    // idempotent). A deployment with per-query latency budgets would
-    // cache the transport for the sink's lifetime and send constraints
-    // once — the trait is already AutoCloseable for exactly that.
-    t.runBatch(CypherStatements.constraints)
+    // idempotent); under reuseTransport they go once per connection
+    if (!reuseTransport || !constraintsSent) {
+      t.runBatch(CypherStatements.constraints)
+      constraintsSent = true
+    }
     CypherStatements.merges(nodes, edges).grouped(batchSize).foreach(t.runBatch)
+  }
+
+  override def close(): Unit = synchronized {
+    cached.foreach(_.close())
+    cached = None
+    constraintsSent = false
   }
 
   /** Batch write honors the reference's contract (Neo4jAuraSink.scala:
@@ -472,16 +504,13 @@ case class Neo4jAuraSink(uri: String, user: String, passwd: String)
     * of the reference's CREATEs, so a retried write cannot violate the
     * uniqueness constraints it just installed. */
   override def write(nodes: Seq[FlowNode], edges: Seq[FlowEdge],
-      options: Map[String, String]): Unit = {
-    val t = openTransport()
-    try {
-      if (options.getOrElse("overwrite", "false").toBoolean) t.reset()
-      else if (t.databaseNonEmpty) {
-        throw new IllegalStateException(
-          "Database should be empty; pass overwrite=true to reset it first")
-      }
-      deliver(t, nodes, edges)
-    } finally t.close()
+      options: Map[String, String]): Unit = withTransport { t =>
+    if (options.getOrElse("overwrite", "false").toBoolean) t.reset()
+    else if (t.databaseNonEmpty) {
+      throw new IllegalStateException(
+        "Database should be empty; pass overwrite=true to reset it first")
+    }
+    deliver(t, nodes, edges)
   }
 
   /** Listener mode: MERGE + dstNodeIds accumulation make appends
@@ -489,8 +518,7 @@ case class Neo4jAuraSink(uri: String, user: String, passwd: String)
     * is the same delivery as the batch path — and, per the reference, no
     * empty-database check (appending to existing lineage is the point). */
   override def append(nodes: Seq[FlowNode], edges: Seq[FlowEdge],
-      options: Map[String, String]): Unit = {
-    val t = openTransport()
-    try deliver(t, nodes, edges) finally t.close()
+      options: Map[String, String]): Unit = withTransport { t =>
+    deliver(t, nodes, edges)
   }
 }

@@ -28,15 +28,20 @@ class Neo4jSinkSpec extends AnyFunSuite {
     FlowEdge("Project_1", Some(0), "query_1", Some(0)))
 
   /** Records every transaction the sink runs, in order. */
-  private class Recording(sink: Neo4jAuraSink) {
+  private class Recording(sink: Neo4jAuraSink, reuse: Boolean = false) {
     val batches: mutable.ArrayBuffer[Seq[String]] = mutable.ArrayBuffer.empty
+    var opened = 0
     var closed = 0
-    val wrapped: Neo4jAuraSink = new Neo4jAuraSink(sink.uri, sink.user, sink.passwd) {
-      override protected def openTransport(): CypherTransport = new CypherTransport {
-        override def runBatch(statements: Seq[String]): Unit = batches += statements
-        override def close(): Unit = closed += 1
+    val wrapped: Neo4jAuraSink =
+      new Neo4jAuraSink(sink.uri, sink.user, sink.passwd, reuseTransport = reuse) {
+        override protected def openTransport(): CypherTransport = {
+          opened += 1
+          new CypherTransport {
+            override def runBatch(statements: Seq[String]): Unit = batches += statements
+            override def close(): Unit = closed += 1
+          }
+        }
       }
-    }
   }
 
   test("constraints ship first in their own transaction; merges batch by batchSize") {
@@ -86,6 +91,24 @@ class Neo4jSinkSpec extends AnyFunSuite {
     val merges = body.linesIterator.filter(_.startsWith("MERGE (n:Node")).toSeq
     assert(merges.size === 6, "two deliveries x three nodes")
     assert(merges.distinct.size === 3, "re-delivery must repeat identical MERGEs")
+  }
+
+  test("reuseTransport pins one connection for the sink's lifetime: " +
+      "constraints once, transport closed only by close()") {
+    val rec = new Recording(Neo4jAuraSink("neo4j://example", "u", "p"), reuse = true)
+    rec.wrapped.append(nodes, edges, Map.empty)
+    rec.wrapped.append(nodes, edges, Map.empty)
+    assert(rec.opened === 1, "second append must reuse the pinned transport")
+    assert(rec.closed === 0, "pinned transport must outlive individual deliveries")
+    val constraintBatches =
+      rec.batches.count(_.forall(_.startsWith("CREATE CONSTRAINT")))
+    assert(constraintBatches === 1, "constraints go once per connection, not per delivery")
+    rec.wrapped.close()
+    assert(rec.closed === 1)
+    // after close() the sink reconnects (and re-sends constraints) cleanly
+    rec.wrapped.append(nodes, edges, Map.empty)
+    assert(rec.opened === 2)
+    assert(rec.batches.count(_.forall(_.startsWith("CREATE CONSTRAINT"))) === 2)
   }
 
   test("batch write honors the reference's empty-database contract: " +
