@@ -194,6 +194,44 @@ object MultimodalQueries {
         expr("CAST(conv(hex(substring(png, 26, 1)), 16, 10) AS INT)").as("color_type"))
     }),
 
+    "m08_pcm_stats" -> ((s, dir) => {
+      // audio-feature extraction over raw PCM — the waveform half of the
+      // multimodal story (m03/m07 cover images): payloads are REAL 16-bit
+      // little-endian PCM built from a closed-form synth (sample i of
+      // media m = ((m·7919 + i·104729) mod 65536) − 32768, length varies
+      // per media), and the feature pass is ONE native codegen'd
+      // expression — no codec, no per-sample lambda, cost = bytes
+      // scanned. The closed-form oracle replicates every stat including
+      // the zero-crossing convention (zero counts as non-negative), so
+      // an endianness or sign-extension bug in the parser breaks the
+      // hash. Swapping the synth for real audio replaces only the
+      // builder; the feature pass is the production shape.
+      import org.apache.spark.sql.graft.functions.pcm_i16le_stats
+      val pcmSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("pcm", BinaryType, nullable = false)))
+      val pcmEnc = org.apache.spark.sql.Encoders.row(pcmSchema)
+      val pcm = spread(mediaTable(s, dir).select("media_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = (64 + id % 192).toInt // 64..255 samples
+            val bytes = new Array[Byte](2 * n)
+            var i = 0
+            while (i < n) {
+              val v = (((id * 7919 + i.toLong * 104729) % 65536L) - 32768L).toInt
+              bytes(2 * i) = (v & 0xff).toByte
+              bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            Row(id, bytes)
+          }
+        }(pcmEnc)
+      pcm.select(col("media_id"), pcm_i16le_stats(col("pcm")).as("st"))
+        .select(col("media_id"), col("st.n_samples"), col("st.sum_abs"),
+          col("st.max_abs"), col("st.zero_crossings"))
+    }),
+
     "m06_image_neardup" -> ((s, dir) => {
       // perceptual image dedup — the LAION/image-corpus architecture: a
       // perceptual hash computed IN the decode pass (mapPartitions, once
@@ -339,6 +377,22 @@ object MultimodalQueries {
              CAST(8 AS INT) AS bit_depth,
              CAST(2 AS INT) AS color_type
       FROM documents""",
+
+    // m08: every stat recomputed from the closed-form synth, including the
+    // zero-crossing convention (zero counts as non-negative) — the Spark
+    // side must parse real little-endian bytes with correct sign extension
+    // to land here
+    "m08_pcm_stats" -> """
+      WITH m AS (SELECT doc_id AS media_id, 64 + doc_id % 192 AS n FROM documents),
+      s AS (SELECT media_id, n, t.i,
+                   ((media_id * 7919 + t.i * 104729) % 65536) - 32768 AS v
+            FROM m, UNNEST(GENERATE_SERIES(0, n - 1)) AS t(i))
+      SELECT media_id,
+             CAST(MAX(n) AS INT) AS n_samples,
+             CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             CAST(MAX(ABS(v)) AS INT) AS max_abs,
+             CAST(SUM(CASE WHEN i > 0 AND ((v >= 0) <> ((((media_id * 7919 + (i - 1) * 104729) % 65536) - 32768) >= 0)) THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+      FROM s GROUP BY media_id""",
 
     // m06's dHash grouping in closed form: the 9×8 sample grid coordinates
     // (integer division, non-negative → DuckDB // ≡ Java /), the pattern

@@ -678,6 +678,54 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Waveform feature extraction over raw PCM payloads — the audio analogue
+  * of the image feature pass: one tight loop per row over 16-bit
+  * little-endian samples, no codec, no per-sample lambda. */
+object PcmOps {
+  /** (n_samples, sum_abs, max_abs, zero_crossings) of a PCM16LE payload.
+    * A trailing odd byte is ignored (truncated frame). A crossing is a
+    * sign CHANGE between consecutive samples, where zero counts as
+    * non-negative — the usual zero-crossing-rate convention, stated here
+    * because the oracle must replicate it exactly. */
+  def statsI16le(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = bytes.length / 2
+    var sumAbs = 0L
+    var maxAbs = 0
+    var crossings = 0
+    var prevNonNeg = true
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      val a = math.abs(s)
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      val nonNeg = s >= 0
+      if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+      prevNonNeg = nonNeg
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sumAbs, maxAbs, crossings)
+  }
+}
+
+/** `pcm_i16le_stats(payload)` — STRUCT(n_samples, sum_abs, max_abs,
+  * zero_crossings) of a 16-bit little-endian PCM blob; see [[PcmOps]]. */
+case class PcmI16leStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == BinaryType, "BINARY", child.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("max_abs", IntegerType, nullable = false),
+    StructField("zero_crossings", IntegerType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    PcmOps.statsI16le(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.PcmOps.statsI16le($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Coarse-quantizer assignment against a centroid table that rides into
   * codegen as ONE referenced object (the BloomCountHits/PqEncode pattern)
   * instead of nlist literal structs. The literal-pivot projection is fine
@@ -803,6 +851,9 @@ object functions {
   def nearest_pivots(c: Column, centroids: Array[Float], dim: Int, k: Int): Column =
     ExpressionUtils.column(NearestPivots(ExpressionUtils.expression(c), centroids, dim, k))
 
+  def pcm_i16le_stats(c: Column): Column =
+    ExpressionUtils.column(PcmI16leStats(ExpressionUtils.expression(c)))
+
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))
 
@@ -848,7 +899,8 @@ object functions {
       "zorder_key" -> (exprs => ZOrderKey(exprs(0), exprs(1), intArg(exprs, 2, 16))),
       "winnow_fingerprints" ->
         (exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))),
-      "deletion_variant_hashes" -> (exprs => DeletionVariantHashes(exprs.head)))
+      "deletion_variant_hashes" -> (exprs => DeletionVariantHashes(exprs.head)),
+      "pcm_i16le_stats" -> (exprs => PcmI16leStats(exprs.head)))
   }
 
   /** Make the expressions callable from SQL (temp functions). */

@@ -293,6 +293,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql === got("eq")._1)
   }
 
+  test("pcm_i16le_stats: sign extension, -32768, odd trailing byte, empty payload, SQL") {
+    val rows = Seq(
+      ("min16", Array[Byte](0x00, 0x80.toByte)), // 0x8000 → -32768 (sign extension)
+      ("max16", Array[Byte](0xff.toByte, 0x7f)), // 0x7fff → 32767
+      // samples 1, -1, 2 → two sign changes
+      ("cross", Array[Byte](1, 0, 0xff.toByte, 0xff.toByte, 2, 0)),
+      ("odd", Array[Byte](1, 0, 5)), // trailing byte ignored → one sample
+      ("empty", Array.empty[Byte]))
+    val got = rows.toDF("k", "pcm")
+      .select($"k", pcm_i16le_stats($"pcm").as("st"))
+      .select($"k", $"st.n_samples", $"st.sum_abs", $"st.max_abs", $"st.zero_crossings")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got("min16") === ((1, 32768L, 32768, 0)),
+      "0x8000 must sign-extend to -32768, not read as +32768... with abs 32768")
+    assert(got("max16") === ((1, 32767L, 32767, 0)))
+    assert(got("cross") === ((3, 4L, 2, 2)))
+    assert(got("odd") === ((1, 1L, 1, 0)))
+    assert(got("empty") === ((0, 0L, 0, 0)))
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    assert(spark.sql("SELECT pcm_i16le_stats(CAST('' AS BINARY)).n_samples")
+      .head().getInt(0) === 0)
+  }
+
   test("nearest_pivots ≡ the literal-pivot projection at nlist 1024 — " +
       "the >LiteralPivotMax path is bit-identical AND plan-bounded") {
     // the scale story of the IVF family rests on this equivalence: past
