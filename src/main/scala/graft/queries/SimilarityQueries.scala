@@ -390,6 +390,44 @@ object SimilarityQueries {
       topKPerQuery(scored, 5)
     }),
 
+    "s09_knn_mmr" -> ((s, dir) => {
+      // MMR-DIVERSIFIED top-k — retrieval's answer to near-duplicate
+      // result lists (a dedup'd corpus still returns clustered
+      // neighbors): greedy Maximal Marginal Relevance over a BOUNDED
+      // candidate set. Stage 1 is s01's shape (broadcast queries, map-
+      // side exact cosine, bounded top-20 per query — only fixed-width
+      // triples shuffle); stage 2 re-attaches embeddings to the ≤
+      // 20·|queries| candidate rows (bounded → broadcast) and runs the
+      // whole greedy loop as ONE native expression per query row — the
+      // O(k·N·dim) selection is distributed per query with zero
+      // per-iteration round trips, vs a driver loop of k joins. λ=0.5
+      // balances relevance and novelty; first pick ≡ the relevance
+      // top-1 by construction (QueriesSpec pins both properties).
+      import org.apache.spark.sql.graft.functions.{mmr_select, top_k_struct}
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      val cand = scored.groupBy("query_id")
+        .agg(top_k_struct(struct((col("score") * -1).as("neg_score"),
+          col("neighbor_id")), 20).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+          (col("t.neg_score") * -1).as("score"))
+      val withEmb = emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+        .select(col("query_id"),
+          struct(col("neighbor_id"), col("score"), col("embedding")).as("c"))
+      withEmb.groupBy("query_id")
+        .agg(collect_list(col("c")).as("cands"))
+        .select(col("query_id"),
+          posexplode(mmr_select(col("cands"), 5, 500)))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col").as("neighbor_id"))
+    }),
+
     "s05_kmeans_ivf" -> ((s, dir) => {
       // trained IVF: 3 iterations of spherical k-means, then per-cluster
       // population + mean similarity (integer milli for hash stability)

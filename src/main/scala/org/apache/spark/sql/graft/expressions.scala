@@ -678,6 +678,92 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998) over a
+  * BOUNDED per-query candidate list — retrieval's answer to near-duplicate
+  * result lists: each pick maximizes λ·relevance − (1−λ)·max-similarity-to-
+  * already-picked. Runs as ONE expression per query row, so the greedy
+  * loop is distributed per query with zero per-iteration round trips;
+  * cost is O(k·N·dim) per query over the N candidates the bounded top-k
+  * aggregate already cut. */
+object MmrOps {
+  /** Selected candidate ids in pick order. Candidates are (id, score,
+    * embedding) structs; λ = lambdaMilli/1000. Deterministic: the
+    * penalty max is order-independent and exact value ties go to the
+    * lowest id, so the result does not depend on candidate array order
+    * (collect_list order is partition-dependent — this must not be). */
+  def select(cands: ArrayData, k: Int, lambdaMilli: Int): ArrayData = {
+    val n = cands.numElements()
+    val ids = new Array[Long](n)
+    val scores = new Array[Double](n)
+    val embs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val row = cands.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      scores(i) = row.getDouble(1)
+      embs(i) = row.getArray(2)
+      i += 1
+    }
+    val lambda = lambdaMilli / 1000.0
+    val kk = math.min(k, n)
+    val chosen = new Array[Boolean](n)
+    val out = new Array[Long](kk)
+    val pickedIdx = new Array[Int](kk)
+    var slot = 0
+    while (slot < kk) {
+      var best = -1
+      var bestVal = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!chosen(c)) {
+          var penalty = 0.0
+          var s = 0
+          while (s < slot) {
+            val sim = VecOps.cosine(embs(c), embs(pickedIdx(s)))
+            if (sim > penalty) penalty = sim
+            s += 1
+          }
+          val v = lambda * scores(c) - (1.0 - lambda) * penalty
+          if (v > bestVal || (v == bestVal && (best < 0 || ids(c) < ids(best)))) {
+            bestVal = v
+            best = c
+          }
+        }
+        c += 1
+      }
+      chosen(best) = true
+      pickedIdx(slot) = best
+      out(slot) = ids(best)
+      slot += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `mmr_select(candidates, k, lambdaMilli)` — ARRAY<BIGINT> of the k MMR
+  * picks in order; see [[MmrOps]]. Candidates: ARRAY<STRUCT<id BIGINT,
+  * score DOUBLE, emb ARRAY<FLOAT>>>. */
+case class MmrSelect(child: Expression, k: Int, lambdaMilli: Int)
+  extends UnaryExpression {
+  require(k > 0 && lambdaMilli >= 0 && lambdaMilli <= 1000,
+    s"k must be positive and lambdaMilli in [0, 1000], got k=$k lambda=$lambdaMilli")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType match {
+      case ArrayType(StructType(Array(a, b, c)), _) =>
+        a.dataType == LongType && b.dataType == DoubleType &&
+          ExprChecks.isFloatArray(c.dataType)
+      case _ => false
+    }, "ARRAY<STRUCT<BIGINT, DOUBLE, ARRAY<FLOAT>>>", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MmrOps.select(input.asInstanceOf[ArrayData], k, lambdaMilli)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.MmrOps.select($c, $k, $lambdaMilli)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Waveform feature extraction over raw PCM payloads — the audio analogue
   * of the image feature pass: one tight loop per row over 16-bit
   * little-endian samples, no codec, no per-sample lambda. */
@@ -853,6 +939,9 @@ object functions {
 
   def pcm_i16le_stats(c: Column): Column =
     ExpressionUtils.column(PcmI16leStats(ExpressionUtils.expression(c)))
+
+  def mmr_select(c: Column, k: Int, lambdaMilli: Int): Column =
+    ExpressionUtils.column(MmrSelect(ExpressionUtils.expression(c), k, lambdaMilli))
 
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))

