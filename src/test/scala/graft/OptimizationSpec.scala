@@ -375,6 +375,42 @@ class OptimizationSpec extends AnyFunSuite {
     assert(cleanShuffles.forall(e => shufflePayloads(e).isEmpty))
   }
 
+  test("runtime bloom-filter join pruning: a selective dim filter injects a " +
+      "bloom probe into the fact side of a shuffle join") {
+    // the third scan-reduction lever next to static pushdown and DPP: for
+    // a SHUFFLE join (broadcast joins get DPP instead), Spark can build a
+    // bloom filter from the filtered dim side's join keys and inject a
+    // might-contain probe above the fact scan — at 100 TB this turns
+    // "shuffle all of lineitem" into "shuffle the ~fraction whose order
+    // survives the dim predicate". Thresholds are sized for real
+    // clusters, so the spec lowers the application-side floor to fire at
+    // fixture scale; the PLAN SHAPE, not the timing, is the assertion.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity")).as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a runtime bloom probe on the fact side:\n${optimized.take(3000)}")
+      // and the result is unchanged by the injected filter
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.collect().toSeq === plain.collect().toSeq)
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("filters and projections are pushed to the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_quantity") >= 48)
