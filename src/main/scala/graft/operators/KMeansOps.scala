@@ -31,20 +31,37 @@ object KMeansOps {
     // for the update — materialize it
     val data = df.select(col(idCol), col(vecCol)).persist()
 
-    // Assignment against DRIVER-SIDE centroids embedded as literals: one
-    // narrow map-side projection per iteration (array_max over k
-    // struct(sim, -cluster) entries) — no crossJoin, no window shuffle.
-    // Ties: max sim, then lowest cluster id (= max of (sim, -cluster)).
+    // Assignment against DRIVER-SIDE centroids: one narrow map-side
+    // projection per iteration — no crossJoin, no window shuffle. Ties:
+    // max sim, then lowest cluster id (= max of (sim, -cluster)). Up to
+    // a few hundred centroids they ride as literal structs; past
+    // LiteralPivotMax (√-scaled nlist at big corpora — 5e8 vectors want
+    // ~16k clusters) the same blowup the query path dodges would hit
+    // TRAINING, so dense cluster ids switch to the reference-object
+    // NearestPivots expression (bit-identical sims — same cosine
+    // accumulation order).
     def assignTo(cents: Seq[(Int, Seq[Float])]): DataFrame = {
-      val scored = array(cents.map { case (c, v) =>
-        struct(
-          vec_cosine(col(vecCol), typedLit(v)).as("sim"),
-          lit(-c).as("negc"))
-      }: _*)
-      data
-        .withColumn("best", array_max(scored))
-        .select(col(idCol), col(vecCol),
-          (-col("best.negc")).as("cluster"), col("best.sim").as("sim"))
+      val sorted = cents.sortBy(_._1)
+      val dense = sorted.zipWithIndex.forall { case ((c, _), i) => c == i }
+      if (dense && sorted.length > graft.queries.SimilarityQueries.LiteralPivotMax) {
+        import org.apache.spark.sql.graft.functions.nearest_pivots
+        val flat = sorted.flatMap(_._2).toArray
+        val dim = sorted.head._2.length
+        data
+          .withColumn("best", element_at(nearest_pivots(col(vecCol), flat, dim, 1), 1))
+          .select(col(idCol), col(vecCol),
+            col("best.pivot").as("cluster"), col("best.sim").as("sim"))
+      } else {
+        val scored = array(sorted.map { case (c, v) =>
+          struct(
+            vec_cosine(col(vecCol), typedLit(v)).as("sim"),
+            lit(-c).as("negc"))
+        }: _*)
+        data
+          .withColumn("best", array_max(scored))
+          .select(col(idCol), col(vecCol),
+            (-col("best.negc")).as("cluster"), col("best.sim").as("sim"))
+      }
     }
 
     // deterministic init: centroid c = the lowest-id vector with id % k == c

@@ -99,8 +99,9 @@ object SimilarityQueries {
       transform(slice(sort_array(pivotScores(pivots)(vec), asc = false), 1, k),
         p => -p.getField("negp"))
     } else {
-      org.apache.spark.sql.graft.functions.nearest_pivots(
-        vec, pivots.flatten.toArray, pivots.head.length, k)
+      transform(org.apache.spark.sql.graft.functions.nearest_pivots(
+        vec, pivots.flatten.toArray, pivots.head.length, k),
+        p => p.getField("pivot"))
     }
 
   /** Nearest-centroid assignment — the k=1 case, kept as array_max on the
@@ -108,7 +109,10 @@ object SimilarityQueries {
   private[graft] def assignedPivotId(pivots: Seq[Seq[Float]], vec: Column): Column =
     if (pivots.length <= LiteralPivotMax) {
       -array_max(pivotScores(pivots)(vec)).getField("negp")
-    } else element_at(topPivotIds(pivots, vec, 1), 1)
+    } else {
+      element_at(org.apache.spark.sql.graft.functions.nearest_pivots(
+        vec, pivots.flatten.toArray, pivots.head.length, 1), 1).getField("pivot")
+    }
 
   /** Per-group top-k via the bounded [[org.apache.spark.sql.graft.TopKStruct]]
     * aggregate: map-side state is k rows per query, so the only shuffle

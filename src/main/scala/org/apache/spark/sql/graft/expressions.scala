@@ -821,11 +821,12 @@ case class PcmI16leStats(child: Expression) extends UnaryExpression {
   * ~16k centroids ≈ 4 MB of float literals). Here the table ships once
   * per task and scoring is one tight JVM loop per row. */
 object PivotOps {
-  /** Ids of the `k` nearest centroids by cosine, descending; ties to the
-    * lowest id — the exact ordering of the literal-pivot sort_array path.
-    * Cosine accumulates doubles in ascending dimension order, the same
-    * arithmetic as [[VecOps.cosine]], so rankings are bit-identical to
-    * the literal projection this replaces. */
+  /** The `k` nearest centroids by cosine as (pivot, sim) structs,
+    * descending; ties to the lowest id — the exact ordering of the
+    * literal-pivot sort_array path. Cosine accumulates doubles in
+    * ascending dimension order, the same arithmetic as [[VecOps.cosine]],
+    * so rankings (and the sims themselves) are bit-identical to the
+    * literal projection this replaces. */
   def topPivots(v: ArrayData, centroids: Array[Float], dim: Int, k: Int): ArrayData = {
     require(v.numElements() == dim,
       s"vector length ${v.numElements()} does not match the centroid dim $dim")
@@ -864,14 +865,22 @@ object PivotOps {
       }
       p += 1
     }
-    new GenericArrayData(bestId)
+    val rows = new Array[Any](kk)
+    var r = 0
+    while (r < kk) {
+      rows(r) = org.apache.spark.sql.catalyst.InternalRow(bestId(r), bestSim(r))
+      r += 1
+    }
+    new GenericArrayData(rows)
   }
 }
 
-/** `nearest_pivots(vec)` — ARRAY<INT> of the k nearest centroid ids (cosine
-  * desc, ties to the lowest id) against a reference-object centroid table;
-  * see [[PivotOps]] for why this replaces literal pivots past a few
-  * hundred clusters. */
+/** `nearest_pivots(vec)` — ARRAY<STRUCT<pivot INT, sim DOUBLE>> of the k
+  * nearest centroids (cosine desc, ties to the lowest id) against a
+  * reference-object centroid table; see [[PivotOps]] for why this replaces
+  * literal pivots past a few hundred clusters. The sim field is what lets
+  * k-means training reuse this path (its assignment needs the winning
+  * similarity, not just the id). */
 case class NearestPivots(child: Expression, centroids: Array[Float], dim: Int, k: Int)
   extends UnaryExpression {
   require(dim > 0 && k > 0, s"dim and k must be positive, got dim=$dim k=$k")
@@ -879,7 +888,9 @@ case class NearestPivots(child: Expression, centroids: Array[Float], dim: Int, k
     s"centroid table length ${centroids.length} must be a positive multiple of dim=$dim")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.expect(ExprChecks.isFloatArray(child.dataType), "ARRAY<FLOAT>", child.dataType)
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pivot", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     PivotOps.topPivots(input.asInstanceOf[ArrayData], centroids, dim, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

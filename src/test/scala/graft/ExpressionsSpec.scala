@@ -336,29 +336,38 @@ class ExpressionsSpec extends AnyFunSuite {
     val df = vecs.toDF("vec_id", "embedding")
       .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
     // literal path, re-derived independently of SimilarityQueries: array
-    // of (sim, -pivot) structs, sorted desc, top-k pivot ids
+    // of (sim, -pivot) structs, sorted desc, top-k (pivot, sim) pairs
     val literalScores = array(pivots.zipWithIndex.map { case (p, i) =>
       struct(vec_cosine($"embedding", typedLit(p)).as("sim"), lit(-i).as("negp"))
     }: _*)
+    val topLit = slice(sort_array(literalScores, asc = false), 1, k)
     val lit1024 = df.select($"vec_id",
-      transform(slice(sort_array(literalScores, asc = false), 1, k),
-        p => -p.getField("negp")).as("top"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      transform(topLit, p => -p.getField("negp")).as("top"),
+      transform(topLit, p => p.getField("sim")).as("sims"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2)))).toMap
     val native = df.select($"vec_id",
-      nearest_pivots($"embedding", pivots.flatten.toArray, dim, k).as("top"))
-    val nat = native.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    assert(nat === lit1024, "native top-k pivot ids must equal the literal path's")
+      transform(nearest_pivots($"embedding", pivots.flatten.toArray, dim, k),
+        p => p.getField("pivot")).as("top"),
+      transform(nearest_pivots($"embedding", pivots.flatten.toArray, dim, k),
+        p => p.getField("sim")).as("sims"))
+    val nat = native.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Double](2)))).toMap
+    assert(nat.view.mapValues(_._1).toMap === lit1024.view.mapValues(_._1).toMap,
+      "native top-k pivot ids must equal the literal path's")
+    assert(nat === lit1024,
+      "native sims must be BIT-identical to the literal path's (same accumulation order)")
     // the whole point: the native plan stays O(1) expressions while the
     // literal plan carries O(nlist·dim) of them
     def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.analyzed.expressions.map(_.collect { case e => e }.size).sum
-    assert(exprNodes(native) < 100,
+    assert(exprNodes(native) < 200,
       s"native pivot plan must stay tiny, got ${exprNodes(native)} expression nodes")
     // and k=1 (the assignment case) agrees too
     val a1 = df.select($"vec_id",
-      element_at(nearest_pivots($"embedding", pivots.flatten.toArray, dim, 1), 1).as("p"))
+      element_at(nearest_pivots($"embedding", pivots.flatten.toArray, dim, 1), 1)
+        .getField("pivot").as("p"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(a1 === lit1024.map { case (id, top) => id -> top.head })
+    assert(a1 === lit1024.map { case (id, (top, _)) => id -> top.head })
   }
 
   test("zorder_key: matches the per-bit interleave reference over mixed int/long input") {

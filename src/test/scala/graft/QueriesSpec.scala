@@ -348,6 +348,44 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("sphericalKMeans past LiteralPivotMax: the reference-object assignment " +
+      "path is bit-identical to a brute-force recomputation") {
+    // k = 300 > LiteralPivotMax drives TRAINING through the native
+    // NearestPivots path (the literal-centroid projection would be
+    // O(k·dim) plan expressions — the blowup that dies first at the
+    // ~16k clusters a 5e8-vector corpus wants). Every assignment and its
+    // winning sim must equal an independent driver-side argmax with the
+    // same accumulation order.
+    import graft.operators.KMeansOps
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (assigned, cents) =
+      KMeansOps.sphericalKMeans(emb, "vec_id", "embedding", k = 300, iters = 1)
+    val centArr = cents.collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    assert(centArr.length === 300 &&
+      centArr.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "init from id % k must produce dense cluster ids on this fixture")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assigned.collect().foreach { r =>
+      val (id, cluster, sim) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+      var bestC = -1; var bestS = Double.NegativeInfinity
+      centArr.foreach { case (c, cv) =>
+        val s = cos(vecs(id), cv)
+        if (s > bestS) { bestS = s; bestC = c }
+      }
+      assert(cluster === bestC && sim === bestS, s"vec $id: got ($cluster, $sim)")
+    }
+  }
+
   test("s09 MMR: first pick is the relevance top-1; a near-duplicate of the " +
       "top hit is demoted in favor of a diverse candidate") {
     import org.apache.spark.sql.functions._
