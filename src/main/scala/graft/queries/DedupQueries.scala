@@ -579,31 +579,47 @@ object DedupQueries {
       // ever enters the result and the oracle hash-matches. (On this
       // shared-vocabulary fixture a 0.5 threshold keeps 80% of ALL pairs
       // — tf-cosine needs a high bar to mean "near-dup"; 0.9 keeps 39.)
-      // This is the
-      // near-dup class the SET-based paths (d05/d08 Jaccard) under-weight:
-      // two docs hammering the same few terms at different repeat counts
-      // have high tf-cosine but a modest distinct-shingle overlap.
-      // Scale shape = d08's inverted index: the term self-join moves
-      // (term, doc_id, tf) triples — never documents — one partial-agg
-      // groupBy sums the dot products, and the fixed-width norm table
-      // joins on doc ids. Σ df² governs candidate count; at corpus scale
-      // the same df-stoplist lever applies (heavy-hitter terms carry
-      // negligible cosine weight relative to their candidate cost).
-      val tf = sharedDf(s, s"tf|$dir") {
-        tbl(s, dir, "documents")
-          .select(col("doc_id"), explode(filter(split(col("text"), " "),
-            t => t =!= "")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // This is the near-dup class the SET-based paths (d05/d08 Jaccard)
+      // under-weight: docs hammering the same few terms at different
+      // repeat counts have high tf-cosine but modest shingle overlap.
+      //
+      // FORMULATION (the r7 lesson — the inverted-index term self-join
+      // took 24 s at sf0.1): when the vocabulary is SMALL relative to the
+      // corpus (boilerplate/template regime; this fixture has 31 terms),
+      // every posting list is corpus-sized and Σ df² explodes — so docs
+      // become DENSE tf vectors over the broadcast vocabulary and each
+      // pair is ONE fused integer-dot loop (native long_vec_dot), not
+      // Σ shared-term join rows. The complementary regime (vocab ≫ docs:
+      // real text) wants d08's inverted index + df-stoplist instead; and
+      // at corpus scale EXACT all-pairs is Ω(pairs) by definition — you
+      // run this verify kernel AFTER a blocking stage (d03/d07's bands),
+      // exactly like d08's verifyJaccard. Vocabulary is capped at the
+      // 4096 highest-df terms (deterministic ties) so the broadcast stays
+      // bounded; the fixture's 31 ≪ 4096, so the measure is exact here.
+      import org.apache.spark.sql.graft.functions.long_vec_dot
+      val tf = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(filter(split(col("text"), " "),
+          t => t =!= "")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("term")).limit(4096)
+        .collect().map(_.getString(0)).sorted.zipWithIndex.toMap
+      val vSize = vocab.size
+      val vocabCol = typedLit(vocab)
+      val tfv = sharedDf(s, s"tfv|$dir") {
+        tf.filter(element_at(vocabCol, col("term")).isNotNull)
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(
+            struct(element_at(vocabCol, col("term")).as("i"), col("tf")))).as("m"))
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(vSize - 1)),
+              i => coalesce(element_at(col("m"), i), lit(0L))).as("tfv"))
+          .withColumn("n2", long_vec_dot(col("tfv"), col("tfv")))
       }
-      val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
-      val dots = tf.select(col("doc_id").as("doc_a"), col("term"), col("tf").as("tf_a"))
-        .join(tf.select(col("doc_id").as("doc_b"), col("term"), col("tf").as("tf_b")), "term")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-      dots
-        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), "doc_a")
-        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+      val a = tfv.select(col("doc_id").as("doc_a"), col("tfv").as("v_a"), col("n2").as("n2_a"))
+      val b = tfv.select(col("doc_id").as("doc_b"), col("tfv").as("v_b"), col("n2").as("n2_b"))
+      a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .withColumn("dot", long_vec_dot(col("v_a"), col("v_b")))
         .filter(lit(100) * col("dot") * col("dot") >= lit(81) * col("n2_a") * col("n2_b"))
         .select(col("doc_a"), col("doc_b"), col("dot"), col("n2_a"), col("n2_b"))
     }),

@@ -678,6 +678,46 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Exact integer dot product of two ARRAY<BIGINT> vectors — the verify
+  * kernel for weighted (tf) similarity: every product and partial sum is
+  * an exact integer, so thresholds decided on it are float-free.
+  * Overflows only past |a|·|b| ≈ 9.2e18 (docs of ~3e9 tokens — not a
+  * real document). */
+object LongVecOps {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    require(a.numElements() == b.numElements(),
+      s"vector dimensions differ: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `long_vec_dot(a, b)` — see [[LongVecOps]]. */
+case class LongVecDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(isLongArray(left.dataType) && isLongArray(right.dataType),
+      "ARRAY<BIGINT> on both sides", left.dataType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongVecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.LongVecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998) over a
   * BOUNDED per-query candidate list — retrieval's answer to near-duplicate
   * result lists: each pick maximizes λ·relevance − (1−λ)·max-similarity-to-
@@ -953,6 +993,10 @@ object functions {
 
   def mmr_select(c: Column, k: Int, lambdaMilli: Int): Column =
     ExpressionUtils.column(MmrSelect(ExpressionUtils.expression(c), k, lambdaMilli))
+
+  def long_vec_dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongVecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))
