@@ -431,6 +431,59 @@ object CoreQueries {
           col("valid_to"), col("valid_to").isNull.as("is_current"))
     }),
 
+    "q78_kmv_sketch" -> ((s, dir) => {
+      // KMV (k-minimum-values) distinct-count sketch — the deterministic,
+      // oracle-checkable sibling of q35's HLL/quantile sketches: the k
+      // smallest 56-bit md5 hashes of the key form an ORDER-INDEPENDENT
+      // set function (the same k survive any partition layout or merge
+      // order, unlike HLL's float harmonic mean), the bounded top-k
+      // aggregate keeps exactly k rows of map-side state per group, and
+      // the Bar-Yossef estimator (k-1)·2^56 DIV h_k stays in exact
+      // integer arithmetic — so an APPROXIMATE sketch gets a hash-exact
+      // oracle. 56 bits (14 hex chars) keeps (k-1)·2^56 inside a signed
+      // 64-bit long; distinct-ing hashes first makes the sketch a
+      // function of the key SET, as KMV requires.
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      val k = 32
+      val h = conv(substring(md5(col("o_custkey").cast("string")), 1, 14), 16, 10).cast("long")
+      tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), h.as("h"))
+        .distinct()
+        .groupBy("grp")
+        .agg(top_k_struct(struct(col("h")), k).as("bottomk"),
+          count(lit(1)).as("n_exact"))
+        .withColumn("kth", expr(s"try_element_at(bottomk, $k).h"))
+        .withColumn("est_distinct", expr(
+          s"CASE WHEN n_exact >= $k THEN ${(k - 1).toLong}L * ${1L << 56}L DIV kth ELSE n_exact END"))
+        .withColumn("err_milli", expr("(1000L * abs(est_distinct - n_exact)) DIV n_exact"))
+        .select("grp", "n_exact", "kth", "est_distinct", "err_milli")
+    }),
+
+    "q79_attribution" -> ((s, dir) => {
+      // last-touch attribution — for every purchase, the most recent click
+      // by the same user STRICTLY before it on the (ts, event_id) timeline,
+      // attributed only inside a 7-day lookback window. The carry-forward
+      // is a running MAX of (ts, event_id) structs over the per-user
+      // order — O(1) window state and ONE user_id shuffle, where the naive
+      // formulation is a range self-join of purchases against clicks.
+      // Revenue lands as floor(value·1000) milli-units: one IEEE multiply
+      // + floor per row, bit-identical in any engine (BUILD_NOTES rule) —
+      // no float is ever aggregated.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      events(s, dir).select("user_id", "event_id", "event_type", "ts", "value")
+        .withColumn("last_click",
+          max(when(col("event_type") === "click",
+            struct(col("ts").as("cts"), col("event_id").as("cid")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap", expr("(unix_micros(ts) - unix_micros(last_click.cts)) DIV 1000000"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("gap") <= 604800L, col("last_click.cid")).as("click_id"),
+          when(col("gap") <= 604800L, col("gap")).as("gap_sec"),
+          expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("value_milli"))
+    }),
+
     "q72_funnel" -> ((s, dir) => {
       // ordered funnel (view → click → purchase): stage timestamps via
       // LAYERED running-min windows — stage N's earliest valid time is a
@@ -1166,6 +1219,40 @@ object CoreQueries {
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       FROM ch""",
+
+    "q78_kmv_sketch" -> """
+      WITH h AS (SELECT DISTINCT o_orderpriority AS grp,
+                        CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_custkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+                 FROM orders),
+      r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS n FROM h),
+      k AS (SELECT grp, MAX(n) AS n_exact, MAX(CASE WHEN rn = 32 THEN h END) AS kth
+            FROM r GROUP BY grp),
+      e AS (SELECT grp, n_exact, kth,
+                   CASE WHEN n_exact >= 32 THEN (31 * 72057594037927936) // kth
+                        ELSE n_exact END AS est
+            FROM k)
+      SELECT grp, CAST(n_exact AS BIGINT) AS n_exact, CAST(kth AS BIGINT) AS kth,
+             CAST(est AS BIGINT) AS est_distinct,
+             CAST((1000 * ABS(est - n_exact)) // n_exact AS BIGINT) AS err_milli
+      FROM e""",
+
+    "q79_attribution" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      m AS (SELECT *, MAX(CASE WHEN event_type = 'click'
+                          THEN printf('%020d|%020d', EPOCH_US(ts), event_id) END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+            FROM e),
+      p AS (SELECT event_id AS purchase_id, user_id, value,
+                   CAST(STR_SPLIT(lc, '|')[2] AS BIGINT) AS cid,
+                   (EPOCH_US(ts) - CAST(STR_SPLIT(lc, '|')[1] AS BIGINT)) // 1000000 AS gap
+            FROM m WHERE event_type = 'purchase')
+      SELECT purchase_id, user_id,
+             CASE WHEN gap <= 604800 THEN cid END AS click_id,
+             CASE WHEN gap <= 604800 THEN gap END AS gap_sec,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS value_milli
+      FROM p""",
 
     "q72_funnel" -> """
       WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

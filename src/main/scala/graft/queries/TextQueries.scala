@@ -293,6 +293,79 @@ object TextQueries {
           length(col("red")).as("n_chars_clean"))
     }),
 
+    "t17_gopher_repetition" -> ((s, dir) => {
+      // Gopher/MassiveText repetition filters (Rae et al. 2021 §A1.1,
+      // adapted to the newline-free fixture): (1) the fraction of token
+      // characters claimed by the single most frequent 2-gram, and (2) the
+      // fraction of token POSITIONS covered by some duplicated 5-gram —
+      // span-union coverage, each position counted once even when several
+      // duplicated grams overlap it. Both land as exact integer
+      // milli-ratios, so the filter verdict is bit-reproducible anywhere.
+      // Scale shape: every shuffle is keyed by (doc_id[, gram]) and carries
+      // counters or positions, never text; n-gram groups are doc-local so
+      // group size is bounded by document length, not corpus size. The
+      // top-2-gram metric takes max(count · chars) directly — no argmax
+      // tie-break needed, the metric IS the max of a per-gram product.
+      // The fixture's random token streams never repeat a 5-gram, so 10%
+      // of docs get a deterministic looped phrase appended (the t15
+      // synthetic-PII precedent: the same construction runs in the oracle,
+      // and the REPETITION DETECTOR is what's under test).
+      val aug = concat(col("text"), expr(
+        "CASE WHEN doc_id % 10 = 0 THEN repeat(' loop alpha beta gamma delta', 3) ELSE '' END"))
+      val d = tbl(s, dir, "documents").select(col("doc_id"), toks(aug).as("tk"))
+      val base = d.select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        expr("aggregate(tk, 0L, (a, t) -> a + length(t))").as("tok_chars"))
+      val top2 = d.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c") * (length(col("g")) - 1)).as("top2_chars"))
+      val five = d.filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(tk)-4), i -> concat_ws(' ', slice(tk, i, 5)))")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "g")
+      val cov = five.withColumn("c", count(lit(1)).over(wc)).filter(col("c") >= 2)
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("cp"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("cov5"))
+      base.join(top2, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("tok_chars"),
+          coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+          coalesce(col("cov5"), lit(0L)).as("cov5"))
+        .withColumn("top2_milli", expr("(1000L * top2_chars) DIV greatest(tok_chars, 1)"))
+        .withColumn("dup5_cov_milli", expr("(1000L * cov5) DIV greatest(n_tokens, 1)"))
+        .withColumn("verdict", expr("""
+          CASE WHEN top2_milli > 200 THEN 'rep_2gram'
+               WHEN dup5_cov_milli > 300 THEN 'rep_5gram'
+               ELSE 'keep' END"""))
+    }),
+
+    "t18_source_cap" -> ((s, dir) => {
+      // per-source capping (the RefinedWeb/C4 "domain cap" curation step):
+      // each source keeps only its top-10 documents by vocabulary
+      // diversity, so no single domain dominates the training mix. Uses
+      // the bounded top-k aggregate — k rows per source survive MAP-SIDE,
+      // where a window row_number would shuffle and sort every document of
+      // the source before discarding all but k (the difference between
+      // O(k) and O(docs-per-domain) reducer state at 100 TB). Ordering is
+      // (uniq_ratio desc, doc_id asc) — fully deterministic.
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      val scored = tbl(s, dir, "documents")
+        .withColumn("tk", toks(col("text")))
+        .select(col("source"), col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(array_distinct(col("tk"))).as("n_unique"))
+        .withColumn("uniq_ratio_milli", expr("(1000L * n_unique) DIV greatest(n_tokens, 1)"))
+      scored.groupBy("source")
+        .agg(top_k_struct(struct((col("uniq_ratio_milli") * -1).as("neg_u"), col("doc_id")), 10).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.doc_id").as("doc_id"),
+          (col("col.neg_u") * -1).as("uniq_ratio_milli"))
+    }),
+
     "t16_model_score" -> ((s, dir) => {
       // quality-model inference — the fasttext-style linear classifier
       // pass that scores every document against offline-trained weights.
@@ -412,6 +485,64 @@ object TextQueries {
                                   ORDER BY tfc.tf DESC, dfc.df, tfc.term) AS rank
         FROM tfc JOIN dfc USING (term))
       WHERE rank <= 3""",
+
+    "t17_gopher_repetition" -> """
+      WITH d AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(
+               text || CASE WHEN doc_id % 10 = 0 THEN REPEAT(' loop alpha beta gamma delta', 3) ELSE '' END,
+               ' '), t -> t <> '') AS tk FROM documents),
+      base AS (
+        SELECT doc_id, LEN(tk) AS n_tokens,
+               COALESCE(LIST_SUM(LIST_TRANSFORM(tk, t -> LEN(t))), 0) AS tok_chars
+        FROM d),
+      top2 AS (
+        SELECT doc_id, MAX(c * (LEN(g) - 1)) AS top2_chars FROM (
+          SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-1),
+                           i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM d WHERE LEN(tk) >= 2)
+          GROUP BY doc_id, g)
+        GROUP BY doc_id),
+      five AS (
+        SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(tk)-4)) AS p,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-4),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+        FROM d WHERE LEN(tk) >= 5),
+      dupstarts AS (
+        SELECT doc_id, p FROM (
+          SELECT doc_id, p, COUNT(*) OVER (PARTITION BY doc_id, g) AS c FROM five)
+        WHERE c >= 2),
+      cov AS (
+        SELECT doc_id, COUNT(*) AS cov5 FROM (
+          SELECT DISTINCT doc_id, cp FROM (
+            SELECT doc_id, UNNEST(GENERATE_SERIES(p, p+4)) AS cp FROM dupstarts))
+        GROUP BY doc_id)
+      SELECT base.doc_id,
+             CAST(n_tokens AS INT) AS n_tokens,
+             CAST(tok_chars AS BIGINT) AS tok_chars,
+             CAST(COALESCE(top2_chars, 0) AS BIGINT) AS top2_chars,
+             CAST(COALESCE(cov5, 0) AS BIGINT) AS cov5,
+             CAST((1000 * COALESCE(top2_chars, 0)) // GREATEST(tok_chars, 1) AS BIGINT) AS top2_milli,
+             CAST((1000 * COALESCE(cov5, 0)) // GREATEST(n_tokens, 1) AS BIGINT) AS dup5_cov_milli,
+             CASE WHEN (1000 * COALESCE(top2_chars, 0)) // GREATEST(tok_chars, 1) > 200 THEN 'rep_2gram'
+                  WHEN (1000 * COALESCE(cov5, 0)) // GREATEST(n_tokens, 1) > 300 THEN 'rep_5gram'
+                  ELSE 'keep' END AS verdict
+      FROM base
+      LEFT JOIN top2 ON base.doc_id = top2.doc_id
+      LEFT JOIN cov ON base.doc_id = cov.doc_id""",
+
+    "t18_source_cap" -> """
+      WITH scored AS (
+        SELECT source, doc_id,
+               (1000 * LEN(LIST_DISTINCT(tk))) // GREATEST(LEN(tk), 1) AS uniq_ratio_milli
+        FROM (SELECT source, doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk
+              FROM documents)),
+      r AS (SELECT source, doc_id, uniq_ratio_milli,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY uniq_ratio_milli DESC, doc_id) AS rank
+            FROM scored)
+      SELECT source, CAST(rank AS INT) AS rank, doc_id,
+             CAST(uniq_ratio_milli AS BIGINT) AS uniq_ratio_milli
+      FROM r WHERE rank <= 10""",
 
     "t10_repetition_ratio" -> """
       SELECT doc_id,

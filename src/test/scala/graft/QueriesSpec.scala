@@ -65,6 +65,102 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q78 KMV sketch: aggregate path matches a driver-side recompute; " +
+    "error stays inside the estimator envelope") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q78_kmv_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // independent recompute of the bottom-32 from the raw distinct hash set
+    val hs = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority").as("grp"),
+        conv(substring(md5(col("o_custkey").cast("string")), 1, 14), 16, 10).cast("long").as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    assert(out.keySet == hs.keySet)
+    hs.foreach { case (grp, sorted) =>
+      val r = out(grp)
+      assert(r.getLong(1) == sorted.length, s"$grp n_exact")
+      val kth = sorted(31)
+      assert(r.getLong(2) == kth, s"$grp kth")
+      assert(r.getLong(3) == 31L * (1L << 56) / kth, s"$grp est")
+      // KMV relative std ≈ 1/sqrt(k-2) ≈ 18%; 2σ envelope in milli units
+      assert(r.getLong(4) < 400, s"$grp err_milli ${r.getLong(4)}")
+    }
+  }
+
+  test("q79 attribution equals the brute-force purchases×clicks join") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q79_attribution")(spark, sf)
+    val e = graft.queries.QueryDsl.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("ts").as("cts"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+    // strictly-before on the (ts, event_id) timeline, last touch = max pair
+    val brute = purch.join(clicks, Seq("user_id"))
+      .filter(col("cts") < col("pts") ||
+        (col("cts") === col("pts") && col("cid") < col("pid")))
+      .groupBy("pid")
+      .agg(max(struct(col("cts"), col("cid"))).as("lc"), max(col("pts")).as("pts"))
+      .withColumn("gap", expr("(unix_micros(pts) - unix_micros(lc.cts)) DIV 1000000"))
+      .filter(col("gap") <= 604800L)
+      .select(col("pid"), col("lc.cid").as("cid"), col("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = out.filter(col("click_id").isNotNull)
+      .select("purchase_id", "click_id", "gap_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(out.count() == purch.count(), "one row per purchase, attributed or not")
+  }
+
+  test("t17 gopher repetition metrics match a direct per-doc computation") {
+    val out = SparkEntry.queries("t17_gopher_repetition")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty && out.size == docs.length)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val text = r.getString(1) +
+        (if (id % 10 == 0) " loop alpha beta gamma delta" * 3 else "")
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val top2 =
+        if (tk.length < 2) 0L
+        else tk.sliding(2).map(_.toList).toSeq.groupBy(identity)
+          .map { case (g, occ) => occ.size.toLong * g.map(_.length).sum }.max
+      val cov =
+        if (tk.length < 5) 0L
+        else {
+          val grams = tk.sliding(5).map(_.mkString(" ")).toVector
+          val cnt = grams.groupBy(identity).view.mapValues(_.size).toMap
+          grams.zipWithIndex
+            .collect { case (g, i) if cnt(g) >= 2 => (i + 1) to (i + 5) }
+            .flatten.toSet.size.toLong
+        }
+      assert(out(id) == ((top2, cov)), s"doc $id")
+    }
+  }
+
+  test("t18 source cap equals the window row_number formulation and binds at 10") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("t18_source_cap")(spark, sf)
+    val byCount = out.groupBy("source").count().collect()
+    assert(byCount.forall(_.getLong(1) <= 10))
+    assert(byCount.exists(_.getLong(1) == 10), "cap never binds at this SF")
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("tk", filter(split(col("text"), " "), t => t =!= ""))
+      .select(col("source"), col("doc_id"),
+        expr("(1000L * size(array_distinct(tk))) DIV greatest(size(tk), 1)").as("u"))
+    val w = Window.partitionBy("source").orderBy(col("u").desc, col("doc_id"))
+    val win = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("u").as("uniq_ratio_milli"))
+    assert(out.collect().map(_.toSeq).toSet == win.collect().map(_.toSeq).toSet)
+  }
+
   test("LSH near-dup pairs are a subset of the exact similarity join (soundness)") {
     // d03 (MinHash-LSH, jaccard >= 0.5) may MISS pairs (recall < 1), but
     // every pair it reports must also be found by d08's sound-and-complete
