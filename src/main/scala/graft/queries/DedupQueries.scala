@@ -664,7 +664,7 @@ object DedupQueries {
     })
   )
 
-  import org.apache.spark.sql.graft.functions.{vec_cosine, vec_srp}
+  import org.apache.spark.sql.graft.functions.{vec_cosine, vec_srp_md5}
 
   /** d07's banded candidates over (vec_id, sk) SRP sketches: 4×8-bit bands,
     * degenerate buckets capped before pairing (see [[LshBucketCap]]). */
@@ -686,9 +686,14 @@ object DedupQueries {
     // The 0.2 report threshold keeps output meaningful on this synthetic
     // corpus (max pairwise cosine ≈ 0.48 — no true near-dups exist);
     // production would use ~0.95.
+    // Sketches use the md5-plane variant so the WHOLE pipeline — planes,
+    // signs, bands, bucket cap, ascending-double cosine — replays
+    // bit-for-bit in DuckDB (the d04/d16 oracle-parity trick; see
+    // [[org.apache.spark.sql.graft.SrpMd5Ops]]); production swaps back to
+    // FloatVecSrp's xxh64 planes, the banding geometry is hash-agnostic.
     val emb = tbl(s, dir, "embeddings")
     val sk = sharedDf(s, s"srp|$dir") {
-      emb.select(col("vec_id"), col("embedding"), vec_srp(col("embedding"), 32).as("sk"))
+      emb.select(col("vec_id"), col("embedding"), vec_srp_md5(col("embedding"), 32).as("sk"))
     }
     srpCandidates(sk)
       .join(sk.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
@@ -727,6 +732,66 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d03_minhash_lsh" -> exactJaccardOracle.format(500),
+
+    // full-pipeline replay of the SRP LSH: md5-derived hyperplanes
+    // (r(p,i) = ((md5_60("p|i") >> 7) / 2^53)·2 − 1, a 53-bit
+    // mantissa-exact double), per-plane sign of an ascending-double dot
+    // (LIST_REDUCE is the same left fold VecOps runs), 4×8-bit bands,
+    // the >2048 bucket cap, and VecOps.cosine's exact IEEE sequence
+    // (three ascending sums, sqrt·sqrt, one divide) — so even the cos
+    // DOUBLES hash-match. The sketch itself is what makes this
+    // approximation oracle-able: same planes ⇒ same candidate set.
+    "d07_embedding_neardup" -> """
+      WITH planes AS (
+        SELECT p, LIST(r ORDER BY i) AS rv FROM (
+          SELECT pp.g AS p, ii.g AS i,
+                 CAST((CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(CAST(pp.g AS VARCHAR), '|', CAST(ii.g AS VARCHAR))), 1, 15)) AS BIGINT) >> 7) AS DOUBLE)
+                   / 9007199254740992.0 * 2.0 - 1.0 AS r
+          FROM (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS g) pp,
+               (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS g) ii)
+        GROUP BY p),
+      sk AS (
+        SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sk
+        FROM (
+          SELECT e.vec_id, pl.p,
+                 LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * pl.rv[i])),
+                   (a, b) -> a + b) AS dot
+          FROM embeddings e CROSS JOIN planes pl)
+        GROUP BY vec_id),
+      banded AS (
+        SELECT vec_id, bb.g AS band_id, (sk >> (bb.g * 8)) & 255 AS band_val
+        FROM sk, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS g) bb),
+      kept AS (
+        SELECT vec_id, band_id, band_val FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS n FROM banded)
+        WHERE n <= 2048),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM kept a JOIN kept b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT vec_a, vec_b,
+               CASE WHEN den = 0 THEN 0.0 ELSE dot / den END AS cos
+        FROM (
+          SELECT c.vec_a, c.vec_b,
+                 LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ea.embedding)),
+                     i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b) AS dot,
+                 SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ea.embedding)),
+                     i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b))
+                 * SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(eb.embedding)),
+                     i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b)) AS den
+          FROM cand c
+          JOIN embeddings ea ON c.vec_a = ea.vec_id
+          JOIN embeddings eb ON c.vec_b = eb.vec_id))
+      SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.2""",
 
     // exact integer arithmetic end-to-end (tf counts, integer dot
     // products, the cos ≥ 0.9 threshold as 100·dot² ≥ 81·n2a·n2b) →

@@ -291,6 +291,63 @@ case class FloatVecSrp(child: Expression, planes: Int = 32) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** md5-domain SRP sketch — identical banding geometry to [[FloatVecSrp]],
+  * but hyperplane entries derive from md5("p|i") instead of xxh64 so a SQL
+  * oracle reproduces the sketch bit-for-bit (the SimHashMd5/
+  * WinnowFingerprints oracle-parity trick): r(p,i) = ((md5_60("p|i") >> 7)
+  * / 2^53) · 2 − 1 — 53 bits convert to double EXACTLY, so both engines
+  * hold the same hyperplane value, and the per-plane dot accumulates
+  * ascending in double (DuckDB's LIST_REDUCE is the same left fold). The
+  * matrix is a pure function of (planes, dims): computed once per JVM and
+  * memoized — never shipped with the plan, never md5'd per row. Production
+  * at 100 TB keeps FloatVecSrp's xxh64 planes; the sign-projection
+  * geometry is hash-agnostic — only oracle verifiability changes. */
+object SrpMd5Ops {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private[graft] def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((planes, dims), { case (np, nd) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(np, nd) { (p, i) =>
+        md.reset()
+        val d = md.digest(s"$p|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v = v >>> 4 // top 60 bits = first 15 hex chars of the digest
+        ((v >> 7).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+    })
+  def srp(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    val m = hyperplanes(planes, n)
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      val row = m(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * row(i); i += 1 }
+      if (dot > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
+case class FloatVecSrpMd5(child: Expression, planes: Int = 32) extends UnaryExpression {
+  require(planes > 0 && planes <= 64, "planes must be in [1, 64]")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(ExprChecks.isFloatArray(child.dataType), "ARRAY<FLOAT>", child.dataType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    SrpMd5Ops.srp(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.SrpMd5Ops.srp($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Content-defined chunking (CDC) over binary payloads — the storage-dedup
   * primitive: boundaries are set where a gear rolling hash meets a mask, so
   * an insertion near the front of a blob shifts only the chunks up to the
@@ -966,6 +1023,9 @@ object functions {
   def vec_srp(c: Column, planes: Int = 32): Column =
     ExpressionUtils.column(FloatVecSrp(ExpressionUtils.expression(c), planes))
 
+  def vec_srp_md5(c: Column, planes: Int = 32): Column =
+    ExpressionUtils.column(FloatVecSrpMd5(ExpressionUtils.expression(c), planes))
+
   def normalize_text(c: Column): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(c)))
 
@@ -1037,6 +1097,7 @@ object functions {
       "simhash_md5" -> (exprs => SimHashMd5(exprs.head)),
       "vec_cosine" -> (exprs => FloatVecCosine(exprs(0), exprs(1))),
       "vec_srp" -> (exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32))),
+      "vec_srp_md5" -> (exprs => FloatVecSrpMd5(exprs.head, intArg(exprs, 1, 32))),
       "normalize_text" -> (exprs => NormalizeText(exprs.head)),
       "cdc_chunk_hashes" ->
         (exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6))),

@@ -130,6 +130,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(m === m2)
   }
 
+  test("vec_srp_md5: equals an independent md5-hyperplane recompute; " +
+    "same banding geometry as vec_srp") {
+    // independent recompute: own MessageDigest, own fold — any drift in
+    // SrpMd5Ops' plane derivation or accumulation order breaks equality
+    // (and with it the d07 oracle's claim to replay the sketch in SQL)
+    def planeR(p: Int, i: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"$p|$i".getBytes("UTF-8"))
+      val v = (0 until 8).foldLeft(0L)((acc, b) => (acc << 8) | (d(b) & 0xffL)) >>> 4
+      ((v >> 7).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    def sketch(v: Array[Float]): Long =
+      (0 until 32).foldLeft(0L) { (out, p) =>
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i).toDouble * planeR(p, i); i += 1 }
+        if (dot > 0) out | (1L << p) else out
+      }
+    val vecs = Seq(
+      Array.tabulate(64)(i => math.sin(i).toFloat),
+      Array.tabulate(64)(i => math.cos(i * 3 + 1).toFloat),
+      Array.fill(64)(0.0f))
+    val got = vecs.zipWithIndex.map { case (v, id) => (id, v) }
+      .toDF("id", "v").select($"id", vec_srp_md5($"v", 32).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, id) =>
+      assert(got(id) === sketch(v), s"vec $id")
+    }
+    // the zero vector has every dot == 0 (not > 0): all bits clear
+    assert(got(2) === 0L)
+  }
+
   test("cdc_chunk_hashes: deterministic, covers the payload, re-aligns after a prefix edit") {
     // non-periodic payload (java.util.Random's LCG is specified, so the
     // fixture is stable); periodic content would exercise only the
