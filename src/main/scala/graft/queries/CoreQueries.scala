@@ -484,6 +484,58 @@ object CoreQueries {
           expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("value_milli"))
     }),
 
+    "q80_textrank" -> ((s, dir) => {
+      // TextRank (Mihalcea & Tarau 2004) — keyword ranking as damped
+      // PageRank over the corpus bigram co-occurrence graph (t06's edge
+      // threshold), the ITERATIVE graph-algorithm class the inventory
+      // otherwise only touches via connected components. Eight full
+      // iterations run in exact integer fixed-point (micro units):
+      //   pr'[a] = 150000 + (850 · Σ_b (w_ba · pr[b] DIV wdeg[b])) DIV 1000
+      // — every operand is a non-negative integer, so DuckDB's floor-`//`
+      // and Spark's truncating DIV agree, and the oracle replays all
+      // eight iterations bit-for-bit (a float PageRank would drift by
+      // summation order per iteration). Scale shape: each iteration is
+      // ONE shuffle keyed by term over (term, pr) state rows; edges and
+      // degrees checkpoint once and are reused; localCheckpoint truncates
+      // the growing plan each round and superseded snapshots are released
+      // (the GraphOps iterative-DataFrame pattern). Vocabulary is
+      // Zipf-bounded — node/edge state stays far below corpus size.
+      import org.apache.spark.sql.graft.CheckpointUtils
+      val big = tbl(s, dir, "documents")
+        .withColumn("tk", filter(split(col("text"), " "), t => t =!= ""))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk)-1), i -> struct(element_at(tk,i) AS t1, element_at(tk,i+1) AS t2))")).as("e"))
+        .select(col("e.t1").as("t1"), col("e.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5 && col("t1") =!= col("t2"))
+      val edges = big.select(col("t1").as("a"), col("t2").as("b"), col("n"))
+        .unionAll(big.select(col("t2").as("a"), col("t1").as("b"), col("n")))
+        .groupBy("a", "b").agg(sum(col("n")).as("w"))
+        .localCheckpoint()
+      val wdeg = edges.groupBy("a").agg(sum(col("w")).as("wdeg")).localCheckpoint()
+      var pr = wdeg.select(col("a").as("term"), lit(1000000L).as("pr")).localCheckpoint()
+      var older: DataFrame = null
+      for (_ <- 0 until 8) {
+        val prev = pr
+        val contrib = edges
+          .join(wdeg, "a")
+          .join(pr.withColumnsRenamed(Map("term" -> "a")), "a")
+          .groupBy(col("b").as("term"))
+          .agg(sum(expr("(w * pr) DIV wdeg")).as("acc"))
+        pr = wdeg.select(col("a").as("term"))
+          .join(contrib, Seq("term"), "left")
+          .select(col("term"),
+            expr("150000L + (850 * coalesce(acc, 0L)) DIV 1000").as("pr"))
+          .localCheckpoint()
+        if (older != null) CheckpointUtils.unpersistCheckpoint(older)
+        older = prev
+      }
+      if (older != null) CheckpointUtils.unpersistCheckpoint(older)
+      pr.join(wdeg.withColumnsRenamed(Map("a" -> "term")), "term")
+        .select(col("term"), col("wdeg"), col("pr").as("pr_micro"))
+    }),
+
     "q72_funnel" -> ((s, dir) => {
       // ordered funnel (view → click → purchase): stage timestamps via
       // LAYERED running-min windows — stage N's earliest valid time is a
@@ -940,6 +992,42 @@ object CoreQueries {
     })
   )
 
+  /** DuckDB replay of q80's TextRank: the fixed iteration count unrolls
+    * into chained CTEs (pr0 → pr1 → … — recursive CTEs cannot aggregate
+    * over their own recursive reference), each step the same non-negative
+    * integer recurrence the Spark loop runs, so all `iters` iterations
+    * match bit-for-bit. */
+  private def textrankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { n =>
+      s"""      pr$n AS (
+         |        SELECT d.a AS term,
+         |               150000 + (850 * COALESCE(s.acc, 0)) // 1000 AS pr
+         |        FROM wdeg d LEFT JOIN (
+         |          SELECT e.b AS t, SUM((e.w * p.pr) // wd.wdeg) AS acc
+         |          FROM edges e
+         |          JOIN pr${n - 1} p ON p.term = e.a
+         |          JOIN wdeg wd ON wd.a = e.a
+         |          GROUP BY e.b) s ON s.t = d.a)""".stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH tk AS (SELECT LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      big AS (
+        SELECT t1, t2, COUNT(*) AS n FROM (
+          SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-1), i -> tk[i])) AS t1,
+                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-1), i -> tk[i+1])) AS t2
+          FROM tk WHERE LEN(tk) >= 2)
+        GROUP BY t1, t2 HAVING COUNT(*) >= 5 AND t1 <> t2),
+      edges AS (SELECT a, b, CAST(SUM(n) AS BIGINT) AS w FROM (
+          SELECT t1 AS a, t2 AS b, n FROM big
+          UNION ALL SELECT t2 AS a, t1 AS b, n FROM big)
+        GROUP BY a, b),
+      wdeg AS (SELECT a, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY a),
+      pr0 AS (SELECT a AS term, CAST(1000000 AS BIGINT) AS pr FROM wdeg),
+$steps
+      SELECT p.term, d.wdeg, CAST(p.pr AS BIGINT) AS pr_micro
+      FROM pr$iters p JOIN wdeg d ON d.a = p.term"""
+  }
+
   /** DuckDB-side Morton interleave of the low `bits` bits of two integer
     * columns — the explicit shift/mask expansion of what ZOrderKey's
     * spread-mask rounds compute (bit i of x → 2i, bit i of y → 2i+1). */
@@ -1219,6 +1307,8 @@ object CoreQueries {
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       FROM ch""",
+
+    "q80_textrank" -> textrankOracle(8),
 
     "q78_kmv_sketch" -> """
       WITH h AS (SELECT DISTINCT o_orderpriority AS grp,

@@ -114,6 +114,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.count() == purch.count(), "one row per purchase, attributed or not")
   }
 
+  test("q80 textrank equals a driver-side recompute of all eight iterations; " +
+    "damping floor and mass bound hold") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q80_textrank")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rebuild the same graph and run the integer recurrence in plain Scala
+    val toksOf = (t: String) => t.split(" ").filter(_.nonEmpty)
+    val big = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+      .flatMap(t => toksOf(t).sliding(2).filter(_.length == 2).map(w => (w(0), w(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case ((a, b), n) => n >= 5 && a != b }
+    val edges = big.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+      .groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).sum).toMap
+    val wdeg = edges.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    var pr = wdeg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 0 until 8) {
+      val acc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      edges.foreach { case ((a, b), w) => acc(b) += (w * pr(a)) / wdeg(a) }
+      pr = wdeg.keys.map(t => t -> (150000L + (850L * acc(t)) / 1000L)).toMap
+    }
+    assert(out.keySet == pr.keySet)
+    pr.foreach { case (t, p) =>
+      assert(out(t) == ((wdeg(t), p)), s"term $t")
+      assert(p >= 150000L)
+    }
+    assert(pr.values.sum <= 1000000L * pr.size, "PageRank mass exceeds the initial total")
+  }
+
   test("t17 gopher repetition metrics match a direct per-doc computation") {
     val out = SparkEntry.queries("t17_gopher_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
