@@ -77,6 +77,41 @@ object DedupQueries {
     }
   }
 
+  /** Build-once persisted LSH band index of the standing corpus
+    * (doc_id < boundary) — the s06 build-once/probe-many pattern applied
+    * to MinHash: (doc_id, band_hash) rows parquet-partitioned by band_id.
+    * At 100 TB this is the artifact an ingest pipeline maintains between
+    * batches: built once per corpus snapshot, appended as batches commit,
+    * probed by each batch without ever re-shingling the corpus. Memoized
+    * per (session, dir); the temp directory dies with the JVM. */
+  private val lshIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def lshIndexPath(s: SparkSession, dir: String, boundary: Long): String = {
+    val key = (s, dir)
+    val existing = lshIndexPaths.get(key)
+    if (existing != null) return existing
+    // build OUTSIDE the map (ivfIndexPath's rule: a multi-second Spark job
+    // must not hold a CHM bin lock); a concurrent loser's dir is deleted
+    val seen = sigTable(s, dir).filter(col("doc_id") < boundary)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-lsh-index")
+    val path = tmpRoot.resolve("bands").toString
+    bandTable(seen, bands = 8, rowsPerBand = 4)
+      .write.mode("overwrite").partitionBy("band_id").parquet(path)
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    val prev = lshIndexPaths.putIfAbsent(key, path)
+    if (prev != null) { deleteRecursively(tmpRoot); prev }
+    else {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmpRoot)))
+      path
+    }
+  }
+
   /** Degenerate-bucket guard for the LSH band family (d03/d04/d05/d07): a
     * band bucket of m members pairs into m(m-1)/2 candidates inside ONE
     * reducer of the self-join, so a single boilerplate bucket (thousands of
@@ -109,13 +144,19 @@ object DedupQueries {
     * buckets (catches lower Jaccard). The self-join shuffles only
     * (band_id, band_hash, doc_id) triples, never documents; degenerate
     * buckets are capped (see [[LshBucketCap]]) before pairing. */
-  private[graft] def lshCandidates(
-      sigs: DataFrame, bands: Int, rowsPerBand: Int,
-      bucketCap: Long = LshBucketCap): DataFrame = {
-    val bd = sigs.select(col("doc_id"), posexplode(
+  /** (doc_id, band_id, band_hash) triples for a signature table — the one
+    * banding definition shared by the self-join candidates (d03/d05) and
+    * the persisted incremental index (d19). */
+  private[graft] def bandTable(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
       .withColumnsRenamed(Map("pos" -> "band_id", "col" -> "band_hash"))
+
+  private[graft] def lshCandidates(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      bucketCap: Long = LshBucketCap): DataFrame = {
+    val bd = bandTable(sigs, bands, rowsPerBand)
     val kept = capBuckets(bd, Seq("band_id", "band_hash"), bucketCap)
     kept.withColumnsRenamed(Map("doc_id" -> "doc_a"))
       .join(kept.withColumnsRenamed(Map("doc_id" -> "doc_b")), Seq("band_id", "band_hash"))
@@ -477,6 +518,39 @@ object DedupQueries {
           col("m.jaccard_milli").as("jaccard_milli"))
     }),
 
+    "d19_incremental_lsh" -> ((s, dir) => {
+      // incremental MinHash-LSH ingest — the INDEXED sibling of d12's
+      // bloom gate: the standing corpus (doc_id < 400) is distilled ONCE
+      // into a persisted band index (d03's 8×4 layout, parquet partitioned
+      // by band_id — the s06 build-once/probe-many pattern applied to
+      // LSH). An ingest batch shingles and signs only ITS OWN documents
+      // and probes the index on (band_id, band_hash); the corpus is never
+      // re-shingled, re-signed, or re-shuffled — the index is the only
+      // corpus-sized artifact, written once at snapshot time. Survivor
+      // pairs verify EXACTLY against shingle posting lists, then each
+      // incoming doc keeps its best seen match (d12's output shape: max
+      // jaccard, ties to the lowest seen id). Oracle: d03's brute-force
+      // oracle proves the 8×4 banding candidate-complete at jaccard ≥ 0.5
+      // corpus-wide on this fixture, so the index probe must reproduce
+      // d12's EXHAUSTIVE new×seen compare — hash-checked against exactly
+      // that SQL.
+      val boundary = 400L
+      val sh = shingleTable(s, dir)
+      val idx = s.read.parquet(lshIndexPath(s, dir, boundary))
+        .withColumnsRenamed(Map("doc_id" -> "doc_b"))
+      val probe = bandTable(
+        sigTable(s, dir).filter(col("doc_id") >= boundary), bands = 8, rowsPerBand = 4)
+        .withColumnsRenamed(Map("doc_id" -> "doc_a"))
+      val cand = probe.join(idx, Seq("band_id", "band_hash"))
+        .select("doc_a", "doc_b").distinct()
+      verifyJaccard(cand, sh)
+        .filter(col("jaccard_milli") >= 500)
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(max(struct(col("jaccard_milli"), (-col("doc_b")).as("neg"))).as("m"))
+        .select(col("doc_id"), (-col("m.neg")).as("dup_of"),
+          col("m.jaccard_milli").as("jaccard_milli"))
+    }),
+
     "d13_leakage_free_split" -> ((s, dir) => {
       // leakage-free train/val/test split: hashing each DOC into a split
       // (t07) silently puts near-duplicates on both sides of the
@@ -730,6 +804,33 @@ object DedupQueries {
       FROM pairs
       WHERE (1000 * ni) // nu >= %d"""
 
+  /** Brute-force bipartite best-match: every incoming (doc_id >= 400) ×
+    * seen (doc_id < 400) pair at jaccard >= 0.5, best seen match per
+    * incoming doc (max jaccard, ties to the lowest seen id). Shared by
+    * d12 (bloom prefilter) and d19 (persisted band index) — two prune
+    * strategies, one exact answer. */
+  private val incrementalBestMatchOracle = """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT i.doc_id AS doc_id, s2.doc_id AS dup_of,
+               (1000 * LEN(LIST_INTERSECT(i.s, s2.s)))
+               // (LEN(i.s) + LEN(s2.s) - LEN(LIST_INTERSECT(i.s, s2.s))) AS jaccard_milli
+        FROM sh i JOIN sh s2 ON i.doc_id >= 400 AND s2.doc_id < 400),
+      best AS (
+        SELECT doc_id, dup_of, jaccard_milli,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY jaccard_milli DESC, dup_of) AS rk
+        FROM pairs
+        WHERE jaccard_milli >= 500)
+      SELECT doc_id, dup_of, jaccard_milli FROM best WHERE rk = 1"""
+
   val oracles: Map[String, String] = Map(
     "d03_minhash_lsh" -> exactJaccardOracle.format(500),
 
@@ -965,30 +1066,14 @@ object DedupQueries {
       FROM ranked
       WHERE rk = 1""",
 
-    // brute-force bipartite oracle for the bloom-prefiltered incremental
-    // dedup: every incoming×seen pair at jaccard >= 0.5, best match per
-    // incoming doc (max jaccard, ties to the lowest seen id)
-    "d12_bloom_incremental" -> """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
-      pairs AS (
-        SELECT i.doc_id AS doc_id, s2.doc_id AS dup_of,
-               (1000 * LEN(LIST_INTERSECT(i.s, s2.s)))
-               // (LEN(i.s) + LEN(s2.s) - LEN(LIST_INTERSECT(i.s, s2.s))) AS jaccard_milli
-        FROM sh i JOIN sh s2 ON i.doc_id >= 400 AND s2.doc_id < 400),
-      best AS (
-        SELECT doc_id, dup_of, jaccard_milli,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY jaccard_milli DESC, dup_of) AS rk
-        FROM pairs
-        WHERE jaccard_milli >= 500)
-      SELECT doc_id, dup_of, jaccard_milli FROM best WHERE rk = 1""",
+    // brute-force bipartite oracle shared by BOTH incremental-ingest
+    // entries: every incoming×seen pair at jaccard >= 0.5, best match per
+    // incoming doc (max jaccard, ties to the lowest seen id). d12 reaches
+    // it through the bloom prefilter, d19 through the persisted band
+    // index — two prune strategies, one exact answer.
+    "d12_bloom_incremental" -> incrementalBestMatchOracle,
+    "d19_incremental_lsh" -> incrementalBestMatchOracle,
+
 
     // brute-force containment oracle: |A∩B| over the smaller set's size
     "d14_containment" -> """

@@ -64,6 +64,34 @@ object MultimodalQueries {
       }(pngEnc)
   }
 
+  /** Real 16-bit little-endian PCM payloads, one per document: sample i of
+    * media m is the closed-form ((m·7919 + i·104729) mod 65536) − 32768
+    * with a per-media length (64..255 samples), so oracles recompute any
+    * waveform statistic from the formula without parsing bytes. Shared by
+    * m08's whole-payload stats and m09's frame segmentation. */
+  private def pcmTable(s: SparkSession, dir: String): DataFrame = {
+    val pcmSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("pcm", BinaryType, nullable = false)))
+    val pcmEnc = org.apache.spark.sql.Encoders.row(pcmSchema)
+    spread(mediaTable(s, dir).select("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (64 + id % 192).toInt // 64..255 samples
+          val bytes = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 7919 + i.toLong * 104729) % 65536L) - 32768L).toInt
+            bytes(2 * i) = (v & 0xff).toByte
+            bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          Row(id, bytes)
+        }
+      }(pcmEnc)
+  }
+
   val defs: Map[String, Q] = Map(
     "m01_binary_meta" -> ((s, dir) => {
       // byte length + content digest: the standard "media inventory" scan
@@ -207,29 +235,40 @@ object MultimodalQueries {
       // hash. Swapping the synth for real audio replaces only the
       // builder; the feature pass is the production shape.
       import org.apache.spark.sql.graft.functions.pcm_i16le_stats
-      val pcmSchema = StructType(Seq(
-        StructField("media_id", LongType, nullable = false),
-        StructField("pcm", BinaryType, nullable = false)))
-      val pcmEnc = org.apache.spark.sql.Encoders.row(pcmSchema)
-      val pcm = spread(mediaTable(s, dir).select("media_id"))
-        .mapPartitions { rows =>
-          rows.map { r =>
-            val id = r.getLong(0)
-            val n = (64 + id % 192).toInt // 64..255 samples
-            val bytes = new Array[Byte](2 * n)
-            var i = 0
-            while (i < n) {
-              val v = (((id * 7919 + i.toLong * 104729) % 65536L) - 32768L).toInt
-              bytes(2 * i) = (v & 0xff).toByte
-              bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
-              i += 1
-            }
-            Row(id, bytes)
-          }
-        }(pcmEnc)
-      pcm.select(col("media_id"), pcm_i16le_stats(col("pcm")).as("st"))
+      pcmTable(s, dir).select(col("media_id"), pcm_i16le_stats(col("pcm")).as("st"))
         .select(col("media_id"), col("st.n_samples"), col("st.sum_abs"),
           col("st.max_abs"), col("st.zero_crossings"))
+    }),
+
+    "m09_audio_segments" -> ((s, dir) => {
+      // VAD-style audio segmentation — the step after m08's whole-payload
+      // stats in a speech-data pipeline: frame-level energy, then
+      // gaps-and-islands to merge consecutive loud frames into segments.
+      // The frame pass COMPOSES existing pieces — binary substring
+      // slicing + the native PcmI16leStats parser per 64-sample slice
+      // (no new expression; substring clamps the final short frame) —
+      // and segmentation is one media-keyed window, so the whole op is
+      // a scan plus one bounded shuffle. The 16384 mean-|x| threshold
+      // sits at the synth's median, so segments split nontrivially; all
+      // arithmetic is integer → hash-exact against the closed-form synth.
+      import org.apache.spark.sql.graft.functions.pcm_i16le_stats
+      val frames = pcmTable(s, dir)
+        .select(col("media_id"),
+          explode(expr("sequence(0, (length(pcm) DIV 2 - 1) DIV 64)")).as("f"),
+          col("pcm"))
+        .select(col("media_id"), col("f"),
+          pcm_i16le_stats(expr("substring(pcm, f * 128 + 1, 128)")).as("st"))
+        .select(col("media_id"), col("f"),
+          col("st.n_samples").as("fn"), col("st.sum_abs").as("fsum"))
+      val loud = frames.filter(col("fsum") > lit(16384L) * col("fn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("f")
+      loud.withColumn("grp", col("f") - row_number().over(w))
+        .groupBy("media_id", "grp")
+        .agg(min(col("f")).cast("int").as("start_frame"),
+          max(col("f")).cast("int").as("end_frame"),
+          count(lit(1)).as("n_frames"), sum(col("fsum")).as("sum_abs"))
+        .select("media_id", "start_frame", "end_frame", "n_frames", "sum_abs")
     }),
 
     "m06_image_neardup" -> ((s, dir) => {
@@ -382,6 +421,25 @@ object MultimodalQueries {
     // zero-crossing convention (zero counts as non-negative) — the Spark
     // side must parse real little-endian bytes with correct sign extension
     // to land here
+    // frame grid + threshold + islands replayed from the synth formula;
+    // any error in the frame slicing (off-by-one byte offsets, the short
+    // final frame) or the loudness inequality breaks the hash
+    "m09_audio_segments" -> """
+      WITH m AS (SELECT doc_id AS media_id, 64 + doc_id % 192 AS n FROM documents),
+      s AS (SELECT media_id, t.i // 64 AS f,
+                   ABS(((media_id * 7919 + t.i * 104729) % 65536) - 32768) AS av
+            FROM m, UNNEST(GENERATE_SERIES(0, n - 1)) AS t(i)),
+      fr AS (SELECT media_id, f, COUNT(*) AS fn, SUM(av) AS fsum FROM s GROUP BY 1, 2),
+      loud AS (SELECT media_id, f, fsum FROM fr WHERE fsum > 16384 * fn),
+      g AS (SELECT *, f - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY f) AS grp
+            FROM loud)
+      SELECT media_id,
+             CAST(MIN(f) AS INT) AS start_frame,
+             CAST(MAX(f) AS INT) AS end_frame,
+             COUNT(*) AS n_frames,
+             CAST(SUM(fsum) AS BIGINT) AS sum_abs
+      FROM g GROUP BY media_id, grp""",
+
     "m08_pcm_stats" -> """
       WITH m AS (SELECT doc_id AS media_id, 64 + doc_id % 192 AS n FROM documents),
       s AS (SELECT media_id, n, t.i,

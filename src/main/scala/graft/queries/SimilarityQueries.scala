@@ -394,6 +394,27 @@ object SimilarityQueries {
       topKPerQuery(scored, 5)
     }),
 
+    "s10_knn_graph" -> ((s, dir) => {
+      // kNN-GRAPH construction (top-5 neighbors for EVERY corpus vector) —
+      // the all-vectors sibling of s01's query-set search and the input
+      // to graph-based curation (SemDeDup's neighbor graph, kNN-join
+      // clustering). This entry is the exact brute-force baseline:
+      // corpus × broadcast(corpus) with the native ascending-double
+      // cosine and the bounded top-k aggregate (k rows of map-side state
+      // per vector). At 100 TB the candidate set is bounded by the IVF
+      // assignment instead (d15's cluster-bounded shape; s02's probe
+      // path) — the ranking and tie-break semantics stay exactly these.
+      // Oracle: the d07 full-double-replay (norm CTE + LIST_REDUCE dots),
+      // so every rank hash-matches including float near-ties.
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      topKPerQuery(scored, 5)
+    }),
+
     "s09_knn_mmr" -> ((s, dir) => {
       // MMR-DIVERSIFIED top-k — retrieval's answer to near-duplicate
       // result lists (a dedup'd corpus still returns clustered
@@ -477,6 +498,34 @@ object SimilarityQueries {
   // intermediate cosines are floats. s02 (IVF probing) and s05 (iterative
   // k-means) are engine-defined approximations → rows-only.
   val oracles: Map[String, String] = Map(
+    // full-double replay (the d07 trick): per-vector norms once in a CTE,
+    // per-pair dots via LIST_REDUCE — the same ascending-double left fold
+    // VecOps.cosine runs, then sqrt·sqrt and one divide, all IEEE-exact,
+    // so the DESC-by-double ranking matches bit-for-bit
+    "s10_knn_graph" -> """
+      WITH norms AS (
+        SELECT vec_id, SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                 LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                 (a, b) -> a + b)) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                    ELSE LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                           LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.embedding)),
+                             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                           (x, y) -> x + y)
+                         / (na.nrm * nb.nrm) END AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+
     "s01_knn_brute" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
       scored AS (

@@ -234,6 +234,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.forall(_._3 <= 3))
   }
 
+  test("d19 indexed incremental ingest equals d12's bloom-gated compare " +
+    "(two prune strategies, one exact answer)") {
+    val viaIndex = SparkEntry.queries("d19_incremental_lsh")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val viaBloom = SparkEntry.queries("d12_bloom_incremental")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex == viaBloom)
+  }
+
   test("d12 bloom prefilter is sound (keeps every true near-dup) and actually prunes") {
     // ground truth, brute-force on the driver: every incoming doc
     // (doc_id >= 400) with exact Jaccard >= 0.5 against some seen doc
@@ -314,6 +324,15 @@ class QueriesSpec extends AnyFunSuite {
       .select("vec_a", "vec_b")
     assert(srp.exceptAll(brute).count() === 0,
       "SRP reported a pair the exact cosine join does not confirm")
+  }
+
+  test("s10 kNN graph restricted to s01's query set equals s01 row-for-row") {
+    import org.apache.spark.sql.functions._
+    val graph = SparkEntry.queries("s10_knn_graph")(spark, sf)
+      .filter(col("query_id") < 10).collect().map(_.toSeq).toSet
+    val s01 = SparkEntry.queries("s01_knn_brute")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(graph.nonEmpty && graph == s01)
   }
 
   test("s01 bounded top-k equals the window row_number formulation") {
