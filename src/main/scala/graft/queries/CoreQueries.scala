@@ -459,6 +459,53 @@ object CoreQueries {
         .select("grp", "n_exact", "kth", "est_distinct", "err_milli")
     }),
 
+    "q81_kmv_set_ops" -> ((s, dir) => {
+      // KMV sketch SET ALGEBRA — the reason mergeable sketches matter at
+      // 100 TB: audience-overlap between every pair of segments without
+      // ever joining the raw key sets. One scan builds a bottom-32 sketch
+      // per order priority (q78's order-independent bounded-top-k state);
+      // all 10 pairwise union/intersection estimates then run on 5 rows of
+      // 32 longs each. Theta-sketch estimators in exact integer
+      // arithmetic: theta = kth smallest of the combined sketch,
+      // union_est = (ku-1)·2^56 DIV theta, inter_est = rho·union_est DIV
+      // ku where rho counts shared hashes below theta; when the combined
+      // sketch is not full the sets are captured exactly and both
+      // estimators collapse to the exact values. Exact pairwise counts
+      // ride along for the error columns — the part the sketches make
+      // REDUNDANT at scale (the hash self-join the sketch path avoids).
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      val k = 32
+      val keys = tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          conv(substring(md5(col("o_custkey").cast("string")), 1, 14), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val sk = keys.groupBy("grp")
+        .agg(top_k_struct(struct(col("h")), k).as("bk"), count(lit(1)).as("n_exact"))
+        .select(col("grp"), expr("transform(bk, x -> x.h)").as("sketch"), col("n_exact"))
+      val inter = keys.toDF("grp_a", "h")
+        .join(keys.toDF("grp_b", "h"), "h")
+        .filter(col("grp_a") < col("grp_b"))
+        .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("inter_exact"))
+      sk.toDF("grp_a", "sa", "na")
+        .join(sk.toDF("grp_b", "sb", "nb"), col("grp_a") < col("grp_b"))
+        .join(inter, Seq("grp_a", "grp_b"))
+        .withColumn("comb", array_sort(array_distinct(concat(col("sa"), col("sb")))))
+        .withColumn("ku", least(size(col("comb")), lit(k)).cast("long"))
+        .withColumn("theta", expr("element_at(comb, CAST(ku AS INT))"))
+        .withColumn("rho",
+          size(filter(array_intersect(col("sa"), col("sb")), x => x <= col("theta"))).cast("long"))
+        .withColumn("union_est", expr(
+          s"CASE WHEN size(comb) >= $k THEN (ku - 1L) * ${1L << 56}L DIV theta ELSE ku END"))
+        .withColumn("inter_est", expr(
+          s"CASE WHEN size(comb) >= $k THEN rho * union_est DIV ku ELSE rho END"))
+        .withColumn("union_exact", col("na") + col("nb") - col("inter_exact"))
+        .withColumn("union_err_milli",
+          expr("(1000L * abs(union_est - union_exact)) DIV union_exact"))
+        .select("grp_a", "grp_b", "inter_exact", "inter_est",
+          "union_exact", "union_est", "union_err_milli")
+    }),
+
     "q79_attribution" -> ((s, dir) => {
       // last-touch attribution — for every purchase, the most recent click
       // by the same user STRICTLY before it on the (ts, event_id) timeline,
@@ -1326,6 +1373,40 @@ $steps
              CAST(est AS BIGINT) AS est_distinct,
              CAST((1000 * ABS(est - n_exact)) // n_exact AS BIGINT) AS err_milli
       FROM e""",
+
+    // the full theta-sketch pipeline replayed: per-group bottom-32 lists,
+    // pairwise combined-sketch theta, rho below theta, and both integer
+    // estimators, plus the exact hash self-join for the error columns
+    "q81_kmv_set_ops" -> """
+      WITH h AS (SELECT DISTINCT o_orderpriority AS grp,
+                        CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_custkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+                 FROM orders),
+      r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS n FROM h),
+      sk AS (SELECT grp, MAX(n) AS n_exact, LIST(h ORDER BY h) FILTER (WHERE rn <= 32) AS sketch
+             FROM r GROUP BY grp),
+      ex AS (SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS inter_exact
+             FROM h a JOIN h b ON a.h = b.h AND a.grp < b.grp GROUP BY 1, 2),
+      p AS (SELECT a.grp AS grp_a, b.grp AS grp_b, a.sketch AS sa, b.sketch AS sb,
+                   a.n_exact AS na, b.n_exact AS nb
+            FROM sk a JOIN sk b ON a.grp < b.grp),
+      c AS (SELECT *, LIST_SORT(LIST_DISTINCT(LIST_CAT(sa, sb))) AS comb FROM p),
+      t AS (SELECT *, LEAST(LEN(comb), 32) AS ku, comb[LEAST(LEN(comb), 32)] AS theta FROM c),
+      g AS (SELECT *, LEN(LIST_FILTER(LIST_INTERSECT(sa, sb), x -> x <= theta)) AS rho,
+                   CASE WHEN LEN(comb) >= 32 THEN (ku - 1) * 72057594037927936 // theta
+                        ELSE ku END AS union_est
+            FROM t),
+      f AS (SELECT grp_a, grp_b, union_est,
+                   CASE WHEN LEN(comb) >= 32 THEN rho * union_est // ku ELSE rho END AS inter_est,
+                   na + nb AS nab
+            FROM g)
+      SELECT f.grp_a, f.grp_b,
+             CAST(ex.inter_exact AS BIGINT) AS inter_exact,
+             CAST(f.inter_est AS BIGINT) AS inter_est,
+             CAST(nab - ex.inter_exact AS BIGINT) AS union_exact,
+             CAST(f.union_est AS BIGINT) AS union_est,
+             CAST((1000 * ABS(f.union_est - (nab - ex.inter_exact))) // (nab - ex.inter_exact) AS BIGINT) AS union_err_milli
+      FROM f JOIN ex USING (grp_a, grp_b)""",
 
     "q79_attribution" -> """
       WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

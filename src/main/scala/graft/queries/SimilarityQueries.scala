@@ -406,12 +406,19 @@ object SimilarityQueries {
       // path) — the ranking and tie-break semantics stay exactly these.
       // Oracle: the d07 full-double-replay (norm CTE + LIST_REDUCE dots),
       // so every rank hash-matches including float near-ties.
+      // Cosine is bit-symmetric (same i-ascending dot loop, commutative
+      // multiplies), so each unordered pair is scored ONCE on the strict
+      // upper triangle and emitted in both directions — half the float
+      // work of the naive full cross product for the identical result.
       val emb = tbl(s, dir, "embeddings")
-      val queries = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val scored = emb.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("q_emb"), col("embedding")).as("score"))
+      val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+        .crossJoin(broadcast(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("score"))
+      val scored = pairs.select(explode(array(
+          struct(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("score")),
+          struct(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("score")))).as("e"))
+        .select("e.query_id", "e.neighbor_id", "e.score")
       topKPerQuery(scored, 5)
     }),
 

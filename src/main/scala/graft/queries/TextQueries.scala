@@ -387,8 +387,115 @@ object TextQueries {
             "+ 5 * least(n_tokens, 100) - 1500"))
         .select(col("doc_id"), col("logit_milli"),
           when(col("logit_milli") > 0, "keep").otherwise("drop").as("label"))
+    }),
+
+    "t19_mixture_epochs" -> ((s, dir) => {
+      // data-mixture materialization with FRACTIONAL epochs — the step that
+      // turns a curated corpus into a training mix (DoReMi / Llama-style
+      // source weighting): each source gets a target weight w, and every
+      // document is replicated floor(w) times plus one extra copy iff a
+      // per-document hash lands below frac(w) — so a source weighted 2.4
+      // contributes each doc twice and a deterministic, layout-independent
+      // 40% of docs a third time. Weights stay in exact milli units
+      // (250 + 500·(src_idx mod 8) → 0.25x..3.75x) and the extra-copy
+      // choice is the t07/t09 hash-bucket rule, so the mix is a pure
+      // function of (doc_id, source): reproducible across reruns, cluster
+      // layouts, and engines. Scale shape: ZERO shuffles — one scan, a
+      // map-side explode whose fan-out is the mixture weight itself (the
+      // epoch column is what a downstream t12-style packer consumes).
+      val wm = (lit(250) + (substring(col("source"), 4, 10).cast("int") % 8) * 500)
+        .cast("long").as("weight_milli")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 1000
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), wm)
+        .withColumn("n_copies",
+          expr("weight_milli DIV 1000") + when(bucket < col("weight_milli") % 1000, 1L).otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("weight_milli"), col("n_copies"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+    }),
+
+    "t20_bpe_learn" -> ((s, dir) => {
+      // BPE tokenizer TRAINING (Sennrich et al. 2016 word-level form) —
+      // the corpus-scale step that produces a tokenizer's merge table.
+      // Shape is the real trainer's: ONE corpus scan builds the
+      // Zipf-bounded (word, count) vocabulary; every merge iteration then
+      // runs over the vocab table only — one pair-count shuffle (partial
+      // aggregation over symbol bigrams weighted by word count), a 1-row
+      // argmax collect (bounded driver artifact, the centroid precedent),
+      // and a map-side merge projection. Words are '||'-separated symbol
+      // strings, so the greedy leftmost merge IS plain non-regex REPLACE
+      // of '|l||r|' with '|lr|': double separators make adjacent matches
+      // share zero characters (['a','b','a','b'] merges BOTH pairs;
+      // ['a','a','a'] merges exactly one — true BPE greedy semantics,
+      // identical in Spark and the oracle). Ties break (count desc, left
+      // asc, right asc) — fully deterministic; all counts are integers.
+      val iters = 6
+      val words0 = tbl(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("word_sym", concat(lit("||"),
+          array_join(expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"), "||"),
+          lit("||</w>||")))
+        .select("word_sym", "cnt")
+        .persist()
+      var words = words0.toDF()
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (it <- 1 to iters) {
+        val best = words
+          .select(col("cnt"), filter(split(col("word_sym"), "\\|"), x => x =!= "").as("sym"))
+          .filter(size(col("sym")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sym) - 1), " +
+              "i -> named_struct('l', element_at(sym, i), 'r', element_at(sym, i + 1)))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pcnt"))
+          .orderBy(desc("pcnt"), asc("l"), asc("r"))
+          .limit(1).collect()(0)
+        val (l, r) = (best.getString(0), best.getString(1))
+        merges += ((it, l, r, best.getLong(2)))
+        words = words.withColumn("word_sym", call_function("replace",
+          col("word_sym"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+      }
+      words0.unpersist()
+      import s.implicits._
+      merges.toSeq.toDF("iter", "left_sym", "right_sym", "pair_count")
     })
   )
+
+  /** DuckDB replay of [[defs t20_bpe_learn]]: the driver loop unrolls into
+    * chained CTEs (the q80 textrankOracle precedent) — per iteration a
+    * weighted pair count, a (count desc, l, r) argmax, and the same
+    * double-separator REPLACE merge. */
+  private def bpeOracle(iters: Int): String = {
+    val base = """
+      WITH w0 AS MATERIALIZED (
+        SELECT '||' || ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(term)),
+                 i -> SUBSTRING(term, i, 1)), '||') || '||</w>||' AS word_sym, cnt
+        FROM (SELECT term, COUNT(*) AS cnt
+              FROM (SELECT UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS term
+                    FROM documents)
+              GROUP BY term))"""
+    val steps = (1 to iters).map { k =>
+      s"""
+      p$k AS (
+        SELECT s.sym[i] AS l, s.sym[i + 1] AS r, SUM(s.cnt) AS pcnt
+        FROM (SELECT cnt, LIST_FILTER(STR_SPLIT(word_sym, '|'), x -> x <> '') AS sym
+              FROM w${k - 1} WHERE LEN(LIST_FILTER(STR_SPLIT(word_sym, '|'), x -> x <> '')) >= 2) s,
+             UNNEST(GENERATE_SERIES(1, LEN(s.sym) - 1)) AS t(i)
+        GROUP BY 1, 2),
+      b$k AS MATERIALIZED (SELECT l, r, pcnt FROM p$k ORDER BY pcnt DESC, l, r LIMIT 1),
+      w$k AS MATERIALIZED (SELECT REPLACE(word_sym,
+                       '|' || (SELECT l FROM b$k) || '||' || (SELECT r FROM b$k) || '|',
+                       '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || '|') AS word_sym, cnt
+              FROM w${k - 1})"""
+    }.mkString(",", ",", "")
+    val rows = (1 to iters).map { k =>
+      s"SELECT $k AS iter, l AS left_sym, r AS right_sym, CAST(pcnt AS BIGINT) AS pair_count FROM b$k"
+    }.mkString("\n      UNION ALL ")
+    base + steps + "\n      " + rows
+  }
 
   /** PII patterns, restricted to the Java∩RE2 common dialect (character
     * classes, bounded repeats, ASCII \b — no lookaround, no backrefs) so
@@ -662,6 +769,25 @@ object TextQueries {
         FROM f)
       SELECT doc_id, CAST(logit_milli AS BIGINT) AS logit_milli,
              CASE WHEN logit_milli > 0 THEN 'keep' ELSE 'drop' END AS label
-      FROM g"""
+      FROM g""",
+
+    // weights, the hash-bucket extra-copy rule, and the epoch fan-out all
+    // replayed in exact integer arithmetic
+    "t19_mixture_epochs" -> """
+      WITH w AS (
+        SELECT doc_id, source,
+               CAST(250 + (CAST(SUBSTRING(source, 4) AS INT) % 8) * 500 AS BIGINT) AS weight_milli,
+               CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 1000 AS b
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, weight_milli,
+               weight_milli // 1000
+                 + CASE WHEN b < weight_milli % 1000 THEN 1 ELSE 0 END AS n_copies
+        FROM w)
+      SELECT doc_id, source, weight_milli, CAST(n_copies AS BIGINT) AS n_copies,
+             UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS epoch
+      FROM c WHERE n_copies > 0""",
+
+    "t20_bpe_learn" -> bpeOracle(6)
   )
 }

@@ -326,6 +326,86 @@ class QueriesSpec extends AnyFunSuite {
       "SRP reported a pair the exact cosine join does not confirm")
   }
 
+  test("t19 mixture epochs: copies per doc are floor(w) or floor(w)+1 and " +
+    "per-source mass tracks the weight") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t19_mixture_epochs")(spark, sf)
+    val perDoc = out.groupBy("doc_id", "source", "weight_milli", "n_copies")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("epoch")).as("n_epochs"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val (w, nc) = (r.getLong(2), r.getLong(3))
+      assert(nc == w / 1000 || nc == w / 1000 + 1,
+        s"doc ${r.getLong(0)}: $nc copies for weight $w")
+      assert(r.getLong(4) == nc && r.getLong(5) == nc,
+        "epoch rows must be exactly 0..n_copies-1")
+    }
+    // achieved oversampling per source ≈ weight (hash sampling on 25 docs
+    // per source: binomial noise, ±300 milli is >3σ). Denominator is ALL
+    // docs of the source — zero-copy docs are absent from the output by
+    // construction.
+    val srcSizes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrc = perDoc.groupBy(_.getString(1)).map { case (src, rs) =>
+      (rs.head.getLong(2), (1000L * rs.map(_.getLong(3)).sum) / srcSizes(src))
+    }
+    perSrc.foreach { case (w, achieved) =>
+      assert(math.abs(achieved - w) <= 300, s"weight $w achieved $achieved")
+    }
+  }
+
+  test("t20 BPE merges equal a driver-side reference trainer (greedy " +
+    "leftmost merge, count-desc/pair-asc ties), all 6 iterations") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("t20_bpe_learn")(spark, sf)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // reference: plain Scala BPE over the same word counts
+    val words0 = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0).map(_.toString).toVector :+ "</w>", r.getLong(1)))
+    var words = words0
+    val expect = (1 to 6).map { it =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (sym, c) =>
+        sym.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val ((l, r), pc) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      words = words.map { case (sym, c) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < sym.size) {
+          if (i + 1 < sym.size && sym(i) == l && sym(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        (out.toVector, c)
+      }
+      (it, l, r, pc)
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("q81 KMV set algebra: estimates land inside the k=32 error envelope " +
+    "and respect set identities") {
+    val rows = SparkEntry.queries("q81_kmv_set_ops")(spark, sf).collect()
+    assert(rows.length == 10, "5 priorities pair into 10 unordered pairs")
+    rows.foreach { r =>
+      val (interEx, interEst) = (r.getLong(2), r.getLong(3))
+      val (unionEx, unionEst, err) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(interEx <= unionEx)
+      assert(interEst <= unionEst)
+      assert(err <= 400, s"union error $err milli exceeds the 2-sigma-ish bound")
+      assert(math.abs(interEst - interEx) * 1000 <= 400 * interEx.max(1),
+        s"intersection estimate $interEst vs exact $interEx")
+    }
+  }
+
   test("s10 kNN graph restricted to s01's query set equals s01 row-for-row") {
     import org.apache.spark.sql.functions._
     val graph = SparkEntry.queries("s10_knn_graph")(spark, sf)
