@@ -506,6 +506,51 @@ object CoreQueries {
           "union_exact", "union_est", "union_err_milli")
     }),
 
+    "q82_triangle_count" -> ((s, dir) => {
+      // EXACT TRIANGLE COUNTING on the q80/t06 bigram co-occurrence graph
+      // — the degree-ordered orientation (Suri & Vassilvitskii's MapReduce
+      // formulation, also Latapy 2008): orient every undirected edge from
+      // its (degree, term)-SMALLER endpoint to the larger. Each triangle
+      // then has exactly one vertex with two out-edges, so the wedge
+      // self-join fans out as Σ out_deg² = O(m^1.5) — where the naive
+      // wedge join is Σ deg², quadratic in the hottest vertex ('the'
+      // would square at corpus scale). The closing-edge probe is a join
+      // back on the SAME orientation, so every triangle is found exactly
+      // once; per-vertex counts explode each closed triangle to its three
+      // corners. The orientation key packs (degree, term) into one string
+      // (degree zero-padded, so string order = (deg, term) order — the
+      // identical total order in any engine); counts are orientation-
+      // independent, the ordering only bounds the join.
+      val big = tbl(s, dir, "documents")
+        .withColumn("tk", filter(split(col("text"), " "), t => t =!= ""))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk)-1), i -> struct(element_at(tk,i) AS t1, element_at(tk,i+1) AS t2))")).as("e"))
+        .select(col("e.t1").as("t1"), col("e.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5 && col("t1") =!= col("t2"))
+      val und = big
+        .select(least(col("t1"), col("t2")).as("u"), greatest(col("t1"), col("t2")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("t")).unionAll(und.select(col("v").as("t")))
+        .groupBy("t").agg(count(lit(1)).as("deg"))
+      val key = (t: String) => expr(s"concat(lpad(CAST(${t}_deg AS STRING), 9, '0'), '|', $t)")
+      val oriented = und
+        .join(deg.select(col("t").as("u"), col("deg").as("u_deg")), "u")
+        .join(deg.select(col("t").as("v"), col("deg").as("v_deg")), "v")
+        .select(
+          when(key("u") < key("v"), col("u")).otherwise(col("v")).as("src"),
+          when(key("u") < key("v"), key("v")).otherwise(key("u")).as("dst_key"),
+          when(key("u") < key("v"), col("v")).otherwise(col("u")).as("dst"))
+      val wedges = oriented.select(col("src"), col("dst").as("b"), col("dst_key").as("bk"))
+        .join(oriented.select(col("src"), col("dst").as("c"), col("dst_key").as("ck")), "src")
+        .filter(col("bk") < col("ck"))
+      val tris = wedges.join(
+        oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      tris.select(explode(array(col("src"), col("b"), col("c"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_triangles"))
+    }),
+
     "q79_attribution" -> ((s, dir) => {
       // last-touch attribution — for every purchase, the most recent click
       // by the same user STRICTLY before it on the (ts, event_id) timeline,
@@ -1407,6 +1452,35 @@ $steps
              CAST(f.union_est AS BIGINT) AS union_est,
              CAST((1000 * ABS(f.union_est - (nab - ex.inter_exact))) // (nab - ex.inter_exact) AS BIGINT) AS union_err_milli
       FROM f JOIN ex USING (grp_a, grp_b)""",
+
+    // the same degree-ordered orientation replayed: zero-padded (deg, term)
+    // string keys, wedge join on the smaller-key endpoint, closing-edge
+    // probe on the identical orientation, corners exploded per triangle
+    "q82_triangle_count" -> """
+      WITH tks AS (SELECT LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk
+                   FROM documents),
+      bi AS (SELECT s.tk[i] AS t1, s.tk[i + 1] AS t2
+             FROM (SELECT tk FROM tks WHERE LEN(tk) >= 2) s,
+                  UNNEST(GENERATE_SERIES(1, LEN(s.tk) - 1)) AS t(i)),
+      bc AS (SELECT t1, t2, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+      und AS (SELECT DISTINCT LEAST(t1, t2) AS u, GREATEST(t1, t2) AS v
+              FROM bc WHERE n >= 5 AND t1 <> t2),
+      deg AS (SELECT t, COUNT(*) AS deg
+              FROM (SELECT u AS t FROM und UNION ALL SELECT v FROM und)
+              GROUP BY t),
+      o AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+                   CASE WHEN ku < kv THEN v ELSE u END AS dst,
+                   CASE WHEN ku < kv THEN kv ELSE ku END AS dst_key
+            FROM (SELECT u, v,
+                         LPAD(CAST(du.deg AS VARCHAR), 9, '0') || '|' || u AS ku,
+                         LPAD(CAST(dv.deg AS VARCHAR), 9, '0') || '|' || v AS kv
+                  FROM und JOIN deg du ON du.t = und.u JOIN deg dv ON dv.t = und.v)),
+      w AS (SELECT e1.src, e1.dst AS b, e2.dst AS c
+            FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst_key < e2.dst_key),
+      tri AS (SELECT w.src, w.b, w.c FROM w JOIN o ON o.src = w.b AND o.dst = w.c)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT UNNEST([src, b, c]) AS term FROM tri)
+      GROUP BY term""",
 
     "q79_attribution" -> """
       WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -391,6 +391,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("q82 per-vertex triangle counts equal a driver-side brute force " +
+    "over the same bigram graph") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q82_triangle_count")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute force: adjacency sets, count common neighbors per canonical edge
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val bigrams = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { t =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).foreach { p =>
+        bigrams((p(0), p(1))) = bigrams.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    // NB: .iterator first — Map.collect with a pair-valued function would
+    // rebuild a MAP keyed by the first element, silently deduping edges
+    val und = bigrams.iterator.collect { case ((a, b), n) if n >= 5 && a != b =>
+      if (a < b) (a, b) else (b, a)
+    }.toSet
+    val adj = scala.collection.mutable.Map[String, scala.collection.mutable.Set[String]]()
+    und.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set()) += u
+    }
+    val expect = scala.collection.mutable.Map[String, Long]()
+    und.foreach { case (u, v) =>
+      (adj(u) & adj(v)).foreach { w =>
+        // each triangle is seen once per edge = 3 times; attribute the
+        // common-neighbor corner each time -> every corner counted once
+        expect(w) = expect.getOrElse(w, 0L) + 1
+      }
+    }
+    assert(got.nonEmpty, "fixture bigram graph should contain triangles")
+    assert(got == expect.toMap)
+  }
+
   test("q81 KMV set algebra: estimates land inside the k=32 error envelope " +
     "and respect set identities") {
     val rows = SparkEntry.queries("q81_kmv_set_ops")(spark, sf).collect()
