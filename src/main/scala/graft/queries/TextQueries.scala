@@ -461,6 +461,41 @@ object TextQueries {
       words0.unpersist()
       import s.implicits._
       merges.toSeq.toDF("iter", "left_sym", "right_sym", "pair_count")
+    }),
+
+    "t21_dedup_rewrite" -> ((s, dir) => {
+      // duplicated-span REMOVAL — the rewrite half of t17's detector (the
+      // RefinedWeb "exact-substring cut" applied at the 5-gram level):
+      // every 5-gram occurrence whose gram already occurred EARLIER in the
+      // same document marks its token span [p, p+4] for removal; the first
+      // occurrence survives, and the cleaned text is the uncovered tokens
+      // rejoined. Detection is DOC-LOCAL, so the whole operator is one
+      // zero-shuffle codegen'd projection: grams, repeat test
+      // (array_position = first index < current), span union, and the
+      // index-aware filter all run as higher-order array functions inside
+      // the scan — where a (doc_id, gram) group-by formulation (t17's, for
+      // corpus metrics) would shuffle every document twice. Same 10%
+      // looped-phrase augmentation as t17 so the remover has real work.
+      val aug = concat(col("text"), expr(
+        "CASE WHEN doc_id % 10 = 0 THEN repeat(' loop alpha beta gamma delta', 3) ELSE '' END"))
+      // `slice(sequence(0, n), 2, n)` is the 1..n integer list that is
+      // EMPTY at n = 0 — Spark's sequence(1, 0) would run descending (and
+      // a sequence(1, 0, 1) constant would fold to a planning error), so
+      // every range here goes through the slice form
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), toks(aug).as("tk"))
+        .withColumn("gs", expr(
+          "transform(slice(sequence(0, greatest(size(tk) - 4, 0)), 2, greatest(size(tk) - 4, 0)), " +
+            "i -> concat_ws(' ', slice(tk, i, 5)))"))
+        .withColumn("rm", expr(
+          "array_distinct(flatten(transform(" +
+            "filter(slice(sequence(0, size(gs)), 2, size(gs)), " +
+            "p -> array_position(gs, element_at(gs, p)) < p), " +
+            "p -> sequence(p, p + 4))))"))
+        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+          size(col("rm")).as("n_removed"),
+          expr("array_join(filter(tk, (t, i) -> NOT array_contains(rm, i + 1)), ' ')")
+            .as("clean_text"))
     })
   )
 
@@ -788,6 +823,33 @@ object TextQueries {
              UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS epoch
       FROM c WHERE n_copies > 0""",
 
-    "t20_bpe_learn" -> bpeOracle(6)
+    "t20_bpe_learn" -> bpeOracle(6),
+
+    // the full doc-local rewrite replayed: 5-gram list, first-index repeat
+    // test, span union, index-aware filter (DuckDB lambda indexes are
+    // 1-based where Spark's are 0-based — hence i vs i + 1)
+    "t21_dedup_rewrite" -> """
+      WITH d AS (
+        SELECT doc_id,
+               LIST_FILTER(STR_SPLIT(text || CASE WHEN doc_id % 10 = 0
+                             THEN REPEAT(' loop alpha beta gamma delta', 3) ELSE '' END, ' '),
+                           t -> t <> '') AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, tk,
+               LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(tk) - 4, 0)),
+                 i -> ARRAY_TO_STRING(tk[i:i+4], ' ')) AS gs
+        FROM d),
+      c AS (
+        SELECT doc_id, tk,
+               LIST_DISTINCT(FLATTEN(LIST_TRANSFORM(
+                 LIST_FILTER(GENERATE_SERIES(1, LEN(gs)),
+                   p -> LIST_POSITION(gs, gs[p]) < p),
+                 p -> GENERATE_SERIES(p, p + 4)))) AS rm
+        FROM g)
+      SELECT doc_id, CAST(LEN(tk) AS INT) AS n_tokens,
+             CAST(LEN(rm) AS INT) AS n_removed,
+             ARRAY_TO_STRING(LIST_FILTER(tk, (t, i) -> NOT LIST_CONTAINS(rm, i)), ' ') AS clean_text
+      FROM c"""
   )
 }

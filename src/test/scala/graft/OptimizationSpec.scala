@@ -187,10 +187,11 @@ class OptimizationSpec extends AnyFunSuite {
       s"PQ index scan must read codes only:\n${idxScans.mkString("\n")}")
   }
 
-  test("t10/t13/t19 per-doc scoring is map-side only: zero shuffle exchanges") {
+  test("t10/t13/t19/t21 per-doc scoring is map-side only: zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.graft.PlanIntrospection
-    Seq("t10_repetition_ratio", "t13_quality_filter", "t19_mixture_epochs").foreach { name =>
+    Seq("t10_repetition_ratio", "t13_quality_filter", "t19_mixture_epochs",
+        "t21_dedup_rewrite").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val shuffles = PlanIntrospection.physicalPlan(df).collect {
         case e: ShuffleExchangeLike => e

@@ -391,6 +391,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("t21 rewrite removes the looped phrase and keeps token accounting " +
+    "consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("t21_dedup_rewrite")(spark, sf)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val kept = r.getString(3).split(" ").count(_.nonEmpty)
+      assert(kept == r.getInt(1) - r.getInt(2),
+        s"doc ${r.getLong(0)}: kept $kept != n_tokens - n_removed")
+      if (r.getLong(0) % 10 == 0)
+        assert(r.getInt(2) >= 10,
+          s"doc ${r.getLong(0)} carries the looped phrase; expected removals")
+    }
+  }
+
   test("q82 per-vertex triangle counts equal a driver-side brute force " +
     "over the same bigram graph") {
     import org.apache.spark.sql.functions._
