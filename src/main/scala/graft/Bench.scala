@@ -88,7 +88,12 @@ object Bench {
     "d11_dedup_pipeline", "d12_bloom_incremental", "d13_leakage_free_split",
     "d14_containment", "d15_semdedup", "d16_substring_dup", "t08_doc_top_terms",
     "s01_knn_brute", "s05_kmeans_ivf",
-    "q03_shipping_priority", "q07_window_topk", "q08_running_sum", "q38_asof_join")
+    "q03_shipping_priority", "q07_window_topk", "q08_running_sum", "q38_asof_join",
+    // iterative / graph newcomers (r7): vocab-sized state but corpus-driven
+    // edge weights — superlinear blow-ups would hide in the sf0.1 floor.
+    // s10 stays OUT: its 10× brute force is quadratic BY DESIGN (the exact
+    // baseline); its scale path is the IVF family already covered.
+    "q80_textrank", "q82_triangle_count", "t20_bpe_learn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

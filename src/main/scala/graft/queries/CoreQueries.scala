@@ -487,9 +487,12 @@ object CoreQueries {
         .join(keys.toDF("grp_b", "h"), "h")
         .filter(col("grp_a") < col("grp_b"))
         .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("inter_exact"))
+      // the sketch table is #groups × (k·8 B) — tiny BY CONSTRUCTION (that
+      // is what the sketch buys) — so every pairwise join broadcasts it:
+      // no exchange ever carries a sketch array, at any corpus size
       sk.toDF("grp_a", "sa", "na")
-        .join(sk.toDF("grp_b", "sb", "nb"), col("grp_a") < col("grp_b"))
-        .join(inter, Seq("grp_a", "grp_b"))
+        .join(broadcast(sk.toDF("grp_b", "sb", "nb")), col("grp_a") < col("grp_b"))
+        .join(broadcast(inter), Seq("grp_a", "grp_b"))
         .withColumn("comb", array_sort(array_distinct(concat(col("sa"), col("sb")))))
         .withColumn("ku", least(size(col("comb")), lit(k)).cast("long"))
         .withColumn("theta", expr("element_at(comb, CAST(ku AS INT))"))
@@ -542,6 +545,11 @@ object CoreQueries {
           when(key("u") < key("v"), col("u")).otherwise(col("v")).as("src"),
           when(key("u") < key("v"), key("v")).otherwise(key("u")).as("dst_key"),
           when(key("u") < key("v"), col("v")).otherwise(col("u")).as("dst"))
+        // referenced three times (two wedge sides + closing-edge probe):
+        // materialize the edge list once instead of re-running the corpus
+        // bigram scan per reference (the q80 checkpoint pattern; edge list
+        // is Zipf-bounded vocabulary-sized, not corpus-sized)
+        .localCheckpoint()
       val wedges = oriented.select(col("src"), col("dst").as("b"), col("dst_key").as("bk"))
         .join(oriented.select(col("src"), col("dst").as("c"), col("dst_key").as("ck")), "src")
         .filter(col("bk") < col("ck"))
