@@ -102,6 +102,33 @@ object StreamingOps {
           .cast("long").as("diff_sec"))
   }
 
+  /** Streaming KMV distinct-count sketch — q78's streaming twin, and the
+    * proof that the bottom-k sketch is genuinely MERGEABLE state: the
+    * distinct-mode bounded top-k aggregate holds the k smallest DISTINCT
+    * 56-bit hashes per group as O(k) streaming state, every micro-batch
+    * folds in map-side, and because the sketch is a pure function of the
+    * key SET the result is independent of batching, arrival order, and
+    * multiplicity — replaying the stream in any micro-batch split lands on
+    * the identical estimate (pinned by spec). This is the firehose
+    * cardinality story at 100 TB: `approx_count_distinct` state that never
+    * grows, vs an exact streaming distinct whose state is the key set
+    * itself. Complete-mode output: one row per group with the Bar-Yossef
+    * estimate (q78's exact integer arithmetic; below k keys the sketch IS
+    * the set and the estimate collapses to the exact count). */
+  def kmvDistinctStream(events: DataFrame, k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.graft.functions.top_k_struct_distinct
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10).cast("long")
+    events
+      .select(col("event_type").as("grp"), h.as("h"))
+      .groupBy("grp")
+      .agg(top_k_struct_distinct(struct(col("h")), k).as("bottomk"))
+      .withColumn("n_kept", size(col("bottomk")))
+      .withColumn("kth", expr(s"try_element_at(bottomk, $k).h"))
+      .withColumn("est_distinct", expr(
+        s"CASE WHEN n_kept >= $k THEN ${(k - 1).toLong}L * ${1L << 56}L DIV kth ELSE CAST(n_kept AS BIGINT) END"))
+      .select("grp", "n_kept", "kth", "est_distinct")
+  }
+
   /** Streaming novelty filter against a static corpus digest — the
     * streaming half of the d12 incremental-dedup design: keep only the
     * incoming documents that CANNOT be Jaccard>=0.5 near-dups of the

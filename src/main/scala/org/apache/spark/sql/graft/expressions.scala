@@ -1075,6 +1075,14 @@ object functions {
     ExpressionUtils.column(TopKStruct(ExpressionUtils.expression(c), k)
       .toAggregateExpression())
 
+  /** [[top_k_struct]] with duplicate rows skipped — the k smallest DISTINCT
+    * structs, a pure function of the input SET (multiplicity-independent):
+    * KMV sketch state that streaming can hold in O(k) without the
+    * unbounded exact-dedup state a pre-`distinct()` would need. */
+  def top_k_struct_distinct(c: Column, k: Int): Column =
+    ExpressionUtils.column(TopKStruct(ExpressionUtils.expression(c), k, distinct = true)
+      .toAggregateExpression())
+
   /** SQL builders for every native expression — ONE list consumed by both
     * registration paths: [[registerAll]] (session temp functions) and
     * [[GraftExtensions]] (`spark.sql.extensions` cluster conf). */

@@ -18,10 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   *
   * Returns the k rows as an ascending-sorted ARRAY<STRUCT> (posexplode for
   * ranks 1..k).
+  *
+  * `distinct = true` makes the buffer a k-smallest SET (duplicate rows are
+  * skipped on insert and merge) — the state a KMV sketch needs: the k
+  * smallest DISTINCT hash values are a pure function of the value SET, so
+  * the aggregate is order-, partitioning-, AND multiplicity-independent
+  * (q78 gets the set property by pre-`distinct()`ing; streaming cannot,
+  * because exact dedup state is unbounded — this flag is the O(k) answer).
+  * The duplicate check is a linear scan over ≤ k byte-equal rows: at k=32
+  * that is cheaper than maintaining a side hash set per group.
   */
 case class TopKStruct(
     child: Expression,
     k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[UnsafeRow]] {
@@ -42,12 +52,20 @@ case class TopKStruct(
   override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
     new java.util.PriorityQueue[UnsafeRow](k + 1, ordering.reverse.asInstanceOf[Ordering[UnsafeRow]])
 
+  private def contains(buf: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Boolean = {
+    val it = buf.iterator()
+    while (it.hasNext) if (it.next().equals(row)) return true
+    false
+  }
+
   private def insert(buf: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit = {
     if (buf.size < k) {
-      buf.add(row)
+      if (!(distinct && contains(buf, row))) buf.add(row)
     } else if (ordering.compare(row, buf.peek()) < 0) {
-      buf.poll()
-      buf.add(row)
+      if (!(distinct && contains(buf, row))) {
+        buf.poll()
+        buf.add(row)
+      }
     }
   }
 

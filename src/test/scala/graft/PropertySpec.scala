@@ -67,6 +67,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("top_k_struct_distinct equals sorted-distinct take(k) regardless of " +
+    "multiplicity (incl. the serialize fallback path)") {
+    import org.apache.spark.sql.graft.functions.top_k_struct_distinct
+    for (trial <- 0 until 5) {
+      val k = 1 + rnd.nextInt(8)
+      // heavy duplication: values drawn from a small domain so the plain
+      // top-k buffer would fill with copies of the minimum
+      val rows = Seq.fill(5000)((rnd.nextInt(200), (rnd.nextInt(25) * 7919L) % 1000))
+      val df = rows.toDF("g", "v")
+      val got = df.groupBy("g")
+        .agg(top_k_struct_distinct(struct($"v"), k).as("top"))
+        .select($"g", explode($"top.v").as("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toList.sorted
+      val expected = rows.groupBy(_._1).toList.flatMap { case (g, vs) =>
+        vs.map(_._2).distinct.sorted.take(k).map(g -> _)
+      }.sorted
+      assert(got === expected, s"trial=$trial k=$k")
+    }
+  }
+
   test("cdc_chunk_hashes: edits anywhere in random blobs leave distant chunks aligned") {
     // for random payloads with a random single-byte insertion, CDC must
     // keep a large majority of chunks shared (re-alignment), and chunk

@@ -60,6 +60,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() >= batch.count())
   }
 
+  test("streaming KMV sketch equals the batch KMV on the same events") {
+    val agg = StreamingOps.kmvDistinctStream(StreamingOps.eventStream(spark, sf))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("kmv_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(3))).toSet
+    // batch reference: q78's formulation (distinct + bottom-32) over the
+    // same key/hash — must agree EXACTLY (the sketch is a set function)
+    import org.apache.spark.sql.graft.functions.top_k_struct
+    val batch = graft.queries.QueryDsl.events(spark, sf)
+      .select(col("event_type").as("grp"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .groupBy("grp")
+      .agg(top_k_struct(struct(col("h")), 32).as("bottomk"), count(lit(1)).as("n"))
+      .withColumn("n_kept", least(col("n"), lit(32L)).cast("int"))
+      .withColumn("kth", expr("try_element_at(bottomk, 32).h"))
+      .withColumn("est_distinct", expr(
+        s"CASE WHEN n >= 32 THEN 31L * ${1L << 56}L DIV kth ELSE n END"))
+      .collect().map(r => (r.getString(0), r.getInt(r.fieldIndex("n_kept")),
+        r.getLong(r.fieldIndex("est_distinct")))).toSet
+    assert(got.nonEmpty && got == batch)
+  }
+
+  test("streaming KMV state is merge-order- and batching-independent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1 to 500).map(i => ((i * 37) % 120L, if (i % 3 == 0) "click" else "view"))
+    def run(name: String, splits: Seq[Seq[(Long, String)]]): Set[(String, Int, Long)] = {
+      val ms = MemoryStream[(Long, String)]
+      val df = ms.toDF().toDF("user_id", "event_type")
+      val q = StreamingOps.kmvDistinctStream(df).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(3))).toSet
+    }
+    val oneBatch = run("kmv_one", Seq(rows))
+    val manyBatches = run("kmv_many", Seq(rows.drop(200).reverse, rows.take(200), rows))
+    assert(oneBatch.nonEmpty && oneBatch == manyBatches,
+      "bottom-k distinct state must be a pure function of the key set")
+  }
+
   test("stream-static broadcast join enriches every event exactly once") {
     val dim = spark.read.parquet(s"$sf/customer.parquet").select("c_custkey", "c_name")
     val joined = StreamingOps.enrichStream(StreamingOps.eventStream(spark, sf), dim)
