@@ -1113,7 +1113,14 @@ object functions {
       "winnow_fingerprints" ->
         (exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))),
       "deletion_variant_hashes" -> (exprs => DeletionVariantHashes(exprs.head)),
-      "pcm_i16le_stats" -> (exprs => PcmI16leStats(exprs.head)))
+      "pcm_i16le_stats" -> (exprs => PcmI16leStats(exprs.head)),
+      // aggregates register like any expression: the builder returns the
+      // AggregateExpression wrapper, so SQL GROUP BY picks them up
+      "top_k_struct" ->
+        (exprs => TopKStruct(exprs.head, intArg(exprs, 1, 10)).toAggregateExpression()),
+      "top_k_struct_distinct" ->
+        (exprs => TopKStruct(exprs.head, intArg(exprs, 1, 10), distinct = true)
+          .toAggregateExpression()))
   }
 
   /** Make the expressions callable from SQL (temp functions). */
