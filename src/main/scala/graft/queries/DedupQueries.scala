@@ -735,6 +735,46 @@ object DedupQueries {
         .select("name_a", "name_b").distinct()
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 1)
+    }),
+
+    "d20_cross_doc_spans" -> ((s, dir) => {
+      // CROSS-DOCUMENT exact-span removal — the Lee et al. 2022
+      // ("Deduplicating Training Data Makes LMs Better") suffix-array
+      // semantics in window-hash form: every 10-token window that appears
+      // anywhere else in the corpus keeps only its EARLIEST occurrence
+      // (min (doc_id, pos), packed into one long key); every later
+      // occurrence marks its span for removal, and each document is
+      // rewritten with the surviving tokens (t21's rewrite machinery, but
+      // the duplicate test is corpus-wide, not doc-local — this is what
+      // d16's winnowing APPROXIMATES with sampled fingerprints; here the
+      // windows are exhaustive, so the guarantee is exact at W=10).
+      // Scale shape: the group-by and self-join shuffle only (56-bit
+      // window hash, packed position) longs; the rewrite joins the
+      // removal-position arrays BROADCAST back onto the corpus scan
+      // (bounded by the duplicated-doc subset — the d12 sparse-dup
+      // assumption; at dense dup rates both sides would instead be
+      // bucketed by doc_id so text still never re-shuffles).
+      val W = 10
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("tk"))
+      val wins = d
+        .select(col("doc_id"), col("tk"), explode(expr(
+          s"slice(sequence(0, greatest(size(tk) - ${W - 1}, 0)), 2, greatest(size(tk) - ${W - 1}, 0))")).as("p"))
+        .select(col("doc_id"), col("p"),
+          conv(substring(md5(expr(s"concat_ws(' ', slice(tk, p, $W))")), 1, 14), 16, 10)
+            .cast("long").as("h"))
+      val first = wins.groupBy("h")
+        .agg(min(col("doc_id") * 1000000L + col("p")).as("fk"))
+      val rm = wins.join(first, "h")
+        .filter(col("doc_id") * 1000000L + col("p") =!= col("fk"))
+        .select(col("doc_id"), explode(expr(s"sequence(p, p + ${W - 1})")).as("cp"))
+        .distinct()
+        .groupBy("doc_id").agg(collect_set(col("cp")).as("rm"))
+      d.join(broadcast(rm), Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+          coalesce(size(col("rm")), lit(0)).as("n_removed"),
+          expr("array_join(filter(tk, (t, i) -> rm IS NULL OR NOT array_contains(rm, i + 1)), ' ')")
+            .as("clean_text"))
     })
   )
 
@@ -1073,6 +1113,26 @@ object DedupQueries {
     // index — two prune strategies, one exact answer.
     "d12_bloom_incremental" -> incrementalBestMatchOracle,
     "d19_incremental_lsh" -> incrementalBestMatchOracle,
+
+    // exhaustive window table, packed-key earliest occurrence, span union,
+    // and the index-aware rewrite replayed (1-based DuckDB lambda index)
+    "d20_cross_doc_spans" -> """
+      WITH d AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk
+                 FROM documents),
+      w AS (SELECT d.doc_id, t.p,
+                   CAST(CONCAT('0x', SUBSTRING(md5(ARRAY_TO_STRING(d.tk[t.p:t.p+9], ' ')), 1, 14)) AS BIGINT) AS h
+            FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(d.tk) - 9, 0))) AS t(p)),
+      f AS (SELECT h, MIN(doc_id * 1000000 + p) AS fk FROM w GROUP BY h),
+      r AS (SELECT w.doc_id, w.p FROM w JOIN f USING (h)
+            WHERE w.doc_id * 1000000 + w.p <> f.fk),
+      cp AS (SELECT DISTINCT doc_id, cp
+             FROM (SELECT doc_id, UNNEST(GENERATE_SERIES(p, p + 9)) AS cp FROM r)),
+      rm AS (SELECT doc_id, LIST(cp) AS rm FROM cp GROUP BY doc_id)
+      SELECT d.doc_id, CAST(LEN(d.tk) AS INT) AS n_tokens,
+             CAST(COALESCE(LEN(rm.rm), 0) AS INT) AS n_removed,
+             COALESCE(ARRAY_TO_STRING(LIST_FILTER(d.tk,
+               (t, i) -> rm.rm IS NULL OR NOT LIST_CONTAINS(rm.rm, i)), ' '), '') AS clean_text
+      FROM d LEFT JOIN rm USING (doc_id)""",
 
 
     // brute-force containment oracle: |A∩B| over the smaller set's size

@@ -849,7 +849,7 @@ object TextQueries {
         FROM g)
       SELECT doc_id, CAST(LEN(tk) AS INT) AS n_tokens,
              CAST(LEN(rm) AS INT) AS n_removed,
-             ARRAY_TO_STRING(LIST_FILTER(tk, (t, i) -> NOT LIST_CONTAINS(rm, i)), ' ') AS clean_text
+             COALESCE(ARRAY_TO_STRING(LIST_FILTER(tk, (t, i) -> NOT LIST_CONTAINS(rm, i)), ' '), '') AS clean_text
       FROM c"""
   )
 }

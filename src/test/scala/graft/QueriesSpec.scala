@@ -407,6 +407,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d20 cross-doc span removal equals a driver-side brute force " +
+    "(earliest occurrence survives)") {
+    import org.apache.spark.sql.functions._
+    val W = 10
+    val got = SparkEntry.queries("d20_cross_doc_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toVector)
+      .sortBy(_._1)
+    val earliest = scala.collection.mutable.Map[String, (Long, Int)]()
+    docs.foreach { case (did, tk) =>
+      for (p <- 0 to tk.size - W) {
+        val g = tk.slice(p, p + W).mkString(" ")
+        if (!earliest.contains(g)) earliest(g) = (did, p)
+      }
+    }
+    var removedSomewhere = 0
+    docs.foreach { case (did, tk) =>
+      val rm = scala.collection.mutable.Set[Int]()
+      for (p <- 0 to tk.size - W) {
+        val g = tk.slice(p, p + W).mkString(" ")
+        if (earliest(g) != ((did, p))) rm ++= (p until p + W)
+      }
+      val clean = tk.zipWithIndex.collect { case (t, i) if !rm(i) => t }.mkString(" ")
+      if (rm.nonEmpty) removedSomewhere += 1
+      assert(got(did) == ((tk.size, rm.size, clean)), s"doc $did")
+    }
+    assert(removedSomewhere > 0, "fixture must contain cross-doc duplicate spans")
+  }
+
   test("q82 per-vertex triangle counts equal a driver-side brute force " +
     "over the same bigram graph") {
     import org.apache.spark.sql.functions._
