@@ -93,7 +93,7 @@ object Bench {
     // edge weights — superlinear blow-ups would hide in the sf0.1 floor.
     // s10 stays OUT: its 10× brute force is quadratic BY DESIGN (the exact
     // baseline); its scale path is the IVF family already covered.
-    "q80_textrank", "q82_triangle_count", "t20_bpe_learn")
+    "q80_textrank", "q82_triangle_count", "t20_bpe_learn", "d20_cross_doc_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
