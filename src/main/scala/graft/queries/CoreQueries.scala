@@ -475,11 +475,14 @@ object CoreQueries {
       // REDUNDANT at scale (the hash self-join the sketch path avoids).
       import org.apache.spark.sql.graft.functions.top_k_struct
       val k = 32
+      // materialized once: both the sketch build and the exact-error join
+      // consume it (without this the orders scan + distinct runs twice)
       val keys = tbl(s, dir, "orders")
         .select(col("o_orderpriority").as("grp"),
           conv(substring(md5(col("o_custkey").cast("string")), 1, 14), 16, 10)
             .cast("long").as("h"))
         .distinct()
+        .localCheckpoint()
       val sk = keys.groupBy("grp")
         .agg(top_k_struct(struct(col("h")), k).as("bk"), count(lit(1)).as("n_exact"))
         .select(col("grp"), expr("transform(bk, x -> x.h)").as("sketch"), col("n_exact"))
@@ -557,6 +560,44 @@ object CoreQueries {
         oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
       tris.select(explode(array(col("src"), col("b"), col("c"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    "q83_merge_upsert" -> ((s, dir) => {
+      // MERGE / upsert — the warehouse snapshot-maintenance statement
+      // (MERGE INTO target USING changes), expressed as what it IS under
+      // every lakehouse engine: ONE full-outer join of the target with the
+      // change batch on the key, then per-row op resolution. The change
+      // batch is CDC-shaped and built deterministically from the fixture:
+      // updates add each customer's urgent-order revenue to their balance,
+      // deletes remove custkey % 97 (taking precedence over updates),
+      // inserts arrive in a disjoint +5·10^8 keyspace. Money moves in
+      // floor-milli units (one IEEE multiply+floor per ROW, longs summed —
+      // the BUILD_NOTES float rule), so the merged snapshot is
+      // bit-reproducible. Scale shape: the join co-partitions both sides
+      // on c_custkey — at 100 TB target and batch are both bucketed by
+      // key and the MERGE never wide-shuffles anything but the batch.
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          expr("CAST(FLOOR(c_acctbal * 1000) AS BIGINT)").as("bal_milli"))
+      val upd = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 97 =!= 0)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum(expr("CAST(FLOOR(o_totalprice * 1000) AS BIGINT)")).as("delta"))
+        .select(col("c_custkey"), lit("U").as("op"), col("delta"), lit(null).as("new_name"))
+      val del = cust.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"), lit("D").as("op"), lit(null).cast("long").as("delta"),
+          lit(null).as("new_name"))
+      val ins = cust.filter(col("c_custkey") % 101 === 0)
+        .select((col("c_custkey") + 500000000L).as("c_custkey"), lit("I").as("op"),
+          lit(0L).as("delta"), concat(lit("NEW#"), col("c_custkey")).as("new_name"))
+      val changes = upd.unionAll(del).unionAll(ins)
+      cust.join(changes, Seq("c_custkey"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(col("c_custkey"),
+          coalesce(col("c_name"), col("new_name")).as("c_name"),
+          (coalesce(col("bal_milli"), lit(0L)) + coalesce(col("delta"), lit(0L))).as("bal_milli"),
+          when(col("op").isNull, "kept").when(col("op") === "U", "updated")
+            .otherwise("inserted").as("status"))
     }),
 
     "q79_attribution" -> ((s, dir) => {
@@ -1426,6 +1467,32 @@ $steps
              CAST(est AS BIGINT) AS est_distinct,
              CAST((1000 * ABS(est - n_exact)) // n_exact AS BIGINT) AS err_milli
       FROM e""",
+
+    // the full MERGE replayed: same CDC batch construction, one FULL OUTER
+    // JOIN, same op-precedence and floor-milli arithmetic
+    "q83_merge_upsert" -> """
+      WITH cust AS (SELECT c_custkey, c_name,
+                           CAST(FLOOR(c_acctbal * 1000) AS BIGINT) AS bal_milli
+                    FROM customer),
+      upd AS (SELECT o_custkey AS c_custkey, 'U' AS op,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 1000) AS BIGINT)) AS BIGINT) AS delta,
+                     NULL AS new_name
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND o_custkey % 97 <> 0
+              GROUP BY o_custkey),
+      del AS (SELECT c_custkey, 'D' AS op, CAST(NULL AS BIGINT) AS delta, NULL AS new_name
+              FROM cust WHERE c_custkey % 97 = 0),
+      ins AS (SELECT c_custkey + 500000000 AS c_custkey, 'I' AS op,
+                     CAST(0 AS BIGINT) AS delta, 'NEW#' || c_custkey AS new_name
+              FROM cust WHERE c_custkey % 101 = 0),
+      changes AS (SELECT * FROM upd UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins)
+      SELECT COALESCE(cust.c_custkey, changes.c_custkey) AS c_custkey,
+             COALESCE(cust.c_name, changes.new_name) AS c_name,
+             CAST(COALESCE(bal_milli, 0) + COALESCE(delta, 0) AS BIGINT) AS bal_milli,
+             CASE WHEN op IS NULL THEN 'kept' WHEN op = 'U' THEN 'updated'
+                  ELSE 'inserted' END AS status
+      FROM cust FULL OUTER JOIN changes ON cust.c_custkey = changes.c_custkey
+      WHERE COALESCE(op, '') <> 'D'""",
 
     // the full theta-sketch pipeline replayed: per-group bottom-32 lists,
     // pairwise combined-sketch theta, rho below theta, and both integer

@@ -475,6 +475,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expect.toMap)
   }
 
+  test("q83 MERGE: deletes vanish, inserts land in the disjoint keyspace, " +
+    "and the balance ledger closes") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q83_merge_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val byStatus = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byStatus.keySet == Set("kept", "updated", "inserted"))
+    // deletes: no surviving original key divisible by 97
+    assert(!out.exists(r => r._1 < 500000000L && r._1 % 97 == 0))
+    // inserts: disjoint keyspace, synthesized names
+    out.filter(_._4 == "inserted").foreach { r =>
+      assert(r._1 >= 500000000L && r._2.startsWith("NEW#") && r._3 == 0L)
+    }
+    // ledger: total balance after = total floor-milli before
+    //         - deleted balances + applied urgent deltas (exact longs)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), expr("CAST(FLOOR(c_acctbal * 1000) AS BIGINT)").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val deltas = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 97 =!= 0)
+      .select(col("o_custkey"), expr("CAST(FLOOR(o_totalprice * 1000) AS BIGINT)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = cust.filter(_._1 % 97 != 0).map(_._2).sum + deltas.map(_._2).sum
+    assert(out.map(_._3).sum == expected, "merged balances must close the ledger")
+  }
+
   test("q81 KMV set algebra: estimates land inside the k=32 error envelope " +
     "and respect set identities") {
     val rows = SparkEntry.queries("q81_kmv_set_ops")(spark, sf).collect()
