@@ -79,15 +79,26 @@ object KMeansOps {
       // (cluster, pos); the k×dim per-dimension mean rows are tiny, so the
       // centroid arrays are assembled driver-side instead of paying a
       // second exchange for collect_list
+      // EXACT fixed-point accumulation: comp·2^24 is a power-of-two
+      // scaling (no rounding in IEEE), floor is exact, the long sums are
+      // exact and order-free, and the final sum/(n·2^24) is ONE correctly
+      // rounded double division + ONE double→float rounding — every step
+      // replays bit-for-bit in any engine. (The previous decimal(27,10)
+      // cast was engine-dependent: Spark rounds the exact expansion
+      // HALF_UP, DuckDB converts in FLOAT arithmetic — losing 3 digits.)
+      // Quantizing at 2^-24 is below float precision for |v| < 2, so the
+      // clustering itself is unaffected.
       centroids = assignTo(centroids)
         .select(col("cluster"), posexplode(col(vecCol)))
         .groupBy("cluster", "pos")
-        .agg(sum(col("col").cast("decimal(27,10)")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("col").cast("double") * (1L << 24)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect().toSeq
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>
           c -> rows.sortBy(_.getInt(1))
-            .map(r => (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat).toSeq
+            .map(r => (r.getLong(2).toDouble / (r.getLong(3).toDouble * (1L << 24))).toFloat)
+            .toSeq
         }.toSeq
     }
     // training is done (centroids are plain driver-side literals from here

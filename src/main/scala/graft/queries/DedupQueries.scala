@@ -1114,6 +1114,12 @@ object DedupQueries {
     "d12_bloom_incremental" -> incrementalBestMatchOracle,
     "d19_incremental_lsh" -> incrementalBestMatchOracle,
 
+    // the full SemDeDup pipeline replayed — k-means training included (the
+    // fixed-point centroid rule makes the quantizer bit-replayable; see
+    // SimilarityQueries.assignCtes): shared IVF assignment, within-cluster
+    // pairs, exact-cosine threshold, smaller-id representative
+    "d15_semdedup" -> SimilarityQueries.semdedupOracle(16, 2),
+
     // exhaustive window table, packed-key earliest occurrence, span union,
     // and the index-aware rewrite replayed (1-based DuckDB lambda index)
     "d20_cross_doc_spans" -> """

@@ -462,13 +462,18 @@ object SimilarityQueries {
 
     "s05_kmeans_ivf" -> ((s, dir) => {
       // trained IVF: 3 iterations of spherical k-means, then per-cluster
-      // population + mean similarity (integer milli for hash stability)
+      // population + similarity mass. floor(sim·1e6) is the BUILD_NOTES
+      // float rule (one IEEE multiply + floor per row, exact long sums) —
+      // the earlier decimal(18,6) cast was engine-rounding-dependent
+      // (Spark rounds the double's exact expansion HALF_UP; DuckDB's
+      // double→decimal path lands ±1 in the last place), which kept this
+      // query rows-only; the integer form is bit-identical anywhere.
       val (assigned, _) = graft.operators.KMeansOps.sphericalKMeans(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
       assigned
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_vectors"),
-          sum((col("sim") * 1000).cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_sim_milli"))
+          sum(floor(col("sim") * 1000000).cast("long")).as("sum_sim_micro"))
     }),
 
     "s03_label_centroids" -> ((s, dir) => {
@@ -504,7 +509,201 @@ object SimilarityQueries {
   // outputs, so they hash-match DuckDB's list functions even though the
   // intermediate cosines are floats. s02 (IVF probing) and s05 (iterative
   // k-means) are engine-defined approximations → rows-only.
+  /** DuckDB replay of the whole s09 MMR pipeline — the d07 full-double
+    * technique (norm CTE + LIST_REDUCE dots are IEEE-identical to
+    * VecOps.cosine) composed with the q80/t20 unrolling: the greedy loop's
+    * k iterations become chained MATERIALIZED CTEs. Every arithmetic step
+    * is replayable: 0.5·x is an exact scaling, the penalty is
+    * GREATEST(0, max of exact cosines) (MmrOps starts the penalty at 0),
+    * the marginal value is two exact products and one correctly-rounded
+    * subtraction, and ties go to the lowest id — so the pick sequence
+    * matches bit-for-bit. */
+  private def mmrOracle(k: Int): String = {
+    val cos = (l: String, r: String) =>
+      s"""CASE WHEN $l.nrm * $r.nrm = 0 THEN 0.0
+               ELSE LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                      LIST_TRANSFORM(GENERATE_SERIES(1, LEN($l.embedding)),
+                        i -> CAST($l.embedding[i] AS DOUBLE) * CAST($r.embedding[i] AS DOUBLE))),
+                      (x, y) -> x + y) / ($l.nrm * $r.nrm) END"""
+    val base = s"""
+      WITH ne AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                 LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                 (a, b) -> a + b)) AS nrm
+        FROM embeddings),
+      sc AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, e.vec_id AS cid, ${cos("q", "e")} AS score
+        FROM ne q JOIN ne e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      cand AS MATERIALIZED (
+        SELECT query_id, cid, score FROM (
+          SELECT query_id, cid, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn
+          FROM sc)
+        WHERE rn <= 20),
+      cc AS MATERIALIZED (
+        SELECT a.query_id, a.cid AS ia, b.cid AS ib, ${cos("ea", "eb")} AS cos
+        FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+        JOIN ne ea ON ea.vec_id = a.cid JOIN ne eb ON eb.vec_id = b.cid),
+      p1 AS MATERIALIZED (
+        SELECT query_id, 1 AS rank, cid FROM (
+          SELECT query_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY 0.5 * score DESC, cid) AS rn
+          FROM cand)
+        WHERE rn = 1)"""
+    val steps = (2 to k).map { j =>
+      s"""
+      v$j AS (
+        SELECT c.query_id, c.cid, c.score,
+               0.5 * c.score - 0.5 * GREATEST(0.0, COALESCE(MAX(m.cos), 0.0)) AS v
+        FROM cand c
+        LEFT JOIN (SELECT cc.query_id, cc.ia, cc.cos FROM cc
+                   JOIN p${j - 1} pp ON cc.query_id = pp.query_id AND cc.ib = pp.cid) m
+          ON m.query_id = c.query_id AND m.ia = c.cid
+        WHERE NOT EXISTS (SELECT 1 FROM p${j - 1} x
+                          WHERE x.query_id = c.query_id AND x.cid = c.cid)
+        GROUP BY c.query_id, c.cid, c.score),
+      b$j AS (
+        SELECT query_id, $j AS rank, cid FROM (
+          SELECT query_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY v DESC, cid) AS rn
+          FROM v$j)
+        WHERE rn = 1),
+      p$j AS MATERIALIZED (
+        SELECT * FROM p${j - 1} UNION ALL SELECT * FROM b$j)"""
+    }.mkString(",", ",", "")
+    base + steps +
+      s"\n      SELECT query_id, CAST(rank AS INT) AS rank, cid AS neighbor_id FROM p$k"
+  }
+
+  /** DuckDB replay of the ENTIRE trained-IVF pipeline — spherical k-means
+    * training included. Every step is IEEE- or exactly-replayable:
+    * init centroids are the lowest-id vectors per (vec_id mod k); each
+    * assignment is the exact-cosine argmax (ties to the lowest cluster);
+    * each update accumulates floor(comp·2^24) longs (power-of-two scaling
+    * is exact in IEEE, floor exact, long sums exact and order-free) and
+    * the mean is ONE correctly-rounded double division + ONE double→float
+    * rounding — precisely the ops KMeansOps runs, so the centroids match
+    * bit-for-bit. (A decimal accumulator would NOT replay: Spark rounds
+    * the float's exact expansion HALF_UP while DuckDB's float→decimal
+    * cast runs in float arithmetic — that divergence is why the update
+    * rule is integer fixed-point.) */
+  private def foldSq(col: String): String =
+    s"""LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+          LIST_TRANSFORM(GENERATE_SERIES(1, LEN($col)),
+            i -> CAST($col[i] AS DOUBLE) * CAST($col[i] AS DOUBLE))),
+          (a, b) -> a + b)"""
+  private def foldDot(a: String, b: String): String =
+    s"""LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+          LIST_TRANSFORM(GENERATE_SERIES(1, LEN($a)),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+          (x, y) -> x + y)"""
+  private def cosSql(aEmb: String, aNrm: String, bEmb: String, bNrm: String): String =
+    s"CASE WHEN $aNrm * $bNrm = 0 THEN 0.0 ELSE ${foldDot(aEmb, bEmb)} / ($aNrm * $bNrm) END"
+
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val header = s"""
+      WITH ne AS MATERIALIZED (
+        SELECT vec_id, label, embedding, SQRT(${foldSq("embedding")}) AS nrm
+        FROM embeddings),
+      tr AS MATERIALIZED (SELECT * FROM ne WHERE vec_id < 4096),
+      c0 AS MATERIALIZED (
+        SELECT cluster, embedding AS emb, nrm FROM (
+          SELECT CAST(vec_id % $k AS INT) AS cluster, embedding, nrm,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id % $k ORDER BY vec_id) AS rn
+          FROM tr) WHERE rn = 1)"""
+    val steps = (1 to iters).map { t =>
+      s"""
+      a$t AS MATERIALIZED (
+        SELECT vec_id, cluster FROM (
+          SELECT t.vec_id, c.cluster,
+                 ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                   ORDER BY ${cosSql("t.embedding", "t.nrm", "c.emb", "c.nrm")} DESC, c.cluster) AS rn
+          FROM tr t CROSS JOIN c${t - 1} c) WHERE rn = 1),
+      c$t AS MATERIALIZED (
+        SELECT cluster, emb, SQRT(${foldSq("emb")}) AS nrm FROM (
+          SELECT cluster, LIST(comp ORDER BY pos) AS emb FROM (
+            SELECT s.cluster, p.pos,
+                   CAST(CAST(SUM(CAST(FLOOR(CAST(s.embedding[p.pos] AS DOUBLE) * 16777216) AS BIGINT)) AS DOUBLE)
+                        / (COUNT(*) * 16777216.0) AS FLOAT) AS comp
+            FROM (SELECT a.cluster, t.embedding FROM a$t a JOIN tr t USING (vec_id)) s,
+                 UNNEST(GENERATE_SERIES(1, LEN(s.embedding))) AS p(pos)
+            GROUP BY s.cluster, p.pos)
+          GROUP BY cluster))"""
+    }.mkString(",", ",", "")
+    header + steps
+  }
+
+  /** The trained quantizer's corpus assignment (pivot ids are positions in
+    * the cluster-sorted centroid list — exactly ivfPivots' ordering). */
+  private def assignCtes(k: Int, iters: Int): String =
+    kmeansCtes(k, iters) + s""",
+      pv AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY cluster) - 1 AS pivot_id, emb, nrm
+        FROM c$iters),
+      af AS MATERIALIZED (
+        SELECT vec_id, pivot_id FROM (
+          SELECT n.vec_id, p.pivot_id,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                   ORDER BY ${cosSql("n.embedding", "n.nrm", "p.emb", "p.nrm")} DESC, p.pivot_id) AS rn
+          FROM ne n CROSS JOIN pv p) WHERE rn = 1)"""
+
+  /** d15: within-cluster exact-cosine pruning over the shared assignment. */
+  private[graft] def semdedupOracle(k: Int, iters: Int): String =
+    assignCtes(k, iters) + s"""
+      SELECT y.vec_id, CAST(MIN(x.vec_id) AS BIGINT) AS rep_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sem_dups
+      FROM af x JOIN af y ON x.pivot_id = y.pivot_id AND x.vec_id < y.vec_id
+      JOIN ne va ON va.vec_id = x.vec_id
+      JOIN ne vb ON vb.vec_id = y.vec_id
+      WHERE ${cosSql("va.embedding", "va.nrm", "vb.embedding", "vb.nrm")} >= 0.3
+      GROUP BY y.vec_id"""
+
+  /** s02/s06 (identical by the persisted-index equivalence spec): final
+    * assignment over the corpus, nprobe-bucket probe, exact top-5. */
+  private def ivfOracle(k: Int, iters: Int, nprobe: Int, labelFilter: String): String =
+    assignCtes(k, iters) + s""",
+      pr AS MATERIALIZED (
+        SELECT query_id, pivot_id FROM (
+          SELECT n.vec_id AS query_id, p.pivot_id,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                   ORDER BY ${cosSql("n.embedding", "n.nrm", "p.emb", "p.nrm")} DESC, p.pivot_id) AS rn
+          FROM ne n CROSS JOIN pv p WHERE n.vec_id < 10) WHERE rn <= $nprobe),
+      sc2 AS (
+        SELECT pr.query_id, v.vec_id AS neighbor_id,
+               ${cosSql("q.embedding", "q.nrm", "v.embedding", "v.nrm")} AS score
+        FROM pr JOIN af ON af.pivot_id = pr.pivot_id
+        JOIN ne v ON v.vec_id = af.vec_id
+        JOIN ne q ON q.vec_id = pr.query_id
+        WHERE v.vec_id <> pr.query_id$labelFilter)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM sc2)
+      WHERE rank <= 5"""
+
+  /** s05: per-cluster population + milli-sim sums over the final
+    * assignment (cluster keys are the ORIGINAL k-means ids). */
+  private def kmeansClusterOracle(k: Int, iters: Int): String =
+    kmeansCtes(k, iters) + s""",
+      af AS (
+        SELECT vec_id, cluster, sim FROM (
+          SELECT n.vec_id, c.cluster,
+                 ${cosSql("n.embedding", "n.nrm", "c.emb", "c.nrm")} AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                   ORDER BY ${cosSql("n.embedding", "n.nrm", "c.emb", "c.nrm")} DESC, c.cluster) AS rn
+          FROM tr n CROSS JOIN c$iters c) WHERE rn = 1)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(FLOOR(sim * 1000000) AS BIGINT)) AS BIGINT) AS sum_sim_micro
+      FROM af GROUP BY cluster"""
+
   val oracles: Map[String, String] = Map(
+    "s09_knn_mmr" -> mmrOracle(5),
+    "s02_knn_ivf" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
+    "s06_knn_ivf_persisted" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
+    "s08_knn_filtered" -> ivfOracle(IvfNlist, 2, 2 * IvfNprobe, " AND v.label = 3"),
+    "s05_kmeans_ivf" -> kmeansClusterOracle(8, 3),
     // full-double replay (the d07 trick): per-vector norms once in a CTE,
     // per-pair dots via LIST_REDUCE — the same ascending-double left fold
     // VecOps.cosine runs, then sqrt·sqrt and one divide, all IEEE-exact,
