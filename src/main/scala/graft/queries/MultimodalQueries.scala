@@ -186,16 +186,20 @@ object MultimodalQueries {
     }),
 
     "m05_cdc_chunk_dedup" -> ((s, dir) => {
-      // content-defined chunking (native CdcChunkHashes expression, gear
-      // rolling hash, ~80-byte expected chunks): shared-chunk pairs across
-      // media SURVIVE byte insertions because boundaries re-align — the
-      // production dedup primitive for crawl snapshots / media archives.
-      // Rows-only (no CDC in DuckDB); ExpressionsSpec pins determinism,
-      // boundary re-alignment after a prefix edit, and that CDC shares
-      // chunks where fixed chunking shares none.
-      import org.apache.spark.sql.graft.functions.cdc_chunk_hashes
-      val chunks = mediaTable(s, dir)
-        .select(col("media_id"), explode(cdc_chunk_hashes(col("content"))).as("chunk"))
+      // content-defined chunking: shared-chunk pairs across media SURVIVE
+      // byte insertions because boundaries re-align — the production dedup
+      // primitive for crawl snapshots / media archives. Runs the
+      // md5-DOMAIN kernel (native CdcChunkHashesMd5: md5-derived gear
+      // table, mod-2^55 rolling hash, md5 chunk digests — the d07
+      // FloatVecSrpMd5 precedent), so a DuckDB recursive CTE replays the
+      // entire state machine byte for byte and the oracle is hash-exact;
+      // production at scale swaps in the xxh64/gear CdcChunkHashes kernel
+      // (same cut rule, same re-alignment guarantee — ExpressionsSpec pins
+      // both kernels' determinism and re-alignment).
+      import org.apache.spark.sql.graft.functions.cdc_chunk_hashes_md5
+      val chunks = tbl(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          explode(cdc_chunk_hashes_md5(col("text"))).as("chunk"))
       chunks.groupBy("chunk")
         .agg(countDistinct(col("media_id")).as("n_media"),
           count(lit(1)).as("n_occurrences"))
@@ -363,6 +367,51 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the full CDC state machine replayed as a RECURSIVE CTE advancing one
+    // character per level: md5-derived gear values, the mod-2^55 rolling
+    // recurrence (every intermediate < 2^57 — no overflow, no Java wrap
+    // to emulate), the min/mask/max-size cut rule, per-chunk md5 digests,
+    // and the tail chunk. ASCII fixture: char positions = byte positions.
+    "m05_cdc_chunk_dedup" -> """
+      WITH RECURSIVE gear AS MATERIALIZED (
+        SELECT code, CAST(CONCAT('0x', SUBSTRING(md5('g|' || code), 1, 14)) AS BIGINT) AS gv
+        FROM (SELECT UNNEST(GENERATE_SERIES(0, 255)) AS code)),
+      d AS MATERIALIZED (SELECT doc_id AS media_id, text, LEN(text) AS n FROM documents),
+      walk AS (
+        SELECT media_id, 0 AS i, CAST(0 AS BIGINT) AS h, 1 AS strt,
+               CAST(NULL AS BIGINT) AS emitted
+        FROM d
+        UNION ALL
+        SELECT media_id, i + 1,
+               CASE WHEN cut THEN CAST(0 AS BIGINT) ELSE hn END,
+               CASE WHEN cut THEN i + 2 ELSE strt END,
+               CASE WHEN cut THEN CAST(CONCAT('0x',
+                 SUBSTRING(md5(SUBSTRING(text, strt, i + 2 - strt)), 1, 14)) AS BIGINT)
+                    ELSE NULL END
+        FROM (
+          SELECT w.media_id, w.i, w.strt, d.text,
+                 (w.h * 2 + g.gv) % 36028797018963968 AS hn,
+                 ((w.i + 1 - w.strt + 1 >= 16
+                     AND (((w.h * 2 + g.gv) % 36028797018963968) & 63) = 0)
+                  OR (w.i + 1 - w.strt + 1 >= 272)) AS cut
+          FROM walk w
+          JOIN d ON d.media_id = w.media_id
+          JOIN gear g ON g.code = ASCII(SUBSTRING(d.text, w.i + 1, 1))
+          WHERE w.i < d.n) s),
+      chunks AS (
+        SELECT media_id, emitted AS chunk FROM walk WHERE emitted IS NOT NULL
+        UNION ALL
+        SELECT w.media_id, CAST(CONCAT('0x',
+                 SUBSTRING(md5(SUBSTRING(d.text, w.strt, d.n - w.strt + 1)), 1, 14)) AS BIGINT)
+        FROM walk w JOIN d ON d.media_id = w.media_id
+        WHERE w.i = d.n AND w.strt <= d.n),
+      agg AS (SELECT chunk, COUNT(DISTINCT media_id) AS n_media, COUNT(*) AS n_occurrences
+              FROM chunks GROUP BY chunk)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_chunks,
+             CAST(COALESCE(SUM(n_occurrences), 0) AS BIGINT) AS n_shared_occurrences,
+             CAST(COALESCE(MAX(n_media), 0) AS BIGINT) AS max_spread
+      FROM agg WHERE n_media >= 2""",
+
     "m01_binary_meta" -> """
       SELECT doc_id AS media_id,
              CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,

@@ -180,8 +180,12 @@ object SimilarityQueries {
     // collect + training must not run under a CHM bin lock
     val existing = trainedCodebooks.get(dir)
     if (existing != null) return existing
+    // ORDER BY makes the sample array a pure function of the data — a bare
+    // collect() returns partition order, which can differ across file
+    // layouts and would make the trained codebook (and s07's results)
+    // layout-dependent; vec_id order is also what the SQL replay assumes
     val sample = tbl(s, dir, "embeddings").filter(col("vec_id") < 2048)
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      .orderBy("vec_id").select("embedding").collect().map(_.getSeq[Float](0).toArray)
     val trained = org.apache.spark.sql.graft.PqOps.train(sample, PqM, PqK, iters = 8)
     val prev = trainedCodebooks.putIfAbsent(dir, trained)
     if (prev != null) prev else trained
@@ -698,8 +702,104 @@ object SimilarityQueries {
              CAST(SUM(CAST(FLOOR(sim * 1000000) AS BIGINT)) AS BIGINT) AS sum_sim_micro
       FROM af GROUP BY cluster"""
 
+  /** s07: the COMPLETE IVF-PQ pipeline replayed — per-subspace Lloyd
+    * k-means training (init from the vec_id-ordered sample, L2 argmin with
+    * strict-< lowest-id ties, fixed-point means, empty clusters keep their
+    * previous centroid), corpus encoding, the per-query ADC table
+    * (dot + reconstructed-norm folds), bucket-probed ADC scoring, bounded
+    * top-`rerank` candidates, and the exact cosine re-rank. */
+  private def pqOracle(m: Int, k: Int, iters: Int, nprobe: Int, rerank: Int): String = {
+    val sd = 64 / m
+    def l2(sv: String, ce: String): String =
+      s"""LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+            LIST_TRANSFORM(GENERATE_SERIES(1, $sd),
+              i -> (CAST($sv[i] AS DOUBLE) - CAST($ce[i] AS DOUBLE))
+                   * (CAST($sv[i] AS DOUBLE) - CAST($ce[i] AS DOUBLE)))),
+            (x, y) -> x + y)"""
+    def foldSum(lst: String): String =
+      s"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), $lst), (x, y) -> x + y)"
+    val base = s""",
+      sidx AS MATERIALIZED (
+        SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx
+        FROM ne WHERE vec_id < 2048),
+      sub AS MATERIALIZED (
+        SELECT vec_id, idx, t.s, embedding[t.s * $sd + 1 : t.s * $sd + $sd] AS sv
+        FROM sidx, UNNEST(GENERATE_SERIES(0, ${m - 1})) AS t(s)),
+      cb0 AS MATERIALIZED (
+        SELECT b.s, t.c, b.sv AS emb
+        FROM UNNEST(GENERATE_SERIES(0, ${k - 1})) AS t(c)
+        JOIN sub b ON b.idx = t.c % (SELECT COUNT(*) FROM sidx))"""
+    val steps = (1 to iters).map { t =>
+      s"""
+      g$t AS MATERIALIZED (
+        SELECT vec_id, s, c FROM (
+          SELECT b.vec_id, b.s, cb.c,
+                 ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s
+                   ORDER BY ${l2("b.sv", "cb.emb")} ASC, cb.c ASC) AS rn
+          FROM sub b JOIN cb${t - 1} cb ON cb.s = b.s) WHERE rn = 1),
+      u$t AS (
+        SELECT s, c, LIST(comp ORDER BY i) AS emb FROM (
+          SELECT a.s, a.c, p.i,
+                 CAST(CAST(SUM(CAST(FLOOR(CAST(b.sv[p.i] AS DOUBLE) * 16777216) AS BIGINT)) AS DOUBLE)
+                      / (COUNT(*) * 16777216.0) AS FLOAT) AS comp
+          FROM g$t a JOIN sub b ON b.vec_id = a.vec_id AND b.s = a.s,
+               UNNEST(GENERATE_SERIES(1, $sd)) AS p(i)
+          GROUP BY a.s, a.c, p.i)
+        GROUP BY s, c),
+      cb$t AS MATERIALIZED (
+        SELECT cb.s, cb.c, COALESCE(u.emb, cb.emb) AS emb
+        FROM cb${t - 1} cb LEFT JOIN u$t u ON u.s = cb.s AND u.c = cb.c)"""
+    }.mkString(",", ",", "")
+    val query = s""",
+      csub AS MATERIALIZED (
+        SELECT vec_id, t.s, embedding[t.s * $sd + 1 : t.s * $sd + $sd] AS sv
+        FROM ne, UNNEST(GENERATE_SERIES(0, ${m - 1})) AS t(s)),
+      code AS MATERIALIZED (
+        SELECT vec_id, s, c FROM (
+          SELECT b.vec_id, b.s, cb.c,
+                 ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s
+                   ORDER BY ${l2("b.sv", "cb.emb")} ASC, cb.c ASC) AS rn
+          FROM csub b JOIN cb$iters cb ON cb.s = b.s) WHERE rn = 1),
+      pr AS MATERIALIZED (
+        SELECT query_id, pivot_id FROM (
+          SELECT n.vec_id AS query_id, p.pivot_id,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                   ORDER BY ${cosSql("n.embedding", "n.nrm", "p.emb", "p.nrm")} DESC, p.pivot_id) AS rn
+          FROM ne n CROSS JOIN pv p WHERE n.vec_id < 10) WHERE rn <= $nprobe),
+      lut AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, cb.s, cb.c,
+               ${foldDot(s"q.embedding[cb.s * $sd + 1 : cb.s * $sd + $sd]", "cb.emb")} AS dot,
+               ${foldSq("cb.emb")} AS n2
+        FROM ne q CROSS JOIN cb$iters cb WHERE q.vec_id < 10),
+      asc0 AS (
+        SELECT pr.query_id, cd.vec_id,
+               LIST(l.dot ORDER BY cd.s) AS dots, LIST(l.n2 ORDER BY cd.s) AS n2s
+        FROM pr JOIN af ON af.pivot_id = pr.pivot_id
+        JOIN code cd ON cd.vec_id = af.vec_id
+        JOIN lut l ON l.query_id = pr.query_id AND l.s = cd.s AND l.c = cd.c
+        WHERE cd.vec_id <> pr.query_id
+        GROUP BY pr.query_id, cd.vec_id),
+      cand AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   CASE WHEN ${foldSum("n2s")} = 0 THEN 0.0
+                        ELSE ${foldSum("dots")} / SQRT(${foldSum("n2s")}) END DESC,
+                   vec_id) AS rn
+          FROM asc0) WHERE rn <= $rerank)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+        SELECT c.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+                 ${cosSql("q.embedding", "q.nrm", "v.embedding", "v.nrm")} DESC, v.vec_id) AS rank
+        FROM cand c JOIN ne v ON v.vec_id = c.vec_id
+        JOIN ne q ON q.vec_id = c.query_id)
+      WHERE rank <= 5"""
+    assignCtes(IvfNlist, 2) + base + steps + query
+  }
+
   val oracles: Map[String, String] = Map(
     "s09_knn_mmr" -> mmrOracle(5),
+    "s07_knn_ivfpq" -> pqOracle(PqM, PqK, 8, IvfNprobe, PqRerank),
     "s02_knn_ivf" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
     "s06_knn_ivf_persisted" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
     "s08_knn_filtered" -> ivfOracle(IvfNlist, 2, 2 * IvfNprobe, " AND v.label = 3"),

@@ -397,6 +397,80 @@ object ChunkOps {
   }
 }
 
+/** md5-domain CDC over TEXT — the SQL-replayable sibling of
+  * [[CdcChunkHashes]] (the d07 FloatVecSrpMd5 precedent: derivation in the
+  * md5 domain so a DuckDB oracle rebuilds every internal value; production
+  * keeps the xxh64/gear-table kernel). Three substitutions make the whole
+  * state machine replayable:
+  *   - the gear table is md5("g|code") truncated to 56 bits — any engine
+  *     with md5 rebuilds it from nothing;
+  *   - the rolling hash is h' = (h·2 + gear) mod 2^55 — every intermediate
+  *     stays below 2^57, so the recurrence runs in plain ANSI BIGINT
+  *     arithmetic with no Java wrap-around to emulate;
+  *   - chunk digests are md5(chunk substring) truncated to 56 bits.
+  * Operates on STRING characters (the fixture is ASCII, where char
+  * positions = byte positions — stated here because a byte-level oracle
+  * via ENCODE would diverge on multi-byte text). Cut rule and max-size cap
+  * are CdcChunkHashes' exactly. */
+object ChunkMd5Ops {
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val Mod: Long = 1L << 55
+
+  private def md556(s: String): Long = {
+    val d = Md5.get()
+    d.reset()
+    val hex = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(7).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** gear(code) for code 0..255, derived once per JVM. */
+  private lazy val GearMd5: Array[Long] = Array.tabulate(256)(c => md556(s"g|$c"))
+
+  def cdcChunkHashes(s: UTF8String, minSize: Int, maskBits: Int): ArrayData = {
+    val str = s.toString
+    val mask = (1L << maskBits) - 1L
+    val maxSize = minSize.toLong + 4L * (1L << maskBits)
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * 2 + GearMd5(str.charAt(i) & 0xff)) % Mod
+      val size = i - start + 1
+      if ((size >= minSize && (h & mask) == 0L) || size >= maxSize) {
+        out.add(md556(str.substring(start, i + 1)))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < str.length) out.add(md556(str.substring(start)))
+    val arr = new Array[Long](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+case class CdcChunkHashesMd5(child: Expression, minSize: Int = 16, maskBits: Int = 6)
+  extends UnaryExpression {
+  require(minSize > 0 && maskBits > 0 && maskBits <= 54,
+    "minSize must be positive and maskBits in [1, 54]")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ChunkMd5Ops.cdcChunkHashes(input.asInstanceOf[UTF8String], minSize, maskBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ChunkMd5Ops.cdcChunkHashes($c, $minSize, $maskBits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_chunk_hashes_md5"
+}
+
 case class CdcChunkHashes(child: Expression, minSize: Int = 16, maskBits: Int = 6)
   extends UnaryExpression {
   require(minSize > 0 && maskBits > 0 && maskBits <= 60,
@@ -1035,6 +1109,9 @@ object functions {
   def cdc_chunk_hashes(c: Column, minSize: Int = 16, maskBits: Int = 6): Column =
     ExpressionUtils.column(CdcChunkHashes(ExpressionUtils.expression(c), minSize, maskBits))
 
+  def cdc_chunk_hashes_md5(c: Column, minSize: Int = 16, maskBits: Int = 6): Column =
+    ExpressionUtils.column(CdcChunkHashesMd5(ExpressionUtils.expression(c), minSize, maskBits))
+
   def zorder_key(x: Column, y: Column, bits: Int = 16): Column =
     ExpressionUtils.column(ZOrderKey(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
@@ -1109,6 +1186,8 @@ object functions {
       "normalize_text" -> (exprs => NormalizeText(exprs.head)),
       "cdc_chunk_hashes" ->
         (exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6))),
+      "cdc_chunk_hashes_md5" ->
+        (exprs => CdcChunkHashesMd5(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6))),
       "zorder_key" -> (exprs => ZOrderKey(exprs(0), exprs(1), intArg(exprs, 2, 16))),
       "winnow_fingerprints" ->
         (exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))),

@@ -45,14 +45,23 @@ object PqOps {
       }
       var it = 0
       while (it < iters) {
-        val sums = Array.ofDim[Double](k, subDim)
+        // exact fixed-point accumulation (the KMeansOps rule): comp·2^24 is
+        // a power-of-two scaling (no IEEE rounding), floor is exact, long
+        // sums are exact and order-free, and the mean is one correctly
+        // rounded double division + one double→float rounding — so the
+        // training replays bit-for-bit in SQL (raw double sums would be
+        // order-faithful here but not expressible as an unordered SUM)
+        val sums = Array.ofDim[Long](k, subDim)
         val counts = new Array[Long](k)
         var v = 0
         while (v < sample.length) {
           val best = nearestSub(sample(v), cb, s, k, subDim)
           counts(best) += 1
           var i = 0
-          while (i < subDim) { sums(best)(i) += sample(v)(s * subDim + i); i += 1 }
+          while (i < subDim) {
+            sums(best)(i) += math.floor(sample(v)(s * subDim + i).toDouble * (1L << 24)).toLong
+            i += 1
+          }
           v += 1
         }
         var c2 = 0
@@ -60,7 +69,8 @@ object PqOps {
           if (counts(c2) > 0) {
             var i = 0
             while (i < subDim) {
-              cb((s * k + c2) * subDim + i) = (sums(c2)(i) / counts(c2)).toFloat
+              cb((s * k + c2) * subDim + i) =
+                (sums(c2)(i).toDouble / (counts(c2).toDouble * (1L << 24))).toFloat
               i += 1
             }
           }

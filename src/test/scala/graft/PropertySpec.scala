@@ -87,6 +87,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_chunk_hashes_md5: re-alignment holds for the SQL-replayable " +
+    "kernel too (edit early, most chunks survive)") {
+    import org.apache.spark.sql.graft.functions.cdc_chunk_hashes_md5
+    for (trial <- 0 until 5) {
+      val base = Seq.fill(1200 + rnd.nextInt(800))((97 + rnd.nextInt(26)).toChar).mkString
+      val at = rnd.nextInt(base.length / 4)
+      val edited = base.substring(0, at) + "X" + base.substring(at)
+      val rows = Seq(base, edited).toDF("t")
+        .select(cdc_chunk_hashes_md5($"t").as("ch")).collect()
+      val (a, b) = (rows(0).getSeq[Long](0), rows(1).getSeq[Long](0))
+      val shared = a.toSet.intersect(b.toSet).size
+      assert(shared * 10 >= a.toSet.size * 6,
+        s"trial=$trial: only $shared of ${a.toSet.size} chunks re-aligned after a prefix edit")
+      // determinism: a second evaluation is identical
+      val again = Seq(base).toDF("t")
+        .select(cdc_chunk_hashes_md5($"t").as("ch")).head().getSeq[Long](0)
+      assert(again == a)
+    }
+  }
+
   test("cdc_chunk_hashes: edits anywhere in random blobs leave distant chunks aligned") {
     // for random payloads with a random single-byte insertion, CDC must
     // keep a large majority of chunks shared (re-alignment), and chunk
