@@ -86,7 +86,9 @@ object KMeansOps {
       // replays bit-for-bit in any engine. (The previous decimal(27,10)
       // cast was engine-dependent: Spark rounds the exact expansion
       // HALF_UP, DuckDB converts in FLOAT arithmetic — losing 3 digits.)
-      // Quantizing at 2^-24 is below float precision for |v| < 2, so the
+      // Flooring each element at 2^-24 biases a mean down by at most
+      // 2^-24 ≈ 6e-8 absolute — finer than float ULP for components in
+      // [0.5, 2) and noise relative to the data scale everywhere, so the
       // clustering itself is unaffected.
       centroids = assignTo(centroids)
         .select(col("cluster"), posexplode(col(vecCol)))
