@@ -600,6 +600,29 @@ object CoreQueries {
             .otherwise("inserted").as("status"))
     }),
 
+    "q84_markov_transitions" -> ((s, dir) => {
+      // user-journey MARKOV MODEL — the transition matrix behind "what do
+      // users do after a click": consecutive event pairs on each user's
+      // (ts, event_id) timeline (lead() over ONE user_id shuffle — the
+      // q79 carry-forward shape), counted into (from_type, to_type) cells
+      // with exact-integer milli row-probabilities. At 100 TB this is one
+      // window pass + a 9-cell aggregate: state count is O(types²), never
+      // O(events). END transitions (a user's last event) are kept as an
+      // explicit absorbing state so rows sum to 1000 per from-state
+      // (up to DIV truncation), which the spec checks.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir).select("user_id", "event_id", "event_type", "ts")
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .select(col("event_type").as("from_type"),
+          coalesce(col("to_type"), lit("END")).as("to_type"))
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .withColumn("from_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+        .withColumn("p_milli", expr("(1000L * n) DIV from_total"))
+        .select("from_type", "to_type", "n", "from_total", "p_milli")
+    }),
+
     "q79_attribution" -> ((s, dir) => {
       // last-touch attribution — for every purchase, the most recent click
       // by the same user STRICTLY before it on the (ts, event_id) timeline,
@@ -1467,6 +1490,18 @@ $steps
              CAST(est AS BIGINT) AS est_distinct,
              CAST((1000 * ABS(est - n_exact)) // n_exact AS BIGINT) AS err_milli
       FROM e""",
+
+    "q84_markov_transitions" -> """
+      WITH e AS (
+        SELECT event_type,
+               COALESCE(LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        'END') AS to_type
+        FROM events),
+      c AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n FROM e GROUP BY 1, 2)
+      SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+             CAST((1000 * n) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
+      FROM c""",
 
     // the full MERGE replayed: same CDC batch construction, one FULL OUTER
     // JOIN, same op-precedence and floor-milli arithmetic

@@ -244,6 +244,26 @@ object MultimodalQueries {
           col("st.max_abs"), col("st.zero_crossings"))
     }),
 
+    "m10_audio_downsample" -> ((s, dir) => {
+      // decode → TRANSFORM → re-encode — the audio resize step (the shape
+      // image resize / frame re-encode production pipelines run): the
+      // native pcm_downsample2 expression halves the sample rate with
+      // pair-average anti-aliasing and emits a NEW little-endian payload;
+      // the stats parser then verifies the transformed bytes. Everything
+      // stays map-side (two native expressions in one projection, zero
+      // shuffles before the output), and every output value is exact
+      // integer arithmetic over the closed-form synth, so the oracle
+      // recomputes the downsampled waveform without parsing a byte:
+      // y[j] = floor((x[2j] + x[2j+1]) / 2), odd tails dropped.
+      import org.apache.spark.sql.graft.functions.{pcm_downsample2, pcm_i16le_stats}
+      pcmTable(s, dir)
+        .select(col("media_id"), pcm_downsample2(col("pcm")).as("ds"))
+        .select(col("media_id"), length(col("ds")).as("n_bytes"),
+          pcm_i16le_stats(col("ds")).as("st"))
+        .select(col("media_id"), col("n_bytes"), col("st.n_samples"),
+          col("st.sum_abs"), col("st.max_abs"), col("st.zero_crossings"))
+    }),
+
     "m09_audio_segments" -> ((s, dir) => {
       // VAD-style audio segmentation — the step after m08's whole-payload
       // stats in a speech-data pipeline: frame-level energy, then
@@ -488,6 +508,29 @@ object MultimodalQueries {
              COUNT(*) AS n_frames,
              CAST(SUM(fsum) AS BIGINT) AS sum_abs
       FROM g GROUP BY media_id, grp""",
+
+    // the downsampled waveform recomputed from the synth formula:
+    // y[j] = FLOOR((x[2j] + x[2j+1]) / 2.0) — |a+b| ≤ 2^16 keeps the
+    // double division exact, so the floor mean matches the engine's
+    // arithmetic shift; stats replay the m08 conventions over y
+    "m10_audio_downsample" -> """
+      WITH m AS (SELECT doc_id AS media_id, (64 + doc_id % 192) // 2 AS mh FROM documents),
+      y AS (SELECT media_id, mh, t.j,
+                   CAST(FLOOR((
+                     (((media_id * 7919 + (2 * t.j) * 104729) % 65536) - 32768)
+                     + (((media_id * 7919 + (2 * t.j + 1) * 104729) % 65536) - 32768)
+                   ) / 2.0) AS BIGINT) AS v
+            FROM m, UNNEST(GENERATE_SERIES(0, mh - 1)) AS t(j))
+      SELECT media_id,
+             CAST(2 * MAX(mh) AS INT) AS n_bytes,
+             CAST(MAX(mh) AS INT) AS n_samples,
+             CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+             CAST(MAX(ABS(v)) AS INT) AS max_abs,
+             CAST(SUM(CASE WHEN j > 0 AND ((v >= 0) <> (CAST(FLOOR((
+                     (((media_id * 7919 + (2 * (j - 1)) * 104729) % 65536) - 32768)
+                     + (((media_id * 7919 + (2 * (j - 1) + 1) * 104729) % 65536) - 32768)
+                   ) / 2.0) AS BIGINT) >= 0)) THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+      FROM y GROUP BY media_id""",
 
     "m08_pcm_stats" -> """
       WITH m AS (SELECT doc_id AS media_id, 64 + doc_id % 192 AS n FROM documents),

@@ -967,6 +967,47 @@ object PcmOps {
 
 /** `pcm_i16le_stats(payload)` — STRUCT(n_samples, sum_abs, max_abs,
   * zero_crossings) of a 16-bit little-endian PCM blob; see [[PcmOps]]. */
+/** 2:1 PCM decimation with pair averaging — the transform half of the
+  * audio pipeline (m08/m09 analyze; this RESAMPLES and re-encodes): output
+  * sample j = (x[2j] + x[2j+1]) >> 1 (arithmetic shift = floor of the
+  * mean, exact in any engine as FLOOR((a+b)/2.0) since |a+b| ≤ 2^16), an
+  * odd tail sample is dropped, and the result is re-encoded as 16-bit
+  * little-endian bytes. Averaging before decimation is the cheapest
+  * anti-aliasing kernel; the point here is the byte-level
+  * decode→transform→encode shape with exact arithmetic. */
+object PcmResampleOps {
+  def downsample2(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length / 2
+    val m = n / 2
+    val out = new Array[Byte](2 * m)
+    var j = 0
+    while (j < m) {
+      val a = ((bytes(4 * j) & 0xff) | (bytes(4 * j + 1) << 8)).toShort.toInt
+      val b = ((bytes(4 * j + 2) & 0xff) | (bytes(4 * j + 3) << 8)).toShort.toInt
+      val y = (a + b) >> 1
+      out(2 * j) = (y & 0xff).toByte
+      out(2 * j + 1) = ((y >> 8) & 0xff).toByte
+      j += 1
+    }
+    out
+  }
+}
+
+/** `pcm_downsample2(payload)` — BINARY → BINARY; see [[PcmResampleOps]]. */
+case class PcmDownsample2(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == BinaryType, "BINARY", child.dataType)
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    PcmResampleOps.downsample2(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.PcmResampleOps.downsample2($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pcm_downsample2"
+}
+
 case class PcmI16leStats(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.expect(child.dataType == BinaryType, "BINARY", child.dataType)
@@ -1112,6 +1153,9 @@ object functions {
   def cdc_chunk_hashes_md5(c: Column, minSize: Int = 16, maskBits: Int = 6): Column =
     ExpressionUtils.column(CdcChunkHashesMd5(ExpressionUtils.expression(c), minSize, maskBits))
 
+  def pcm_downsample2(c: Column): Column =
+    ExpressionUtils.column(PcmDownsample2(ExpressionUtils.expression(c)))
+
   def zorder_key(x: Column, y: Column, bits: Int = 16): Column =
     ExpressionUtils.column(ZOrderKey(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
@@ -1193,6 +1237,7 @@ object functions {
         (exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))),
       "deletion_variant_hashes" -> (exprs => DeletionVariantHashes(exprs.head)),
       "pcm_i16le_stats" -> (exprs => PcmI16leStats(exprs.head)),
+      "pcm_downsample2" -> (exprs => PcmDownsample2(exprs.head)),
       // aggregates register like any expression: the builder returns the
       // AggregateExpression wrapper, so SQL GROUP BY picks them up
       "top_k_struct" ->

@@ -475,6 +475,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == expect.toMap)
   }
 
+  test("q84 Markov transitions: rows are a proper stochastic matrix and " +
+    "END absorbs one transition per user") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q84_markov_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byFrom = rows.groupBy(_._1)
+    byFrom.foreach { case (from, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4 * rs.length / rs.length &&
+        rs.forall(_._4 == rs.map(_._3).sum), s"$from: counts must sum to from_total")
+      val pSum = rs.map(_._5).sum
+      assert(pSum <= 1000 && pSum > 1000 - rs.length,
+        s"$from: probabilities sum to $pSum (DIV truncation bound)")
+    }
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == "END").map(_._3).sum == nUsers,
+      "each user's last event transitions to END exactly once")
+  }
+
+  test("m10 downsample: the native byte transform matches a driver-side " +
+    "recompute of the synth waveform") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("m10_audio_downsample")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    (0L until 500L).foreach { m =>
+      val n = (64 + m % 192).toInt
+      val x = Array.tabulate(n)(i => (((m * 7919 + i.toLong * 104729) % 65536L) - 32768L).toInt)
+      val y = Array.tabulate(n / 2)(j => (x(2 * j) + x(2 * j + 1)) >> 1)
+      val zc = (1 until y.length).count(j => (y(j) >= 0) != (y(j - 1) >= 0))
+      val expect = (y.length * 2, y.length, y.map(v => math.abs(v).toLong).sum,
+        y.map(math.abs).max, zc)
+      assert(got(m) == expect, s"media $m")
+    }
+  }
+
   test("q83 MERGE: deletes vanish, inserts land in the disjoint keyspace, " +
     "and the balance ledger closes") {
     import org.apache.spark.sql.functions._
