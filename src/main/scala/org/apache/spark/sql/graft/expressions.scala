@@ -528,26 +528,110 @@ object WinnowOps {
       h(i) = v >>> 4
       i += 1
     }
-    val nw = math.max(m - w + 1, 1)
     // w is a small constant (default 8): the direct per-window scan is
     // O(m·w) with no allocation — simpler than a monotone deque and just
     // as fast at these widths
-    val out = new java.util.TreeSet[java.lang.Long]()
+    select(h, w)
+  }
+
+  /** Shared winnowing selection: min hash of each w-window of the k-gram
+    * hash array, returned as the sorted distinct fingerprint set.
+    * Primitive arrays throughout (collect minima → sort → in-place
+    * dedupe): no boxing, no tree — this is on the per-document hot path
+    * of both kernels. */
+  private[graft] def select(h: Array[Long], w: Int): ArrayData = {
+    val m = h.length
+    val nw = math.max(m - w + 1, 1)
+    val mins = new Array[Long](nw)
     var j = 0
     while (j < nw) {
       var mn = Long.MaxValue
       var t = j
       val end = math.min(j + w, m)
       while (t < end) { if (h(t) < mn) mn = h(t); t += 1 }
-      out.add(mn)
+      mins(j) = mn
       j += 1
     }
-    val arr = new Array[Long](out.size())
-    val it = out.iterator()
-    var z = 0
-    while (it.hasNext) { arr(z) = it.next(); z += 1 }
-    new GenericArrayData(arr)
+    java.util.Arrays.sort(mins)
+    var uniq = 0
+    var i = 0
+    while (i < nw) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(uniq) = mins(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, uniq))
   }
+
+  // ---- rolling Karp-Rabin kernel (the production hot path) ----
+  // Polynomial hash in the 2^61-1 Mersenne field: O(1) per position (one
+  // mulmod + add, one subtract of the outgoing char's B^(k-1) term) where
+  // the md5 kernel digests all k chars at every position — the difference
+  // between O(n) and O(n·k) per document, which IS d16's dominant cost at
+  // corpus scale. The md5 kernel stays because DuckDB can replay it
+  // (d16's oracle); the selection logic and the winnowing guarantee are
+  // kernel-independent and shared.
+  private val MersenneP = (1L << 61) - 1
+  private val RollB = 1000003L
+
+  private def mulmod(a: Long, b: Long): Long = {
+    // 128-bit product reduced mod 2^61-1: hi < 2^58 for 61-bit operands,
+    // so (hi<<3 | lo>>>61) + (lo & P) < 2^62 and one conditional subtract
+    // per fold step suffices
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & MersenneP) + ((hi << 3) | (lo >>> 61))
+    if (r >= MersenneP) r -= MersenneP
+    r
+  }
+
+  def fingerprintsRolling(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < k) {
+      // whole-short-text k-gram, like the md5 kernel
+      var hh = 0L
+      var i = 0
+      while (i < n) { hh = (mulmod(hh, RollB) + str.charAt(i)) % MersenneP; i += 1 }
+      return select(Array(hh), w)
+    }
+    val m = n - k + 1
+    // B^(k-1) mod P for the outgoing term
+    var bk = 1L
+    var e = 0
+    while (e < k - 1) { bk = mulmod(bk, RollB); e += 1 }
+    val h = new Array[Long](m)
+    var hh = 0L
+    var i = 0
+    while (i < k) { hh = (mulmod(hh, RollB) + str.charAt(i)) % MersenneP; i += 1 }
+    h(0) = hh
+    var p = 1
+    while (p < m) {
+      val out = mulmod(str.charAt(p - 1).toLong, bk)
+      hh = (hh - out + MersenneP) % MersenneP
+      hh = (mulmod(hh, RollB) + str.charAt(p + k - 1)) % MersenneP
+      h(p) = hh
+      p += 1
+    }
+    select(h, w)
+  }
+}
+
+/** `winnow_fingerprints_rolling(text, k, w)` — the O(1)-per-position
+  * Karp-Rabin production kernel; see [[WinnowOps.fingerprintsRolling]]. */
+case class WinnowFingerprintsRolling(child: Expression, k: Int = 32, w: Int = 8)
+  extends UnaryExpression {
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowOps.fingerprintsRolling(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WinnowOps.fingerprintsRolling($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints_rolling"
 }
 
 /** `winnow_fingerprints(text[, k, w])` — the winnowed fingerprint SET of a
@@ -1156,6 +1240,9 @@ object functions {
   def pcm_downsample2(c: Column): Column =
     ExpressionUtils.column(PcmDownsample2(ExpressionUtils.expression(c)))
 
+  def winnow_fingerprints_rolling(c: Column, k: Int = 32, w: Int = 8): Column =
+    ExpressionUtils.column(WinnowFingerprintsRolling(ExpressionUtils.expression(c), k, w))
+
   def zorder_key(x: Column, y: Column, bits: Int = 16): Column =
     ExpressionUtils.column(ZOrderKey(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y), bits))
@@ -1235,6 +1322,8 @@ object functions {
       "zorder_key" -> (exprs => ZOrderKey(exprs(0), exprs(1), intArg(exprs, 2, 16))),
       "winnow_fingerprints" ->
         (exprs => WinnowFingerprints(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))),
+      "winnow_fingerprints_rolling" ->
+        (exprs => WinnowFingerprintsRolling(exprs.head, intArg(exprs, 1, 32), intArg(exprs, 2, 8))),
       "deletion_variant_hashes" -> (exprs => DeletionVariantHashes(exprs.head)),
       "pcm_i16le_stats" -> (exprs => PcmI16leStats(exprs.head)),
       "pcm_downsample2" -> (exprs => PcmDownsample2(exprs.head)),
