@@ -664,12 +664,25 @@ object DedupQueries {
       // become DENSE tf vectors over the broadcast vocabulary and each
       // pair is ONE fused integer-dot loop (native long_vec_dot), not
       // Σ shared-term join rows. The complementary regime (vocab ≫ docs:
-      // real text) wants d08's inverted index + df-stoplist instead; and
-      // at corpus scale EXACT all-pairs is Ω(pairs) by definition — you
-      // run this verify kernel AFTER a blocking stage (d03/d07's bands),
-      // exactly like d08's verifyJaccard. Vocabulary is capped at the
-      // 4096 highest-df terms (deterministic ties) so the broadcast stays
-      // bounded; the fixture's 31 ≪ 4096, so the measure is exact here.
+      // real text) wants d08's inverted index + df-stoplist instead.
+      //
+      // PAIRING (the r8 rework): exact all-pairs is Ω(pairs) by
+      // definition, and the r7 form (a × broadcast(b)) shipped the whole
+      // tf table to every executor. An LSH blocking stage was measured
+      // first (the r7-verdict suggestion) and does NOT work on this
+      // measure/corpus: tf-cosine ≥ 0.9 pairs are DENSE here (1777 of
+      // 12.5M pairs at sf0.1, with 80% of all pairs above weighted-
+      // Jaccard banding's retention threshold), so ordered-shingle bands
+      // miss 17/42 true pairs at sf0.01 and weighted-MinHash bands still
+      // retain ~80% of ALL pairs as candidates while missing 1-206 pairs
+      // at sf0.1 — banding can neither bound the verify nor stay exact.
+      // The shipped pairing is instead the blocked equi-join all-pairs
+      // kernel (CrossOps.blockedSelfPairs — s10's shape): bounded
+      // per-task state, no corpus broadcast, no cartesian plan node, and
+      // the oracle stays hash-exact at EVERY scale because the semantics
+      // are unchanged. Vocabulary is capped at the 4096 highest-df terms
+      // (deterministic ties) so the broadcast stays bounded; the
+      // fixture's 31 ≪ 4096, so the measure is exact here.
       import org.apache.spark.sql.graft.functions.long_vec_dot
       val tf = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(filter(split(col("text"), " "),
@@ -690,12 +703,11 @@ object DedupQueries {
               i => coalesce(element_at(col("m"), i), lit(0L))).as("tfv"))
           .withColumn("n2", long_vec_dot(col("tfv"), col("tfv")))
       }
-      val a = tfv.select(col("doc_id").as("doc_a"), col("tfv").as("v_a"), col("n2").as("n2_a"))
-      val b = tfv.select(col("doc_id").as("doc_b"), col("tfv").as("v_b"), col("n2").as("n2_b"))
-      a.join(broadcast(b), col("doc_a") < col("doc_b"))
-        .withColumn("dot", long_vec_dot(col("v_a"), col("v_b")))
+      graft.operators.CrossOps.blockedSelfPairs(tfv, "doc_id")
+        .withColumn("dot", long_vec_dot(col("tfv_a"), col("tfv_b")))
         .filter(lit(100) * col("dot") * col("dot") >= lit(81) * col("n2_a") * col("n2_b"))
-        .select(col("doc_a"), col("doc_b"), col("dot"), col("n2_a"), col("n2_b"))
+        .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+          col("dot"), col("n2_a"), col("n2_b"))
     }),
 
     "d17_fuzzy_join" -> ((s, dir) => {

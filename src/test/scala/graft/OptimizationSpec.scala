@@ -322,8 +322,21 @@ class OptimizationSpec extends AnyFunSuite {
     //    per-reducer payload is O(√n·dim), not O(n·dim). (At fixture
     //    scale AQE broadcasts this join and the exchange may not even
     //    appear — the exemption documents the at-scale shape.)
+    //  - s11_knn_graph_ivf: the same cluster-mate co-location, for the
+    //    bounded kNN graph (both join sides are corpus-sized, so neither
+    //    can be broadcast); bounded exactly like d15.
+    //  - s10_knn_graph / d18_weighted_overlap: the deliberately-EXACT
+    //    all-pairs kernels, now shaped as the blocked equi-join
+    //    (CrossOps.blockedSelfPairs). Co-locating every pair is the
+    //    DEFINITION of exact all-pairs; the blocked form bounds it —
+    //    each row's payload is replicated exactly B = √(2·tasks) times
+    //    and per-task state is 2·(n/B) rows, vs the r7 broadcast form
+    //    that shipped the WHOLE corpus to every executor.
     val exempt: Map[String, Set[String]] =
-      Map("d15_semdedup" -> Set("embedding", "emb_a", "emb_b"))
+      Map("d15_semdedup" -> Set("embedding", "emb_a", "emb_b"),
+        "s11_knn_graph_ivf" -> Set("embedding", "q_emb"),
+        "s10_knn_graph" -> Set("embedding_a", "embedding_b"),
+        "d18_weighted_overlap" -> Set("tfv_a", "tfv_b"))
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1 == "z01_lineage_extraction") // driver-side analysis, no cluster plan
       .flatMap { case (name, fn) =>
@@ -346,6 +359,52 @@ class OptimizationSpec extends AnyFunSuite {
           }
       }
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("no inventory plan contains a BroadcastNestedLoopJoin or CartesianProduct " +
+      "except the named bounded exemptions") {
+    // the sibling invariant to the payload ban (the r7-verdict ask): a
+    // broadcast nested loop carries no Exchange, so it slipped past the
+    // payload detector while shipping the whole corpus to every executor
+    // (r7's s10/d18). Ban the plan NODES themselves: any non-equi or
+    // cross join in an inventory plan must be a deliberate, bounded one.
+    // Exemptions, each with its boundedness witness asserted:
+    //  - q22_cross_join: the intentional CROSS JOIN surface — both sides
+    //    are dimension tables (region × nation, 125 output rows);
+    //  - s01_knn_brute / s09_knn_mmr: the broadcast side is the QUERY
+    //    set (vec_id < 10 — the filter is asserted on the build side),
+    //    the corpus side stays map-side: the bounded-broadcast pattern.
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.graft.PlanIntrospection
+    val exempt = Set("q22_cross_join", "s01_knn_brute", "s09_knn_mmr")
+    def nestedLoops(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1 == "z01_lineage_extraction") // driver-side analysis
+      .flatMap { case (name, fn) =>
+        val found = nestedLoops(PlanIntrospection.physicalPlan(fn(spark, sf)))
+        if (found.nonEmpty && !exempt(name))
+          Some(s"$name: ${found.map(_.nodeName).mkString(", ")}")
+        else None
+      }
+    assert(violations.isEmpty, violations.mkString("\n"))
+    // boundedness witnesses for the exemptions that DO nested-loop:
+    // s01/s09 must keep the vec_id < 10 query filter on some side of the
+    // plan (the bound that makes the broadcast side ~10 rows)
+    Seq("s01_knn_brute", "s09_knn_mmr").foreach { name =>
+      val plan = PlanIntrospection.physicalPlan(SparkEntry.queries(name)(spark, sf))
+      val bounded = plan.exists(_.expressions.exists(_.exists {
+        case LessThan(a, Literal(10, _)) => a.references.exists(_.name == "vec_id")
+        case _ => false
+      }))
+      assert(bounded, s"$name: expected the vec_id < 10 query-set bound in the plan")
+    }
+    // q22's cross join multiplies two dimension tables — output stays tiny
+    assert(SparkEntry.queries("q22_cross_join")(spark, sf).count() <= 1000)
   }
 
   test("the payload detector catches a renamed vector riding a keyed shuffle " +
