@@ -35,18 +35,48 @@ import org.apache.spark.sql.functions._
   */
 object CrossOps {
 
+  /** Default block count B from BOTH sizing constraints:
+    *
+    *   - parallelism floor: B ≥ √(2·shufflePartitions), so the B(B+1)/2
+    *     buckets cover the session's task slots (the only constraint that
+    *     binds at local[32] scale);
+    *   - per-task memory ceiling: a bucket's input is ≤ 2·(n/B) rows, so
+    *     B ≥ 2n/targetRowsPerTask keeps every task's state under the
+    *     target NO MATTER how large the corpus grows — at 100× the data
+    *     this is the constraint that binds, and a parallelism-only B
+    *     would let per-task state grow linearly with n (the r8-verdict
+    *     sizing gap).
+    *
+    * Raising B costs replication (each row shuffles B times — the known
+    * n·B shuffle volume of triangle blocking), never correctness: the
+    * pair set is B-invariant (QueriesSpec pins blocked ≡ broadcast-cross
+    * at several B). OptimizationSpec asserts the 2·(n/B) per-bucket bound
+    * at a 10× corpus against exactly this formula. */
+  private[graft] def defaultBlocks(n: Long, shufflePartitions: Int,
+      targetRowsPerTask: Long): Int = {
+    val parB = math.ceil(math.sqrt(2.0 * shufflePartitions)).toInt
+    val memB = math.ceil(2.0 * n / targetRowsPerTask).toInt
+    math.max(2, math.max(parB, memB))
+  }
+
+  /** Per-task row target for the memory ceiling: ~100k rows of ≤1 KB
+    * payload (an embedding / tf vector) keeps a bucket's build side around
+    * 100 MB — comfortable hash-join state for a 4–8 GB executor core. */
+  private[graft] val DefaultTargetRowsPerTask = 100000L
+
   /** Unordered distinct pairs (id_a < id_b) of `df` against itself, every
     * non-id column duplicated with `_a` / `_b` suffixes. `df` must have a
-    * non-negative integral id column `idCol`; `blocks` defaults to
-    * ceil(√(2·shufflePartitions)) so the B(B+1)/2 buckets cover the
-    * session's parallelism. Result rows are identical for ANY block count
-    * (QueriesSpec pins blocked ≡ broadcast-cross on the fixture), so the
-    * choice of B is purely a plan-shape/skew knob. */
-  def blockedSelfPairs(df: DataFrame, idCol: String, blocks: Int = 0): DataFrame = {
+    * non-negative integral id column `idCol`; `blocks = 0` sizes B from
+    * the corpus row count and the session's parallelism (see
+    * [[defaultBlocks]] — the count is one cheap job against `df`, which
+    * callers keep cached/parquet-backed). Result rows are identical for
+    * ANY block count, so B is purely a plan-shape/skew knob. */
+  def blockedSelfPairs(df: DataFrame, idCol: String, blocks: Int = 0,
+      targetRowsPerTask: Long = DefaultTargetRowsPerTask): DataFrame = {
     val b =
       if (blocks > 0) blocks
-      else math.ceil(math.sqrt(
-        2.0 * df.sparkSession.sessionState.conf.numShufflePartitions)).toInt.max(2)
+      else defaultBlocks(df.count(),
+        df.sparkSession.sessionState.conf.numShufflePartitions, targetRowsPerTask)
     val rep = df
       .withColumn("__blk", pmod(col(idCol), lit(b.toLong)).cast("int"))
       .withColumn("__j", explode(sequence(lit(0), lit(b - 1))))

@@ -30,11 +30,21 @@ object QueryDsl {
   def views(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => tbl(s, dir, n).createOrReplaceTempView(n))
 
-  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as Long only
-    * (spark.sql.legacy.parquet.nanosAsLong=true, set by every entry point) —
-    * convert to a microsecond TIMESTAMP column here. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark reads as Long under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set by every entry point)
+    * vs TIMESTAMP(MICROS) (read natively as a timestamp). Normalize both
+    * to one session-zoned microsecond TIMESTAMP column; with the UTC
+    * session timezone every entry point sets, the two paths are
+    * value-identical. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Spread a SMALL input across the session's cores before a
     * compute-heavy projection (winnowing, image codecs): a one-row-group

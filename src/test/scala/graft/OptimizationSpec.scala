@@ -374,11 +374,18 @@ class OptimizationSpec extends AnyFunSuite {
     //  - s01_knn_brute / s09_knn_mmr: the broadcast side is the QUERY
     //    set (vec_id < 10 — the filter is asserted on the build side),
     //    the corpus side stays map-side: the bounded-broadcast pattern.
+    //  - q81_kmv_set_ops: the pairwise sketch theta-join
+    //    (grp_a < grp_b over the KMV sketch table). The sketch table is
+    //    #groups × (k·8 B) BY CONSTRUCTION — compressing each group to a
+    //    fixed-size sketch before any pairwise work is the operator's
+    //    entire point — so the nested loop touches #groups² sketch rows
+    //    no matter how large the orders corpus grows. Witness below:
+    //    the theta is on the group key and #groups stays dimension-tiny.
     import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.graft.PlanIntrospection
-    val exempt = Set("q22_cross_join", "s01_knn_brute", "s09_knn_mmr")
+    val exempt = Set("q22_cross_join", "s01_knn_brute", "s09_knn_mmr", "q81_kmv_set_ops")
     def nestedLoops(p: SparkPlan): Seq[SparkPlan] = p.collect {
       case j: BroadcastNestedLoopJoinExec => j
       case j: CartesianProductExec => j
@@ -405,6 +412,65 @@ class OptimizationSpec extends AnyFunSuite {
     }
     // q22's cross join multiplies two dimension tables — output stays tiny
     assert(SparkEntry.queries("q22_cross_join")(spark, sf).count() <= 1000)
+    // q81's nested loops must each theta-join on the GROUP key (grp_a <
+    // grp_b) — i.e. operate on the post-sketch groups table, never the
+    // raw keys — and the group dimension itself must be tiny: the sketch
+    // build's groupBy collapses the corpus to one row per group before
+    // any pairwise work, so #groups bounds every BNLJ side.
+    locally {
+      val q81Plan = PlanIntrospection.physicalPlan(
+        SparkEntry.queries("q81_kmv_set_ops")(spark, sf))
+      val loops = nestedLoops(q81Plan)
+      assert(loops.nonEmpty, "q81 exemption is stale: no nested loop in its plan")
+      loops.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        val onGroupKey = j.condition.exists(_.exists {
+          case LessThan(a, b) =>
+            (a.references ++ b.references).forall(_.name.startsWith("grp_"))
+          case _ => false
+        })
+        assert(onGroupKey,
+          s"q81 BNLJ must theta-join on grp_a < grp_b only; got ${j.condition}")
+      }
+      val nGroups = spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderpriority").distinct().count()
+      assert(nGroups <= 32, s"q81 group dimension must stay tiny; got $nGroups")
+      assert(SparkEntry.queries("q81_kmv_set_ops")(spark, sf).count() ==
+        nGroups * (nGroups - 1) / 2)
+    }
+  }
+
+  test("blockedSelfPairs default sizing: the memory ceiling binds at a 10x " +
+      "corpus and per-bucket input stays <= 2*(n/B)") {
+    import graft.operators.CrossOps
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id")
+    // synthetic 10x corpus, Bench-style disjoint id ranges per copy
+    val ten = (0 until 10).map(i =>
+        emb.select((col("vec_id") + lit(i * 100000000L)).as("vec_id")))
+      .reduce(_.unionAll(_)).cache()
+    val n = ten.count()
+    // a target small enough that the per-task MEMORY constraint (2n/target)
+    // governs B, not the parallelism floor — the regime a 100x cluster job
+    // is in, where parallelism-only sizing would let per-task state grow
+    // linearly with the corpus
+    val target = 1000L
+    val b = CrossOps.defaultBlocks(n, spark.sessionState.conf.numShufflePartitions, target)
+    assert(b >= math.ceil(2.0 * n / target).toInt,
+      s"memory ceiling must govern B at scale: B=$b n=$n target=$target")
+    // bucket (i, j) holds blocks i and j (diagonal holds one): with
+    // pmod-balanced blocks every bucket's input must stay within 2*(n/B)
+    // plus the sequential-id remainder (each copy's blocks differ by <=1)
+    val sizes = ten
+      .groupBy(pmod(col("vec_id"), lit(b.toLong)).cast("int").as("blk"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxBucket = (for (i <- 0 until b; j <- i until b) yield {
+      if (i == j) sizes.getOrElse(i, 0L)
+      else sizes.getOrElse(i, 0L) + sizes.getOrElse(j, 0L)
+    }).max
+    assert(maxBucket <= 2 * (n / b + 10),
+      s"per-bucket input $maxBucket exceeds the 2*(n/B) bound (n=$n, B=$b)")
+    // per-task row target respected: 2*(n/B) <= 2*target by construction
+    assert(2.0 * n / b <= 2.0 * target)
+    ten.unpersist()
   }
 
   test("the payload detector catches a renamed vector riding a keyed shuffle " +
