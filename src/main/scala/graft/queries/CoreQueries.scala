@@ -540,7 +540,12 @@ object CoreQueries {
         .distinct()
       val deg = und.select(col("u").as("t")).unionAll(und.select(col("v").as("t")))
         .groupBy("t").agg(count(lit(1)).as("deg"))
-      val key = (t: String) => expr(s"concat(lpad(CAST(${t}_deg AS STRING), 9, '0'), '|', $t)")
+      // 19-digit zero-pad covers the FULL non-negative Long range (max
+      // 9223372036854775807 is 19 digits), so string order = (deg, term)
+      // order with no silent cap on vertex degree — a 9-digit pad would
+      // mis-order at deg ≥ 1e9 (vocabulary-sized here, but the guard costs
+      // 10 bytes on a vocab-sized table, not a corpus-sized one)
+      val key = (t: String) => expr(s"concat(lpad(CAST(${t}_deg AS STRING), 19, '0'), '|', $t)")
       val oriented = und
         .join(deg.select(col("t").as("u"), col("deg").as("u_deg")), "u")
         .join(deg.select(col("t").as("v"), col("deg").as("v_deg")), "v")
@@ -1582,8 +1587,8 @@ $steps
                    CASE WHEN ku < kv THEN v ELSE u END AS dst,
                    CASE WHEN ku < kv THEN kv ELSE ku END AS dst_key
             FROM (SELECT u, v,
-                         LPAD(CAST(du.deg AS VARCHAR), 9, '0') || '|' || u AS ku,
-                         LPAD(CAST(dv.deg AS VARCHAR), 9, '0') || '|' || v AS kv
+                         LPAD(CAST(du.deg AS VARCHAR), 19, '0') || '|' || u AS ku,
+                         LPAD(CAST(dv.deg AS VARCHAR), 19, '0') || '|' || v AS kv
                   FROM und JOIN deg du ON du.t = und.u JOIN deg dv ON dv.t = und.v)),
       w AS (SELECT e1.src, e1.dst AS b, e2.dst AS c
             FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst_key < e2.dst_key),

@@ -775,10 +775,23 @@ object DedupQueries {
         .select(col("doc_id"), col("p"),
           conv(substring(md5(expr(s"concat_ws(' ', slice(tk, p, $W))")), 1, 14), 16, 10)
             .cast("long").as("h"))
+      // earliest-occurrence key packs (doc_id, p) into one long with
+      // DISJOINT bit fields — doc_id in the top 31 bits, position in the
+      // low 32 — so the packing is collision-free and order-preserving for
+      // any real document (a 2^32-token doc would be a >16 GB string, over
+      // Spark's single-value limit). The range guard lives INSIDE the value
+      // expression so column pruning can never elide it: out-of-range ids
+      // or positions raise instead of silently colliding (the old
+      // doc_id*1e6+p packing collided at ≥1e6 windows/doc).
+      val packed = expr(
+        """if(doc_id >= 0 AND doc_id < 2147483648 AND p >= 0 AND p < 4294967296,
+          |   doc_id * 4294967296L + p,
+          |   CAST(raise_error(concat('d20 packed key overflow: doc_id=', doc_id,
+          |                           ' p=', p)) AS BIGINT))""".stripMargin)
       val first = wins.groupBy("h")
-        .agg(min(col("doc_id") * 1000000L + col("p")).as("fk"))
+        .agg(min(packed).as("fk"))
       val rm = wins.join(first, "h")
-        .filter(col("doc_id") * 1000000L + col("p") =!= col("fk"))
+        .filter(packed =!= col("fk"))
         .select(col("doc_id"), explode(expr(s"sequence(p, p + ${W - 1})")).as("cp"))
         .distinct()
         .groupBy("doc_id").agg(collect_set(col("cp")).as("rm"))
@@ -1140,9 +1153,9 @@ object DedupQueries {
       w AS (SELECT d.doc_id, t.p,
                    CAST(CONCAT('0x', SUBSTRING(md5(ARRAY_TO_STRING(d.tk[t.p:t.p+9], ' ')), 1, 14)) AS BIGINT) AS h
             FROM d, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(d.tk) - 9, 0))) AS t(p)),
-      f AS (SELECT h, MIN(doc_id * 1000000 + p) AS fk FROM w GROUP BY h),
+      f AS (SELECT h, MIN(doc_id * 4294967296 + p) AS fk FROM w GROUP BY h),
       r AS (SELECT w.doc_id, w.p FROM w JOIN f USING (h)
-            WHERE w.doc_id * 1000000 + w.p <> f.fk),
+            WHERE w.doc_id * 4294967296 + w.p <> f.fk),
       cp AS (SELECT DISTINCT doc_id, cp
              FROM (SELECT doc_id, UNNEST(GENERATE_SERIES(p, p + 9)) AS cp FROM r)),
       rm AS (SELECT doc_id, LIST(cp) AS rm FROM cp GROUP BY doc_id)

@@ -29,22 +29,32 @@ object StreamingOps {
   // must be public: the state Encoder's generated code instantiates it
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
-  val eventSchema: StructType = StructType(Seq(
+  def eventSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long (nanosAsLong)
+    StructField("ts", tsType), // nanos-as-Long OR native timestamp, per file
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over `<dir>/events.parquet` with the nanos→micros
-    * conversion applied (same convention as the batch loader). */
-  def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
+  /** File-source stream over `<dir>/events.parquet`, normalized to a
+    * microsecond TIMESTAMP `ts` (same convention as the batch loader).
+    * A streaming source needs an explicit schema, and events.parquet's
+    * physical `ts` type has varied across testdata generations
+    * (TIMESTAMP(NANOS)→Long under nanosAsLong vs native
+    * TIMESTAMP(MICROS)), so peek at the file's batch-read schema once —
+    * a footer read, no data scan — and convert accordingly. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Tumbling-window event counts with a watermark: the canonical
     * streaming aggregation (pre-shuffle partial aggregation applies; state
@@ -117,6 +127,9 @@ object StreamingOps {
     * the set and the estimate collapses to the exact count). */
   def kmvDistinctStream(events: DataFrame, k: Int = 32): DataFrame = {
     import org.apache.spark.sql.graft.functions.top_k_struct_distinct
+    // the estimator computes (k-1)·2^56 in Long arithmetic: k-1 must stay
+    // below 2^7 or the product overflows 2^63 and the estimate goes negative
+    require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10).cast("long")
     events
       .select(col("event_type").as("grp"), h.as("h"))

@@ -986,6 +986,10 @@ object MmrOps {
         }
         c += 1
       }
+      // every remaining candidate scored NaN (NaN comparisons are all
+      // false, so `best` never moved): stop with the picks made so far
+      // rather than indexing chosen(-1)
+      if (best < 0) return new GenericArrayData(java.util.Arrays.copyOf(out, slot))
       chosen(best) = true
       pickedIdx(slot) = best
       out(slot) = ids(best)

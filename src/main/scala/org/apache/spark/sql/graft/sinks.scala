@@ -471,7 +471,16 @@ case class Neo4jAuraSink(uri: String, user: String, passwd: String,
   private def withTransport[A](use: CypherTransport => A): A = synchronized {
     if (reuseTransport) {
       val t = cached.getOrElse { val t = openTransport(); cached = Some(t); t }
-      use(t)
+      try use(t)
+      catch { case e: Throwable =>
+        // a failed delivery may have killed the pinned connection — drop it
+        // (and the constraints-sent mark) so the next lease reconnects fresh
+        // instead of replaying every later delivery into a dead transport
+        try t.close() catch { case _: Throwable => }
+        cached = None
+        constraintsSent = false
+        throw e
+      }
     } else {
       val t = openTransport()
       try use(t) finally t.close()

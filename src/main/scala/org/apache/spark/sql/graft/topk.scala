@@ -52,9 +52,14 @@ case class TopKStruct(
   override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
     new java.util.PriorityQueue[UnsafeRow](k + 1, ordering.reverse.asInstanceOf[Ordering[UnsafeRow]])
 
+  /** Distinct-mode duplicate test uses the SAME ordering that ranks rows,
+    * not UnsafeRow byte equality: on float/double fields 0.0 and -0.0 (and
+    * differing NaN bit patterns) are ordering-equal but byte-distinct, and
+    * a distinct set keyed on bytes would keep both — the sketch would stop
+    * being a pure function of the value set. */
   private def contains(buf: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Boolean = {
     val it = buf.iterator()
-    while (it.hasNext) if (it.next().equals(row)) return true
+    while (it.hasNext) if (ordering.compare(it.next(), row) == 0) return true
     false
   }
 

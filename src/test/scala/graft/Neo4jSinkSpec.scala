@@ -111,6 +111,40 @@ class Neo4jSinkSpec extends AnyFunSuite {
     assert(rec.batches.count(_.forall(_.startsWith("CREATE CONSTRAINT"))) === 2)
   }
 
+  test("reuseTransport drops the pinned transport after a failed delivery: " +
+      "the next delivery reconnects and re-sends constraints") {
+    var failNextMerge = true
+    val batches = mutable.ArrayBuffer.empty[Seq[String]]
+    var opened = 0
+    var closed = 0
+    val sink = new Neo4jAuraSink("neo4j://example", "u", "p", reuseTransport = true) {
+      override protected def openTransport(): CypherTransport = {
+        opened += 1
+        new CypherTransport {
+          override def runBatch(statements: Seq[String]): Unit = {
+            if (failNextMerge && statements.exists(_.contains("MERGE"))) {
+              failNextMerge = false
+              throw new RuntimeException("connection reset by peer")
+            }
+            batches += statements
+          }
+          override def close(): Unit = closed += 1
+        }
+      }
+    }
+    intercept[RuntimeException] { sink.append(nodes, edges, Map.empty) }
+    assert(closed === 1,
+      "a pinned transport that failed a delivery must be closed, not cached dead")
+    sink.append(nodes, edges, Map.empty)
+    assert(opened === 2, "the delivery after a failure must open a fresh transport")
+    assert(batches.count(_.forall(_.startsWith("CREATE CONSTRAINT"))) === 2,
+      "constraints must be re-sent on the replacement connection")
+    assert(batches.flatten.count(_.contains("MERGE")) === 5,
+      "the post-failure delivery must land its full statement stream")
+    sink.close()
+    assert(closed === 2)
+  }
+
   test("batch write honors the reference's empty-database contract: " +
       "non-empty target rejects unless overwrite, overwrite resets first") {
     val dir = Files.createTempDirectory("neo4j_overwrite_contract")

@@ -87,6 +87,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("top_k_struct_distinct dedups by ORDERING equality on float keys: " +
+      "-0.0/0.0 and repeated NaN collapse to one entry each") {
+    import org.apache.spark.sql.graft.functions.top_k_struct_distinct
+    val df = Seq(0.0, -0.0, Double.NaN, Double.NaN, 1.0, 1.0).toDF("v")
+    val got = df.select(top_k_struct_distinct(struct($"v"), 6).as("top"))
+      .select(explode($"top.v").as("v")).collect().map(_.getDouble(0))
+    // SQL ordering: -0.0 == 0.0, NaN == NaN (sorting last) → 3 distinct
+    assert(got.length === 3, s"expected 3 ordering-distinct values, got ${got.toSeq}")
+    assert(got(0) === 0.0 && got(1) === 1.0 && got(2).isNaN)
+  }
+
   test("cdc_chunk_hashes_md5: re-alignment holds for the SQL-replayable " +
     "kernel too (edit early, most chunks survive)") {
     import org.apache.spark.sql.graft.functions.cdc_chunk_hashes_md5

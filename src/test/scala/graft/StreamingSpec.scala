@@ -87,6 +87,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("kmvDistinctStream rejects k outside [2, 128]: (k-1)*2^56 must not " +
+      "overflow the Long estimator") {
+    val df = graft.queries.QueryDsl.events(spark, sf)
+    intercept[IllegalArgumentException] { StreamingOps.kmvDistinctStream(df, k = 129) }
+    intercept[IllegalArgumentException] { StreamingOps.kmvDistinctStream(df, k = 1) }
+    // k = 128 is the exact boundary: 127 * 2^56 < 2^63 still fits
+    assert(StreamingOps.kmvDistinctStream(df, k = 128).columns.nonEmpty)
+  }
+
   test("streaming KMV state is merge-order- and batching-independent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
