@@ -585,9 +585,10 @@ class QueriesSpec extends AnyFunSuite {
   test("s11 bounded kNN graph: recall@5 vs s10's exact graph clears the floor, " +
     "and every reported edge is exactly scored") {
     // the approximation contract of the IVF-bounded graph: symmetric
-    // 2·nprobe probing reaches 0.75 recall@5 on this fixture (random
+    // 3·nprobe probing clears 0.80 recall@5 on this fixture (random
     // synthetic embeddings are the WORST case — no cluster structure for
-    // IVF to exploit; real embedding corpora cluster and recall rises).
+    // IVF to exploit; real embedding corpora cluster and recall rises;
+    // 2·nprobe measured 0.75 here — the r8-verdict widen-the-probe ask).
     // Soundness side: s11's edge set must be a subset of the full scored
     // graph, i.e. any (query, neighbor) it reports at rank r must rank
     // AT OR ABOVE r in the exact graph restricted to s11's candidates —
@@ -603,7 +604,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(nExact > 0)
     val hits = exact.join(bounded, Seq("query_id", "neighbor_id")).count()
     val recall = hits.toDouble / nExact
-    assert(recall >= 0.70, f"recall@5 $recall%.3f below the 0.70 fixture floor")
+    assert(recall >= 0.80, f"recall@5 $recall%.3f below the 0.80 fixture floor")
     // and the bounded graph still emits 5 neighbors for (almost) every
     // vector — probing 2 buckets of 16 leaves no vector candidate-starved
     val perQuery = SparkEntry.queries("s11_knn_graph_ivf")(spark, sf)
@@ -805,6 +806,22 @@ class QueriesSpec extends AnyFunSuite {
       }
       assert(cluster === bestC && sim === bestS, s"vec $id: got ($cluster, $sim)")
     }
+  }
+
+  test("s09 MMR: NaN-scored candidates never crash the greedy loop — " +
+      "selection truncates to the picks already made") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.functions.mmr_select
+    def run(c: Seq[(Long, Double, Seq[Float])], k: Int): Seq[Long] =
+      spark.range(1).select(typedLit(c).cast(
+        "array<struct<id:bigint,score:double,emb:array<float>>>").as("cands"))
+        .select(mmr_select(col("cands"), k, 500).as("p")).head().getSeq[Long](0)
+    // all-NaN: no candidate is ever comparable → empty pick list, no crash
+    assert(run(Seq((1L, Double.NaN, Seq(1f, 0f)), (2L, Double.NaN, Seq(0f, 1f))), 2)
+      === Seq.empty)
+    // mixed: the one real-scored candidate is picked, then the loop stops
+    assert(run(Seq((1L, Double.NaN, Seq(1f, 0f)), (2L, 0.5, Seq(0f, 1f)),
+      (3L, Double.NaN, Seq(1f, 1f))), 3) === Seq(2L))
   }
 
   test("s09 MMR: first pick is the relevance top-1; a near-duplicate of the " +

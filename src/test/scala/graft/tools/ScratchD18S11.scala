@@ -1,11 +1,19 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY round-8 experiment harness — not part of the inventory;
-  * deleted before the round closes. */
-object Scratch {
+/** Round-8 measurement harness (test-scope dev tool, not shipped surface):
+  * reproduces the two load-bearing experiments whose numbers justify the
+  * d18 and s11 designs —
+  *   - d18: weighted-MinHash LSH banding over dense tf-cosine pairs MISSES
+  *     true >=0.9 pairs (measured 17/42 at sf0.01 with 16x2 bands; 8x4 is
+  *     worse) → d18 ships the blocked exact kernel instead of banding;
+  *   - s11: nprobe/symmetry recall@5 sweep vs the exact s10 graph
+  *     (base nprobe+symmetric ≈ 0.75 on the random fixture; doubling
+  *     nprobe buys more than symmetrization alone).
+  * Run with `sbt "Test/runMain graft.tools.ScratchD18S11"`. */
+object ScratchD18S11 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[16]")
@@ -69,7 +77,7 @@ object Scratch {
 
       // ---- s11 recall variants ----
       import graft.queries.SimilarityQueries
-      val exact = SparkEntry.queries("s10_knn_graph")(spark, sf)
+      val exact = graft.SparkEntry.queries("s10_knn_graph")(spark, sf)
         .select(col("query_id"), col("neighbor_id")).persist()
       val nAll = exact.count()
       val pivots = SimilarityQueries.ivfPivots(spark, sf)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.graft._
 import org.apache.spark.sql.graft.implicits._
 
 /** Demo "user program" driving the lineage library's public surface. */
-object Scratch {
+object ScratchLineageDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
