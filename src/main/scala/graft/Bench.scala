@@ -92,8 +92,11 @@ object Bench {
     // iterative / graph newcomers (r7): vocab-sized state but corpus-driven
     // edge weights — superlinear blow-ups would hide in the sf0.1 floor.
     // s10 stays OUT: its 10× brute force is quadratic BY DESIGN (the exact
-    // baseline); its scale path is the IVF family already covered.
-    "q80_textrank", "q82_triangle_count", "t20_bpe_learn", "d20_cross_doc_spans")
+    // baseline); its scale path is s11 — which therefore must be IN: a
+    // superlinear regression in the IVF probe join would hide in the
+    // sf0.1 floor while s11 carries the whole kNN-graph scale story.
+    "q80_textrank", "q82_triangle_count", "t20_bpe_learn", "d20_cross_doc_spans",
+    "s11_knn_graph_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,33 +173,71 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0") || only.nonEmpty) Seq.empty
       else {
         val heavyDir = buildHeavyDir(spark, sfDir, copies = 10)
-        // min-of-2 like the main tier: single heavy samples on a shared
-        // container swing up to ±50% under contention bursts (BUILD_NOTES
-        // "heavy-tier noise caveat"), which made round-over-round
-        // comparisons of exactly-unchanged queries read as regressions
-        def heavyPass(rotated: Boolean): Seq[(String, Double)] = {
+        // MIN-OF-THREE here, not the main tier's min-of-2: heavy samples on
+        // a shared container swing up to ±50% under contention bursts
+        // (BUILD_NOTES "heavy-tier noise caveat"), and with only two
+        // samples a burst that straddles both passes still published 2×
+        // phantom regressions round-over-round (r7/r8 verdicts: t20/d15/
+        // d08 swings that never reproduced). Three passes, each starting a
+        // THIRD of the way round the tier, make a burst that poisons the
+        // same query in all surviving samples need to span the whole tier
+        // three times over. Rotation — not reversal — for the same
+        // shared-intermediate reason as the main tier: every family keeps
+        // its internal order, so per-query amortization matches pass 1.
+        def rotateBy[A](xs: Seq[A], k: Int): Seq[A] = xs.drop(k) ++ xs.take(k)
+        def heavyPass(third: Int): Seq[(String, Double)] = {
           graft.queries.DedupQueries.releaseShared()
           spark.catalog.clearCache()
           val ordered = HeavyNames.filter(SparkEntry.queries.contains)
-          // same half-rotation as the main tier, same reason: keep each
-          // family's internal order so shared-table amortization matches
-          (if (rotated) rotate(ordered) else ordered)
+          rotateBy(ordered, third * ordered.size / 3)
             .map(n => n -> time(n, SparkEntry.queries(n), heavyDir))
         }
-        val h1 = heavyPass(rotated = false).toMap
-        val r = heavyPass(rotated = true)
-          .map { case (k, v) => k -> minOk(v, h1.getOrElse(k, v)) }
+        val h1 = heavyPass(0).toMap
+        val h2 = heavyPass(1).toMap
+        val r = heavyPass(2)
+          .map { case (k, v) =>
+            k -> minOk(v, h1.getOrElse(k, v), h2.getOrElse(k, v)) }
           .sortBy(_._1)
         graft.queries.DedupQueries.releaseShared()
         spark.catalog.clearCache()
         r
       }
+    // lineage-engine throughput as a TRACKED number (plain + contracted
+    // plans/sec): z01's wall-clock line also pays DataFrame construction
+    // and a driver thread pool, so a graph-analysis regression hides in
+    // it; this times datasetGraph alone over already-optimized plans —
+    // the steady state of a listener session extracting lineage per query.
+    val lineage: Seq[(String, Double)] = {
+      import org.apache.spark.sql.graft.SQLFlow
+      val panel = Seq("q01_pricing_summary", "q05_local_supplier",
+        "q07_window_topk", "q10_cube", "q12_union_all", "q16_scalar_subquery",
+        "q19_anti_join", "q23_explode_tokens", "q38_asof_join",
+        "d03_minhash_lsh", "s01_knn_brute", "m03_feature_extract")
+      val dfs = panel.map(n => SparkEntry.queries(n)(spark, sfDir))
+      // warm-up: force the one-time analyze+optimize of every plan (and
+      // JIT of the analysis path) out of the timed region
+      dfs.foreach { df =>
+        SQLFlow.datasetGraph(df); SQLFlow.datasetGraph(df, contracted = true)
+      }
+      def rate(contracted: Boolean): Double = {
+        val reps = 5
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) {
+          dfs.foreach(df => SQLFlow.datasetGraph(df, contracted = contracted))
+          i += 1
+        }
+        reps * dfs.size / ((System.nanoTime() - t0) / 1e9)
+      }
+      Seq("plain" -> rate(contracted = false), "contracted" -> rate(contracted = true))
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
     // full-precision, full-name details for humans and local diffing
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
          |"queries":${results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
-         |"heavy_10x":${heavy.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}
+         |"heavy_10x":${heavy.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"lineage_plans_per_sec":${lineage.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_details.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -205,6 +246,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","queries":${jsonMap(results.map { case (k, v) => shortId(k) -> v })}""" +
       s""","heavy_10x":${jsonMap(heavy.map { case (k, v) => shortId(k) -> v })}""" +
+      s""","lineage_plans_per_sec":${jsonMap(lineage)}""" +
       s""","sf":"$sfDir"}"""
     println(line)
     spark.stop()
