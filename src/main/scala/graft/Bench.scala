@@ -190,7 +190,16 @@ object Bench {
           spark.catalog.clearCache()
           val ordered = HeavyNames.filter(SparkEntry.queries.contains)
           rotateBy(ordered, third * ordered.size / 3)
-            .map(n => n -> time(n, SparkEntry.queries(n), heavyDir))
+            .map { n =>
+              // level the memory playing field before each measurement:
+              // the iterative queries (q80) leave localCheckpoint RDD
+              // blocks whose release waits on driver GC (ContextCleaner
+              // works off reference queues), and s11's multi-second
+              // allocation burst reshapes the heap for whatever runs
+              // next — both showed up as min-of-N heavy samples drifting
+              // 1.5-1.8× BETWEEN runs while within-run samples agreed
+              n -> { System.gc(); time(n, SparkEntry.queries(n), heavyDir) }
+            }
         }
         val h1 = heavyPass(0).toMap
         val h2 = heavyPass(1).toMap
@@ -220,7 +229,11 @@ object Bench {
         SQLFlow.datasetGraph(df); SQLFlow.datasetGraph(df, contracted = true)
       }
       def rate(contracted: Boolean): Double = {
-        val reps = 5
+        // ~1-2 s of measured work (12 plans ≈ 10-40 ms/rep): a 5-rep
+        // window measured 50-100 ms total and swung 2× on a single GC
+        // pause landing inside it
+        val reps = 50
+        System.gc()
         val t0 = System.nanoTime()
         var i = 0
         while (i < reps) {
@@ -241,13 +254,24 @@ object Bench {
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_details.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // THE machine-readable line — keep it LAST and under ~1900 chars so the
-    // driver's bounded stdout tail always contains it whole
+    // The driver keeps the LAST 2000 stdout chars (measured: BENCH_r08
+    // captured exactly 2000, and the r8 single line at ~2050+ chars was
+    // FRONT-truncated past the opening brace — parsed:null). So the
+    // supplement tiers go on their OWN line first, and THE machine-readable
+    // line stays last and ≤ ~1870 chars (147-entry queries map ≈ 1765 +
+    // envelope ≈ 95 + the trailing sbt "[success]" line ≈ 73 fits 2000
+    // whole): the spec-required fields always parse, and the supplement's
+    // tail stays visible in the window as a bonus.
+    val supplement =
+      s"""{"supplement":"bench","heavy_10x":${jsonMap(heavy.map { case (k, v) => shortId(k) -> v })}""" +
+      s""","lineage_plans_per_sec":${jsonMap(lineage)}}"""
+    println(supplement)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","queries":${jsonMap(results.map { case (k, v) => shortId(k) -> v })}""" +
-      s""","heavy_10x":${jsonMap(heavy.map { case (k, v) => shortId(k) -> v })}""" +
-      s""","lineage_plans_per_sec":${jsonMap(lineage)}""" +
       s""","sf":"$sfDir"}"""
+    require(line.length <= 1900,
+      s"compact bench line grew to ${line.length} chars — it will be " +
+        "front-truncated in the driver's 2000-char stdout tail; shrink it")
     println(line)
     spark.stop()
   }
