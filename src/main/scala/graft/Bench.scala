@@ -229,18 +229,22 @@ object Bench {
         SQLFlow.datasetGraph(df); SQLFlow.datasetGraph(df, contracted = true)
       }
       def rate(contracted: Boolean): Double = {
-        // ~1-2 s of measured work (12 plans ≈ 10-40 ms/rep): a 5-rep
-        // window measured 50-100 ms total and swung 2× on a single GC
-        // pause landing inside it
-        val reps = 50
-        System.gc()
-        val t0 = System.nanoTime()
-        var i = 0
-        while (i < reps) {
-          dfs.foreach(df => SQLFlow.datasetGraph(df, contracted = contracted))
-          i += 1
+        // best of three ~0.3 s windows: a 5-rep window swung 2× on one GC
+        // pause, and even a 50-rep single window moved ±30% under
+        // container CPU contention — the max window is the least-
+        // contended one, the same reason query times take min-of-N
+        def window(): Double = {
+          val reps = 50
+          System.gc()
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < reps) {
+            dfs.foreach(df => SQLFlow.datasetGraph(df, contracted = contracted))
+            i += 1
+          }
+          reps * dfs.size / ((System.nanoTime() - t0) / 1e9)
         }
-        reps * dfs.size / ((System.nanoTime() - t0) / 1e9)
+        Seq.fill(3)(window()).max
       }
       Seq("plain" -> rate(contracted = false), "contracted" -> rate(contracted = true))
     }

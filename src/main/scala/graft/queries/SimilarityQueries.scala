@@ -120,11 +120,13 @@ object SimilarityQueries {
     * would instead shuffle and sort every scored row into ≤|queries|
     * reducers. Ordering (score desc, neighbor_id asc) matches the previous
     * window formulation exactly. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.graft.functions.top_k_struct
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      distinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graft.functions.{top_k_struct, top_k_struct_distinct}
+    val entry = struct((col("score") * -1).as("neg_score"), col("neighbor_id"))
     scored.groupBy("query_id")
-      .agg(top_k_struct(struct(
-        (col("score") * -1).as("neg_score"), col("neighbor_id")), k).as("top"))
+      .agg((if (distinct) top_k_struct_distinct(entry, k)
+        else top_k_struct(entry, k)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.neighbor_id").as("neighbor_id"))
@@ -442,8 +444,9 @@ object SimilarityQueries {
       // nlist, not n²), and each scored edge is emitted in BOTH
       // directions before the top-k: cosine is bit-symmetric, so (a, b)
       // is a candidate when EITHER endpoint probes the other's bucket —
-      // symmetric candidates square the per-pair miss rate for one
-      // distinct() over narrow triples. Probe widening is the whole
+      // symmetric candidates square the per-pair miss rate for zero
+      // extra shuffles (dedupe rides the bounded top-k, below). Probe
+      // widening is the whole
       // recall lever because every candidate is ALREADY exactly scored
       // (there is no cheap-then-rerank gap to close): measured on the
       // worst-case random fixture, recall@5 vs s10's exact graph is
@@ -465,16 +468,20 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(col("q_emb"), col("embedding")).as("score"))
       // (q, n) is unique within fwd (a vector lives in exactly one
-      // bucket), so dups come only from mutual probes — distinct() on the
-      // symmetric union dedupes them; scores agree bit-for-bit by
-      // cosine's symmetry
+      // bucket), so dups come only from mutual probes, and those are
+      // bit-identical rows (cosine is symmetric). A distinct() here
+      // would dedupe them with a FULL shuffle of every candidate edge —
+      // instead the distinct-mode bounded top-k absorbs duplicates
+      // inside its O(k) map-side state, so the only exchange after
+      // candidate generation ships ≤k-row partial sketches per query:
+      // at 100 TB that is the difference between shuffling the whole
+      // candidate set twice and once-in-bounded-form.
       val cand = fwd.select(explode(array(
           struct(col("query_id"), col("neighbor_id"), col("score")),
           struct(col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
             col("score")))).as("e"))
         .select("e.query_id", "e.neighbor_id", "e.score")
-        .distinct()
-      topKPerQuery(cand, 5)
+      topKPerQuery(cand, 5, distinct = true)
     }),
 
     "s09_knn_mmr" -> ((s, dir) => {
