@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1158,8 +1158,143 @@ object CoreQueries {
           sum(col("zkey")).as("sum_zkey"),
           min(col("zkey")).as("min_zkey"),
           max(col("zkey")).as("max_zkey"))
+    }),
+
+    "q85_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+      // FIXED-SIZE sibling of q78's KMV: m=64 registers of one 6-bit rank
+      // each, vs KMV's k 64-bit hashes. Register updates are a MAX — an
+      // order-independent, mergeable set function, so the groupBy gets
+      // map-side combine and any partition layout yields the same
+      // registers (the determinism q35's Spark-internal HLL can't give the
+      // oracle). Hash = 56-bit md5 (the q78 domain): top 6 bits pick the
+      // register, rho = leading-zero rank of the remaining 50 bits via
+      // length(bin(w)) — exact integer in any engine. The harmonic-mean
+      // denominator stays integer too: S = Σ 2^(51-rho_j) over all 64
+      // registers (empty register ⇒ rho 0 ⇒ 2^51), ≤ 64·2^51 < 2^63; the
+      // estimate is then ONE correctly-rounded double division + floor of
+      // the shared literal α·m²·2^51 ([[HllEstNum]]) — bit-identical in
+      // Spark and DuckDB (BUILD_NOTES float rule). Exact distincts ride
+      // along as the error envelope (the part the sketch REPLACES at
+      // 100 TB: 64 bytes per group vs a distinct shuffle of every key).
+      val mask = (1L << 50) - 1
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10)
+        .cast("long")
+      val regs = events(s, dir)
+        .select(col("event_type").as("grp"), h.as("h"))
+        .select(col("grp"), shiftright(col("h"), 50).as("reg"),
+          expr(s"CASE WHEN (h & ${mask}L) = 0 THEN 51 " +
+            s"ELSE 51 - length(bin(h & ${mask}L)) END").as("rho"))
+        .groupBy("grp", "reg").agg(max("rho").as("rho"))
+        .groupBy("grp")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - rho AS INT))")).as("s_present"),
+          count(lit(1)).as("n_regs"))
+        .withColumn("s_total",
+          col("s_present") + (lit(64L) - col("n_regs")) * lit(1L << 51))
+        .withColumn("est_raw", floor(lit(HllEstNum) / col("s_total")).cast("long"))
+        // the paper's small-range branch: below E_raw ≤ 5/2·m the raw
+        // harmonic mean is badly biased and LINEAR COUNTING on the empty-
+        // register count V takes over (m·ln(m/V)). The 64 possible LC
+        // values are a precomputed shared-literal table ([[HllLcTable]],
+        // the HllEstNum trick) — the oracle replays the REGISTERS and the
+        // branch decision exactly and looks the log up, so no ln() ever
+        // runs in either engine.
+        .withColumn("est_distinct",
+          when(col("est_raw") <= 160 && col("n_regs") < 64,
+            element_at(lit(HllLcTable), (lit(64) - col("n_regs")).cast("int")))
+            .otherwise(col("est_raw")))
+      val exact = events(s, dir)
+        .groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      regs.join(exact, "grp")
+        .withColumn("err_milli", expr("(1000L * abs(est_distinct - n_exact)) DIV n_exact"))
+        .select("grp", "n_exact", "n_regs", "est_distinct", "err_milli")
+    }),
+
+    "q86_cms_heavy_hitters" -> ((s, dir) => {
+      // Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+      // estimation + heavy hitters — the mergeable counter matrix that
+      // answers "how often did key x occur" in d·w integers of state.
+      // Counter increments are ADDITIVE, so the build is one groupBy over
+      // (row, bucket) with map-side combine — order- and partition-
+      // independent (unlike Misra-Gries, whose merge is order-sensitive
+      // and would break the determinism gate). d=4 rows × w=64 buckets;
+      // per-row bucket = 56-bit md5(row|key) mod w (independent hash per
+      // row via the row-index prefix). Estimate = MIN over the 4 counters
+      // — always ≥ the true count (every occurrence lands in all 4 cells),
+      // within +εN (ε = e/w) with prob 1−e^-d. The probe side joins the
+      // 256-row sketch BROADCAST, and the final heavy-hitter cut is a
+      // TakeOrdered top-20 (O(k) state, no full sort). Exact counts ride
+      // along as the error envelope — at 100 TB the sketch stands alone
+      // (256 longs vs a per-key count shuffle) and candidates come from a
+      // bounded tracker (t18's bounded top-k), not a distinct scan.
+      val d = 4
+      val w = 64
+      def bucket(r: Column, key: Column): Column =
+        conv(substring(md5(concat_ws("|", r, key)), 1, 14), 16, 10)
+          .cast("long") % w
+      val ev = events(s, dir).select("user_id")
+      val sketch = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .withColumn("b", bucket(col("r"), col("user_id")))
+        .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      exact
+        .select(col("user_id"), col("n_exact"),
+          explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .withColumn("b", bucket(col("r"), col("user_id")))
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy("user_id", "n_exact").agg(min("cnt").as("est_n"))
+        .withColumn("over_n", col("est_n") - col("n_exact"))
+        .orderBy(desc("est_n"), asc("user_id")).limit(20)
+    }),
+
+    "q87_hist_quantiles" -> ((s, dir) => {
+      // mergeable equi-width histogram quantiles — the fixed-state answer
+      // to "p50/p95/p99 of a 100 TB column": 1024 bins over a FIXED domain
+      // (bin = price_milli >> 17, clamped), so bin counts are an additive,
+      // mergeable, streamable sketch like q86's counters — one groupBy
+      // with map-side combine reduces any corpus to ≤ 1024 rows per group,
+      // and the quantile extraction (cumulative window + integer
+      // interpolation inside the target bin) runs on that bounded table
+      // only. Everything is exact integer arithmetic on floor-milli units
+      // (rank = ceil(p·n/1000), offset = ((rank−cum_prev)·width) DIV cnt)
+      // → hash-exact oracle for an approximate statistic, the q78
+      // pattern. A FIXED domain (not data-dependent min/max) is what makes
+      // the sketch mergeable across partitions, days, and streams — the
+      // price of a domain guess is resolution at the clamp edge, not
+      // correctness (rank semantics still hold on the clamp bin).
+      val binBits = 17 // 131072 milli ≈ 131 currency units per bin
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(FLOOR(l_extendedprice * 1000) AS BIGINT)").as("pm"))
+        .select(col("flag"),
+          least(shiftright(col("pm"), binBits), lit(1023L)).as("bin"))
+      val hist = li.groupBy("flag", "bin").agg(count(lit(1)).as("cnt"))
+      hist
+        .withColumn("cum", sum("cnt").over(Window.partitionBy("flag").orderBy("bin")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("flag")))
+        .select(col("*"), explode(array(lit(500), lit(950), lit(990))).as("p"))
+        .withColumn("rank", expr("(p * n + 999L) DIV 1000"))
+        .filter(col("cum") >= col("rank") && (col("cum") - col("cnt")) < col("rank"))
+        .withColumn("est_milli", expr(
+          s"shiftleft(bin, $binBits) + (((rank - (cum - cnt)) * ${1L << binBits}L) DIV cnt)"))
+        .select(col("flag"), col("p"), col("n"), col("est_milli"))
     })
   )
+
+  /** q85's estimator numerator α_64·m²·2^51·(one double) — computed ONCE
+    * here and interpolated into the oracle SQL as the same literal, so
+    * both engines parse the identical double and the single division +
+    * floor is bit-identical (BUILD_NOTES float rule). α_64 = 0.709
+    * (Flajolet's constant for m = 64). */
+  private val HllEstNum: Double = 0.709 * 64 * 64 * (1L << 51).toDouble
+
+  /** Linear-counting estimates floor(m·ln(m/V)) for V = 1..64 empty
+    * registers — 64 integers computed once and shared with the oracle as
+    * literals (so neither engine's ln() is ever on the replay path). */
+  private val HllLcTable: Array[Long] =
+    (1 to 64).map(v => math.floor(64.0 * math.log(64.0 / v)).toLong).toArray
 
   /** DuckDB replay of q80's TextRank: the fixed iteration count unrolls
     * into chained CTEs (pr0 → pr1 → … — recursive CTEs cannot aggregate
@@ -1913,6 +2048,74 @@ $steps
              CAST(MIN(zkey) AS BIGINT) AS min_zkey,
              CAST(MAX(zkey) AS BIGINT) AS max_zkey
       FROM z
-      GROUP BY tile_id"""
+      GROUP BY tile_id""",
+
+    // the HLL registers replayed exactly (same 56-bit md5 domain, same
+    // bin()-length rank, same integer harmonic-mean denominator); the one
+    // float op is the shared-literal division + floor
+    "q85_hll_distinct" -> s"""
+      WITH h AS (SELECT event_type AS grp,
+                        CAST(CONCAT('0x', SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+                 FROM events),
+      r AS (SELECT grp, h >> 50 AS reg,
+                   CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                        ELSE 51 - LEN(bin(h & 1125899906842623)) END AS rho
+            FROM h),
+      mx AS (SELECT grp, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+      ag AS (SELECT grp,
+                    SUM(CAST(1 AS BIGINT) << CAST(51 - rho AS INT)) AS s_present,
+                    COUNT(*) AS n_regs
+             FROM mx GROUP BY 1),
+      raw AS (SELECT grp, CAST(n_regs AS BIGINT) AS n_regs,
+                     CAST(FLOOR($HllEstNum /
+                       (s_present + (64 - n_regs) * 2251799813685248)) AS BIGINT) AS est_raw
+              FROM ag),
+      sk AS (SELECT grp, n_regs,
+                    CAST(CASE WHEN est_raw <= 160 AND n_regs < 64
+                         THEN ([${HllLcTable.mkString(", ")}])[64 - n_regs]
+                         ELSE est_raw END AS BIGINT) AS est_distinct
+             FROM raw),
+      ex AS (SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+      SELECT sk.grp, CAST(n_exact AS BIGINT) AS n_exact, n_regs, est_distinct,
+             CAST((1000 * ABS(est_distinct - n_exact)) // n_exact AS BIGINT) AS err_milli
+      FROM sk JOIN ex ON sk.grp = ex.grp""",
+
+    // the 4×64 counter matrix replayed cell-for-cell (additive → any
+    // grouping order agrees), then the same min-over-rows estimates and
+    // the deterministic (est desc, user_id) top-20 cut
+    "q86_cms_heavy_hitters" -> """
+      WITH inc AS (
+        SELECT user_id, r.g AS r,
+               CAST(CONCAT('0x', SUBSTRING(md5(CAST(r.g AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 64 AS b
+        FROM events, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS g) r),
+      sk AS (SELECT r, b, COUNT(*) AS cnt FROM inc GROUP BY 1, 2),
+      ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1),
+      pr AS (
+        SELECT e.user_id, e.n_exact, r.g AS r,
+               CAST(CONCAT('0x', SUBSTRING(md5(CAST(r.g AS VARCHAR) || '|' || CAST(e.user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 64 AS b
+        FROM ex e, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS g) r),
+      est AS (SELECT p.user_id, p.n_exact, MIN(sk.cnt) AS est_n
+              FROM pr p JOIN sk ON p.r = sk.r AND p.b = sk.b
+              GROUP BY 1, 2)
+      SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+             CAST(est_n AS BIGINT) AS est_n,
+             CAST(est_n - n_exact AS BIGINT) AS over_n
+      FROM est ORDER BY est_n DESC, user_id LIMIT 20""",
+
+    // same fixed-domain bins, same integer rank/interpolation arithmetic
+    "q87_hist_quantiles" -> """
+      WITH b AS (SELECT l_returnflag AS flag,
+                        LEAST(CAST(FLOOR(l_extendedprice * 1000) AS BIGINT) >> 17, 1023) AS bin
+                 FROM lineitem),
+      h AS (SELECT flag, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      c AS (SELECT flag, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY flag) AS n
+            FROM h),
+      q AS (SELECT c.*, p.g AS p, (p.g * n + 999) // 1000 AS rank
+            FROM c, (SELECT UNNEST([500, 950, 990]) AS g) p)
+      SELECT flag, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
+             CAST((bin << 17) + (((rank - (cum - cnt)) * 131072) // cnt) AS BIGINT) AS est_milli
+      FROM q WHERE cum >= rank AND (cum - cnt) < rank"""
   )
 }

@@ -89,6 +89,26 @@ object SimilarityQueries {
     * blow up analysis/codegen long before the data does. */
   private[graft] val LiteralPivotMax = 256
 
+  /** s12's trained per-dimension scale table (max |x_d| over the bounded
+    * vec_id < 4096 sample — the quantizer-training pattern shared with
+    * [[ivfPivots]] and pqCodebook): dim floats, memoized per corpus dir.
+    * max(abs(x)) involves NO arithmetic (abs of a float is a float, max
+    * picks one), so the table — and through it every int8 code — is an
+    * exact function of the sample in any engine. */
+  private val sqScalesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  private[graft] def sqScales(s: SparkSession, dir: String): Array[Float] = {
+    val existing = sqScalesCache.get(dir)
+    if (existing != null) return existing
+    val trained = tbl(s, dir, "embeddings")
+      .filter(col("vec_id") < 4096L)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(max(abs(col("x"))).as("m"))
+      .orderBy("pos").collect().map(_.getFloat(1))
+    val prev = sqScalesCache.putIfAbsent(dir, trained)
+    if (prev != null) prev else trained
+  }
+
   /** Pivot ids of the `k` nearest centroids (cosine desc, ties to the
     * lowest id) — literal structs up to [[LiteralPivotMax]] centroids, the
     * [[org.apache.spark.sql.graft.NearestPivots]] reference-object
@@ -482,6 +502,49 @@ object SimilarityQueries {
             col("score")))).as("e"))
         .select("e.query_id", "e.neighbor_id", "e.score")
       topKPerQuery(cand, 5, distinct = true)
+    }),
+
+    "s12_knn_sq8" -> ((s, dir) => {
+      // int8 SCALAR-QUANTIZED ANN (FAISS SQ8 / Lucene int8 shape) — the
+      // memory lever ORTHOGONAL to s02's scan-reduction: the corpus rides
+      // the scan as dim-BYTE codes (4× smaller than float32 — at 100 TB
+      // of vectors that is the difference between an index that fits the
+      // cluster's page cache and one that doesn't), scoring is an exact
+      // INTEGER dot product (native codegen'd [[org.apache.spark.sql
+      // .graft.SqOps]] — no float until re-rank), and a 3k-deep integer
+      // shortlist is exactly re-ranked in float (the s07 ADC-then-rerank
+      // pattern; 3k absorbs quantization rank noise at the top-k
+      // boundary). Plan shape is s01's: quantize map-side, queries
+      // broadcast, the only exchanges carry (neg_score, id) pairs through
+      // bounded top-k aggregates — the int8 codes NEVER ride a shuffle
+      // (the type-based payload invariant covers BINARY). The scale
+      // table trains on the bounded sample once ([[sqScales]]); both
+      // quantization and the integer dots are exact in any engine, so
+      // the oracle replays the ENTIRE pipeline — training, codes,
+      // integer shortlist, float re-rank — hash-exact.
+      import org.apache.spark.sql.graft.functions.{int8_quantize, int8_vec_dot, top_k_struct}
+      val scales = sqScales(s, dir)
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          int8_quantize(col("embedding"), scales).as("q_code"),
+          col("embedding").as("q_emb"))
+      val shortlist = emb
+        .select(col("vec_id"), int8_quantize(col("embedding"), scales).as("code"))
+        .crossJoin(broadcast(queries.select("query_id", "q_code")))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          int8_vec_dot(col("code"), col("q_code")).as("qscore"))
+        .groupBy("query_id")
+        .agg(top_k_struct(struct((col("qscore") * -1).as("neg"),
+          col("neighbor_id")), 15).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
+      val scored = emb.join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(queries.select("query_id", "q_emb")), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      topKPerQuery(scored, 5)
     }),
 
     "s09_knn_mmr" -> ((s, dir) => {
@@ -945,6 +1008,60 @@ object SimilarityQueries {
              CAST(FLOOR(SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 10) AS BIGINT) AS norm_decile,
              COUNT(*) AS n_vectors
       FROM embeddings
-      GROUP BY 1, 2"""
+      GROUP BY 1, 2""",
+
+    // the FULL SQ8 pipeline replayed: scale training (max|x| — no
+    // arithmetic), the floor(x·127/s + 0.5) clamp quantizer (exact
+    // conversions + correctly-rounded IEEE ops + exact floor), the
+    // integer-dot shortlist, and the d07 full-double cosine re-rank
+    "s12_knn_sq8" -> """
+      WITH sc AS (
+        SELECT p.pos AS d, MAX(ABS(embedding[p.pos + 1])) AS m
+        FROM embeddings, (SELECT UNNEST(RANGE(64)) AS pos) p
+        WHERE vec_id < 4096
+        GROUP BY 1),
+      code AS (
+        SELECT e.vec_id, s.d,
+               CASE WHEN CAST(s.m AS DOUBLE) = 0 THEN 0
+                    ELSE GREATEST(-127, LEAST(127,
+                      CAST(FLOOR(CAST(e.embedding[s.d + 1] AS DOUBLE) * 127.0
+                                 / CAST(s.m AS DOUBLE) + 0.5) AS BIGINT)))
+               END AS q
+        FROM embeddings e, sc s),
+      qc AS (SELECT vec_id AS query_id, d, q FROM code WHERE vec_id < 10),
+      dots AS (
+        SELECT qc.query_id, c.vec_id AS neighbor_id, SUM(c.q * qc.q) AS qscore
+        FROM code c JOIN qc ON c.d = qc.d AND c.vec_id <> qc.query_id
+        GROUP BY 1, 2),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rn
+          FROM dots) WHERE rn <= 15),
+      scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               CASE WHEN den = 0 THEN 0.0 ELSE dot / den END AS score
+        FROM (
+          SELECT s.query_id, s.neighbor_id,
+                 LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(eq.embedding)),
+                     i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b) AS dot,
+                 SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(eq.embedding)),
+                     i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b))
+                 * SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                   LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ea.embedding)),
+                     i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b)) AS den
+          FROM short s
+          JOIN embeddings eq ON s.query_id = eq.vec_id
+          JOIN embeddings ea ON s.neighbor_id = ea.vec_id) s)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5"""
   )
 }

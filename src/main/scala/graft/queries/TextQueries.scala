@@ -431,36 +431,42 @@ object TextQueries {
       // ['a','a','a'] merges exactly one — true BPE greedy semantics,
       // identical in Spark and the oracle). Ties break (count desc, left
       // asc, right asc) — fully deterministic; all counts are integers.
-      val iters = 6
-      val words0 = tbl(s, dir, "documents")
-        .select(explode(toks(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .withColumn("word_sym", concat(lit("||"),
-          array_join(expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"), "||"),
-          lit("||</w>||")))
-        .select("word_sym", "cnt")
-        .persist()
-      var words = words0.toDF()
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-      for (it <- 1 to iters) {
-        val best = words
-          .select(col("cnt"), filter(split(col("word_sym"), "\\|"), x => x =!= "").as("sym"))
-          .filter(size(col("sym")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(sym) - 1), " +
-              "i -> named_struct('l', element_at(sym, i), 'r', element_at(sym, i + 1)))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("pcnt"))
-          .orderBy(desc("pcnt"), asc("l"), asc("r"))
-          .limit(1).collect()(0)
-        val (l, r) = (best.getString(0), best.getString(1))
-        merges += ((it, l, r, best.getLong(2)))
-        words = words.withColumn("word_sym", call_function("replace",
+      import s.implicits._
+      bpeLearnMerges(s, dir, iters = 6)
+        .toDF("iter", "left_sym", "right_sym", "pair_count")
+    }),
+
+    "t22_bpe_encode" -> ((s, dir) => {
+      // BPE ENCODING — the apply half of t20's trainer: tokenize the
+      // corpus with the merge table the trainer just learned. The scale
+      // lever is VOCABULARY-LEVEL encoding (what real trainers do): each
+      // DISTINCT word is encoded once — the same 6 literal REPLACEs over
+      // the Zipf-bounded vocab table, a per-vocab-entry cost — and the
+      // corpus then just looks its words up: explode → broadcast-join the
+      // (term, n_syms) vocab → one doc_id-keyed partial-agg shuffle.
+      // Encoding per corpus TOKEN (a per-char symbol chain per occurrence)
+      // would pay the merge chain n_tokens/n_vocab times over — pure
+      // waste under any Zipf law. The vocab broadcast holds while min-
+      // frequency pruning keeps tokenizer vocabs ~1e5-1e6 (standard);
+      // past that, drop the hint and the lookup becomes a term-keyed
+      // shuffle join — the plan is otherwise unchanged. n_syms counts the
+      // `</w>` end-of-word marker, so n_bpe_tokens ≥ n_words and
+      // expansion_milli ≥ 1000 by construction; more merges push it down
+      // toward the compression a trained tokenizer buys.
+      val merges = bpeLearnMerges(s, dir, iters = 6)
+      val enc = merges.foldLeft(bpeWords0(s, dir)) { case (df, (_, l, r, _)) =>
+        df.withColumn("word_sym", call_function("replace",
           col("word_sym"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
       }
-      words0.unpersist()
-      import s.implicits._
-      merges.toSeq.toDF("iter", "left_sym", "right_sym", "pair_count")
+        .withColumn("n_syms",
+          size(filter(split(col("word_sym"), "\\|"), x => x =!= "")).cast("long"))
+        .select("term", "n_syms")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .join(broadcast(enc), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+        .withColumn("expansion_milli", expr("(1000L * n_bpe_tokens) DIV n_words"))
     }),
 
     "t21_dedup_rewrite" -> ((s, dir) => {
@@ -499,14 +505,61 @@ object TextQueries {
     })
   )
 
-  /** DuckDB replay of [[defs t20_bpe_learn]]: the driver loop unrolls into
-    * chained CTEs (the q80 textrankOracle precedent) — per iteration a
-    * weighted pair count, a (count desc, l, r) argmax, and the same
-    * double-separator REPLACE merge. */
-  private def bpeOracle(iters: Int): String = {
+  /** (term, word_sym, cnt) base vocabulary shared by the BPE family (t20
+    * learn, t22 encode): ONE corpus scan reduces any corpus to the
+    * Zipf-bounded word-count table every later BPE step runs on. Words are
+    * '||'-separated symbol strings (see t20's comment for why double
+    * separators make leftmost REPLACE exactly greedy BPE). */
+  private def bpeWords0(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("word_sym", concat(lit("||"),
+        array_join(expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"), "||"),
+        lit("||</w>||")))
+      .select("term", "word_sym", "cnt")
+
+  /** t20's training loop, shared with t22: [[bpeWords0]] persisted, then
+    * `iters` rounds of (pair-count shuffle over the VOCAB table only,
+    * 1-row argmax collect — the bounded centroid-precedent driver
+    * artifact, map-side REPLACE merge). Returns the learned merge table:
+    * (iter, left, right, pair_count), `iters` rows. Deterministic: ties
+    * break (count desc, left asc, right asc), all counts integers. */
+  private def bpeLearnMerges(s: SparkSession, dir: String,
+      iters: Int): Seq[(Int, String, String, Long)] = {
+    val words0 = bpeWords0(s, dir).persist()
+    var words = words0.toDF()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (it <- 1 to iters) {
+      val best = words
+        .select(col("cnt"), filter(split(col("word_sym"), "\\|"), x => x =!= "").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "i -> named_struct('l', element_at(sym, i), 'r', element_at(sym, i + 1)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(desc("pcnt"), asc("l"), asc("r"))
+        .limit(1).collect()(0)
+      val (l, r) = (best.getString(0), best.getString(1))
+      merges += ((it, l, r, best.getLong(2)))
+      words = words.withColumn("word_sym", call_function("replace",
+        col("word_sym"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+    }
+    words0.unpersist()
+    merges.toSeq
+  }
+
+  /** The shared CTE chain for the BPE oracles: the driver loop unrolls
+    * into chained MATERIALIZED CTEs (the q80 textrankOracle precedent) —
+    * per iteration a weighted pair count, a (count desc, l, r) argmax,
+    * and the same double-separator REPLACE merge. `term` rides through
+    * every w_k so the encode oracle can key the vocab lookup. */
+  private def bpeChain(iters: Int): String = {
     val base = """
       WITH w0 AS MATERIALIZED (
-        SELECT '||' || ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(term)),
+        SELECT term,
+               '||' || ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(term)),
                  i -> SUBSTRING(term, i, 1)), '||') || '||</w>||' AS word_sym, cnt
         FROM (SELECT term, COUNT(*) AS cnt
               FROM (SELECT UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS term
@@ -521,16 +574,38 @@ object TextQueries {
              UNNEST(GENERATE_SERIES(1, LEN(s.sym) - 1)) AS t(i)
         GROUP BY 1, 2),
       b$k AS MATERIALIZED (SELECT l, r, pcnt FROM p$k ORDER BY pcnt DESC, l, r LIMIT 1),
-      w$k AS MATERIALIZED (SELECT REPLACE(word_sym,
+      w$k AS MATERIALIZED (SELECT term, REPLACE(word_sym,
                        '|' || (SELECT l FROM b$k) || '||' || (SELECT r FROM b$k) || '|',
                        '|' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || '|') AS word_sym, cnt
               FROM w${k - 1})"""
     }.mkString(",", ",", "")
+    base + steps
+  }
+
+  /** DuckDB replay of [[defs t20_bpe_learn]]: the merge rows off
+    * [[bpeChain]]'s per-iteration argmaxes. */
+  private def bpeOracle(iters: Int): String = {
     val rows = (1 to iters).map { k =>
       s"SELECT $k AS iter, l AS left_sym, r AS right_sym, CAST(pcnt AS BIGINT) AS pair_count FROM b$k"
     }.mkString("\n      UNION ALL ")
-    base + steps + "\n      " + rows
+    bpeChain(iters) + "\n      " + rows
   }
+
+  /** DuckDB replay of [[defs t22_bpe_encode]]: the final merged vocab
+    * (w`iters`) keyed by term, looked up per corpus token. */
+  private def bpeEncodeOracle(iters: Int): String =
+    bpeChain(iters) + s""",
+      enc AS (SELECT term,
+                     LEN(LIST_FILTER(STR_SPLIT(word_sym, '|'), x -> x <> '')) AS n_syms
+              FROM w$iters),
+      tk AS (SELECT doc_id, UNNEST(LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '')) AS term
+             FROM documents),
+      agg AS (SELECT doc_id, COUNT(*) AS n_words, SUM(n_syms) AS n_bpe_tokens
+              FROM tk JOIN enc USING (term) GROUP BY 1)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+             CAST((1000 * n_bpe_tokens) // n_words AS BIGINT) AS expansion_milli
+      FROM agg"""
 
   /** PII patterns, restricted to the Java∩RE2 common dialect (character
     * classes, bounded repeats, ASCII \b — no lookaround, no backrefs) so
@@ -824,6 +899,7 @@ object TextQueries {
       FROM c WHERE n_copies > 0""",
 
     "t20_bpe_learn" -> bpeOracle(6),
+    "t22_bpe_encode" -> bpeEncodeOracle(6),
 
     // the full doc-local rewrite replayed: 5-gram list, first-index repeat
     // test, span union, index-aware filter (DuckDB lambda indexes are

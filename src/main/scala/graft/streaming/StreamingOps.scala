@@ -142,6 +142,28 @@ object StreamingOps {
       .select("grp", "n_kept", "kth", "est_distinct")
   }
 
+  /** Streaming Count-Min sketch — q86's streaming twin, and the additive
+    * counterpart of [[kmvDistinctStream]]'s order-independence story:
+    * counter increments COMMUTE, so the d×w counter matrix folds every
+    * micro-batch map-side (partial aggregation), holds exactly d·w longs
+    * of complete-mode state no matter how long the stream runs, and any
+    * split of the same events into micro-batches lands on the identical
+    * matrix (pinned by spec against the batch build). Frequency queries
+    * then probe the tiny output table with q86's min-over-rows estimate —
+    * the firehose "how often did key x occur" answer whose state never
+    * grows. Hashing matches q86 cell-for-cell (56-bit md5 of "row|key"
+    * mod w), so a stream-built sketch is interchangeable with a
+    * batch-built one — build on the stream, query in batch. */
+  def cmsFreqStream(events: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1 rows and w >= 2 buckets, got d=$d w=$w")
+    events
+      .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("b",
+        conv(substring(md5(concat_ws("|", col("r"), col("user_id"))), 1, 14), 16, 10)
+          .cast("long") % w)
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming novelty filter against a static corpus digest — the
     * streaming half of the d12 incremental-dedup design: keep only the
     * incoming documents that CANNOT be Jaccard>=0.5 near-dups of the

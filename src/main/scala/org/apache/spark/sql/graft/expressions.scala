@@ -933,6 +933,80 @@ case class LongVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric int8 SCALAR QUANTIZATION of float vectors — the 4× memory
+  * lever every large ANN deployment pulls first (FAISS SQ8, Lucene/HNSW
+  * int8): per-dimension scale s_d (the max |x_d| over a training sample),
+  * q_d = clamp(floor(x_d·127/s_d + 0.5), ±127) stored as ONE BYTE.
+  * Every step is exact conversion or one correctly-rounded IEEE op +
+  * exact floor, so any engine reproduces the codes bit-for-bit (the d07
+  * replay rule). Scoring is an exact INTEGER dot product of the byte
+  * codes — no float until the final exact re-rank of the shortlist. */
+object SqOps {
+  def quantize(v: ArrayData, scales: Array[Float]): Array[Byte] = {
+    require(v.numElements() == scales.length,
+      s"vector length ${v.numElements()} does not match the scale table ${scales.length}")
+    val out = new Array[Byte](scales.length)
+    var i = 0
+    while (i < scales.length) {
+      val s = scales(i).toDouble
+      val q = if (s == 0.0) 0.0
+        else math.floor(v.getFloat(i).toDouble * 127.0 / s + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Exact dot product of two signed int8 code vectors (BINARY columns):
+    * |acc| ≤ dim·127² — a long overflows only past ~5.7e14 dims. */
+  def dot(a: Array[Byte], b: Array[Byte]): Long = {
+    require(a.length == b.length,
+      s"code lengths differ: ${a.length} vs ${b.length}")
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `int8_quantize(vec)` — BINARY int8 codes of an ARRAY<FLOAT> vector
+  * against a reference-object per-dimension scale table; see [[SqOps]]. */
+case class Int8Quantize(child: Expression, scales: Array[Float])
+  extends UnaryExpression {
+  require(scales.nonEmpty, "the scale table must be non-empty")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(ExprChecks.isFloatArray(child.dataType), "ARRAY<FLOAT>", child.dataType)
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(input: Any): Any =
+    SqOps.quantize(input.asInstanceOf[ArrayData], scales)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scales", scales, "float[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.SqOps.quantize($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `int8_vec_dot(a, b)` — exact integer dot of two int8 code columns. */
+case class Int8VecDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(left.dataType == BinaryType && right.dataType == BinaryType,
+      "BINARY on both sides", left.dataType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SqOps.dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.SqOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998) over a
   * BOUNDED per-query candidate list — retrieval's answer to near-duplicate
   * result lists: each pick maximizes λ·relevance − (1−λ)·max-similarity-to-
@@ -1223,6 +1297,13 @@ object functions {
     ExpressionUtils.column(FloatVecCosine(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def int8_quantize(c: Column, scales: Array[Float]): Column =
+    ExpressionUtils.column(Int8Quantize(ExpressionUtils.expression(c), scales))
+
+  def int8_vec_dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(Int8VecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def vec_srp(c: Column, planes: Int = 32): Column =
     ExpressionUtils.column(FloatVecSrp(ExpressionUtils.expression(c), planes))
 
@@ -1316,6 +1397,9 @@ object functions {
       "simhash64" -> (exprs => SimHash64(exprs.head)),
       "simhash_md5" -> (exprs => SimHashMd5(exprs.head)),
       "vec_cosine" -> (exprs => FloatVecCosine(exprs(0), exprs(1))),
+      // int8_quantize is NOT SQL-registered: its scale table is a trained
+      // reference object (the NearestPivots/BloomCountHits precedent)
+      "int8_vec_dot" -> (exprs => Int8VecDot(exprs(0), exprs(1))),
       "vec_srp" -> (exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32))),
       "vec_srp_md5" -> (exprs => FloatVecSrpMd5(exprs.head, intArg(exprs, 1, 32))),
       "normalize_text" -> (exprs => NormalizeText(exprs.head)),

@@ -402,6 +402,43 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(a1 === lit1024.map { case (id, (top, _)) => id -> top.head })
   }
 
+  test("int8_quantize / int8_vec_dot: round-half-up codes, ±127 clamp, " +
+      "zero-scale guard, exact integer dots, SQL registration") {
+    import org.apache.spark.sql.graft.functions.{int8_quantize, int8_vec_dot}
+    val scales = Array(2.0f, 1.0f, 0.0f, 0.5f)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.5f, 3.0f, -0.25f)),   // mid-range + zero-scale dim
+      (2L, Seq(2.0f, -1.0f, 9.9f, 0.5f)),    // exact scale hits ±127
+      (3L, Seq(5.0f, -9.0f, 0.0f, 1.0f))     // out-of-range clamps
+    ).toDF("id", "v")
+      .select($"id", int8_quantize(array($"v"(0), $"v"(1), $"v"(2), $"v"(3))
+        .cast("array<float>"), scales).as("code"))
+    val codes = df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // q = clamp(floor(x·127/s + 0.5)): 1.0/2 → 64 (63.5 + .5 rounds up),
+    // 0.5/1 → 64, zero scale → 0, −0.25/0.5 → −63 (−63.5+.5 = −63 exact)
+    assert(codes(1).toSeq === Seq[Byte](64, 64, 0, -63))
+    assert(codes(2).toSeq === Seq[Byte](127, -127, 0, 127))
+    assert(codes(3).toSeq === Seq[Byte](127, -127, 0, 127), "clamp binds")
+    // exact integer dot: 64·127 + 64·(−127) + 0 + (−63)·127
+    val dot = df.filter($"id" === 1).crossJoin(
+        df.filter($"id" === 2).select($"code".as("code2")))
+      .select(int8_vec_dot($"code", $"code2")).head().getLong(0)
+    assert(dot === 64L * 127 + 64L * -127 + 0 + -63L * 127)
+    // SQL registration (the dot only — quantize carries a trained table)
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    assert(spark.sql(
+      "SELECT int8_vec_dot(CAST('ab' AS BINARY), CAST('ba' AS BINARY))")
+      .head().getLong(0) === 97L * 98 * 2)
+    // dimension mismatch fails loudly, not silently
+    val err = intercept[Throwable] {
+      df.filter($"id" === 1)
+        .select(int8_vec_dot($"code", lit(Array[Byte](1, 2)))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("lengths differ")), msgs(err).mkString(" | "))
+  }
+
   test("zorder_key: matches the per-bit interleave reference over mixed int/long input") {
     val df = spark.range(2000).select(
       (col("id") * 2654435761L % 100003).cast("int").as("x"),

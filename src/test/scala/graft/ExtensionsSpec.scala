@@ -55,6 +55,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
           "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0) === 1.0)
       assert(s.sql("SELECT size(token_shingle_hashes('a b c d', 3))").head().getInt(0) === 2)
+      assert(s.sql("SELECT int8_vec_dot(CAST('ab' AS BINARY), CAST('ba' AS BINARY))")
+        .head().getLong(0) === 97L * 98 * 2)
       // the bounded top-k AGGREGATES register through the same path
       assert(s.sql(
         "SELECT top_k_struct(struct(v), 2) FROM VALUES (3L), (1L), (2L) AS t(v)")

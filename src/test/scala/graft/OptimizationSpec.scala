@@ -385,7 +385,11 @@ class OptimizationSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.graft.PlanIntrospection
-    val exempt = Set("q22_cross_join", "s01_knn_brute", "s09_knn_mmr", "q81_kmv_set_ops")
+    //  - s12_knn_sq8: s01's bounded-broadcast pattern (the build side is
+    //    the vec_id < 10 query set, here as 64-byte int8 codes); witness
+    //    shared with s01/s09 below.
+    val exempt = Set("q22_cross_join", "s01_knn_brute", "s09_knn_mmr", "s12_knn_sq8",
+      "q81_kmv_set_ops")
     def nestedLoops(p: SparkPlan): Seq[SparkPlan] = p.collect {
       case j: BroadcastNestedLoopJoinExec => j
       case j: CartesianProductExec => j
@@ -402,7 +406,7 @@ class OptimizationSpec extends AnyFunSuite {
     // boundedness witnesses for the exemptions that DO nested-loop:
     // s01/s09 must keep the vec_id < 10 query filter on some side of the
     // plan (the bound that makes the broadcast side ~10 rows)
-    Seq("s01_knn_brute", "s09_knn_mmr").foreach { name =>
+    Seq("s01_knn_brute", "s09_knn_mmr", "s12_knn_sq8").foreach { name =>
       val plan = PlanIntrospection.physicalPlan(SparkEntry.queries(name)(spark, sf))
       val bounded = plan.exists(_.expressions.exists(_.exists {
         case LessThan(a, Literal(10, _)) => a.references.exists(_.name == "vec_id")

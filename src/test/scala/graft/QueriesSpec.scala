@@ -552,6 +552,105 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 HLL: estimates land inside the m=64 error envelope, registers bounded") {
+    // HLL standard error = 1.04/√m = 13% at m=64; the fixture margin is
+    // deterministic (seed-42 hashes), so a 400-milli (~3σ) bound is a
+    // regression tripwire, not a probabilistic claim
+    val rows = SparkEntry.queries("q85_hll_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nExact, nRegs, est, err) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nRegs <= 64, s"more than m registers: $nRegs")
+      assert(est > 0 && nExact > 0)
+      assert(err <= 400, s"HLL error $err milli exceeds the 3σ-ish bound")
+    }
+  }
+
+  test("q86 CMS: estimates always dominate exact counts and stay inside ε·N") {
+    // the one-sided Count-Min guarantee: every occurrence lands in all d
+    // cells, so min-over-rows can only OVERcount; the overcount is bounded
+    // by ε·N (ε = e/w ≈ 0.0425 at w=64) with prob 1−e^-d per key — on the
+    // deterministic fixture the margin either holds or the sketch broke
+    val rows = SparkEntry.queries("q86_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    rows.foreach { r =>
+      val (nExact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= nExact, s"CMS undercounted: est $est < exact $nExact")
+      assert(over == est - nExact)
+      assert(over <= math.ceil(0.0425 * total).toLong,
+        s"overcount $over exceeds ε·N = ${0.0425 * total}")
+    }
+  }
+
+  test("q87 histogram quantiles bracket the exact quantiles within one bin width") {
+    // the approximation contract of a fixed-domain equi-width histogram:
+    // the interpolated estimate lives in the bin that contains the true
+    // rank-th value (no clamping on this domain — max price_milli ≈
+    // 1.1e8 < 2^27), so |est − exact| ≤ the 2^17 bin width
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q87_hist_quantiles")(spark, sf).collect()
+    assert(rows.length == 9, "3 return flags × 3 quantiles")
+    val byFlag = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(FLOOR(l_extendedprice * 1000) AS BIGINT)").as("pm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    rows.foreach { r =>
+      val (flag, p, n, est) = (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val xs = byFlag(flag)
+      assert(n == xs.length)
+      val rank = ((p.toLong * n + 999) / 1000).toInt
+      val exact = xs(rank - 1)
+      assert(math.abs(est - exact) <= (1L << 17),
+        s"$flag p$p: est $est vs exact $exact differ by more than a bin")
+    }
+  }
+
+  test("s12 SQ8 ANN: recall@5 vs the exact brute force clears the fixture floor, " +
+    "and the int8 shortlist is deep enough that re-rank restores the exact top-1") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("s01_knn_brute")(spark, sf)
+    val sq = SparkEntry.queries("s12_knn_sq8")(spark, sf)
+    val nExact = exact.count()
+    assert(nExact > 0)
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(sq.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .count()
+    val recall = hits.toDouble / nExact
+    assert(recall >= 0.85, f"recall@5 $recall%.3f below the 0.85 fixture floor")
+    // top-1 agreement: the exact re-rank over a 3k shortlist should not
+    // lose the true nearest neighbor on this fixture
+    val top1Miss = exact.filter(col("rank") === 1)
+      .join(sq.filter(col("rank") === 1), Seq("query_id", "neighbor_id"),
+        "left_anti").count()
+    assert(top1Miss === 0, s"$top1Miss queries lost their exact top-1")
+  }
+
+  test("t22 BPE encode: word accounting matches t01, every word costs ≥ one " +
+    "symbol, and the 6 learned merges strictly compress the symbol stream") {
+    import org.apache.spark.sql.functions._
+    val enc = SparkEntry.queries("t22_bpe_encode")(spark, sf)
+    // n_words per doc = t01's whitespace token count (every corpus token
+    // is in the trained vocab by construction — same tokenizer)
+    val t01 = SparkEntry.queries("t01_token_count")(spark, sf)
+      .filter(col("n_tokens") > 0)
+    assert(enc.join(t01, "doc_id")
+      .filter(col("n_words") =!= col("n_tokens")).count() === 0)
+    assert(enc.count() === t01.count())
+    // expansion ≥ 1000: a word is never fewer than one symbol
+    assert(enc.filter(col("expansion_milli") < 1000).count() === 0)
+    // unmerged symbol cost per token = chars + 1 (the </w> marker);
+    // 6 merges must make the corpus total STRICTLY smaller
+    val unmerged = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+      .agg(sum(length(col("term")) + lit(1L))).head().getLong(0)
+    val merged = enc.agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(merged < unmerged,
+      s"6 merges must compress: merged $merged vs unmerged $unmerged")
+  }
+
   test("s10 kNN graph restricted to s01's query set equals s01 row-for-row") {
     import org.apache.spark.sql.functions._
     val graph = SparkEntry.queries("s10_knn_graph")(spark, sf)

@@ -117,6 +117,37 @@ class StreamingSpec extends AnyFunSuite {
       "bottom-k distinct state must be a pure function of the key set")
   }
 
+  test("streaming CMS matrix is batching-independent and equals the batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // additive counters: the same events split ANY way across micro-batches
+    // (each event exactly once — counts, unlike the KMV set function, are
+    // multiplicity-sensitive) must land on the identical d×w matrix
+    val rows = (1 to 400).map(i => (i * 37) % 90L)
+    def run(name: String, splits: Seq[Seq[Long]]): Set[(Int, Long, Long)] = {
+      val ms = MemoryStream[Long]
+      val df = ms.toDF().toDF("user_id")
+      val q = StreamingOps.cmsFreqStream(df).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val oneBatch = run("cms_one", Seq(rows))
+    val (a, b) = rows.splitAt(150)
+    val manyBatches = run("cms_many", Seq(b.reverse, a))
+    assert(oneBatch.nonEmpty && oneBatch == manyBatches,
+      "additive counter state must not depend on batching or order")
+    // and the stream-built matrix is interchangeable with the batch build
+    val batch = StreamingOps.cmsFreqStream(rows.toDF("user_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneBatch == batch, "stream and batch builds must agree cell-for-cell")
+    // state bound: never more than d·w cells
+    assert(oneBatch.size <= 4 * 64)
+  }
+
   test("stream-static broadcast join enriches every event exactly once") {
     val dim = spark.read.parquet(s"$sf/customer.parquet").select("c_custkey", "c_name")
     val joined = StreamingOps.enrichStream(StreamingOps.eventStream(spark, sf), dim)
