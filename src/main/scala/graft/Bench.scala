@@ -108,7 +108,11 @@ object Bench {
     // join — a superlinear regression in either would hide in the sf0.1
     // floor the same way t20's would)
     "t22_bpe_encode",
-    "s11_knn_graph_ivf")
+    "s11_knn_graph_ivf",
+    // r9: inverted-index retrieval — the posting build + per-(query,doc)
+    // scoring join both grow with the corpus; a superlinear regression
+    // would hide in the sf0.1 floor
+    "q88_bm25_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

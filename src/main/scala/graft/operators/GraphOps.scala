@@ -105,4 +105,93 @@ object GraphOps {
       out
     }
   }
+
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the production-scale sibling of [[connectedComponents]]:
+    * min-label propagation needs O(diameter) rounds, so a chain-shaped
+    * duplicate graph (doc A ≈ B ≈ C ≈ … — exactly what boilerplate
+    * families look like in a web corpus) costs one full shuffle per HOP;
+    * the alternating algorithm contracts every star toward its minimum in
+    * both phases and provably converges in O(log² n) rounds on ANY
+    * topology, each round two bounded shuffles over the (shrinking) edge
+    * list. Neither phase materializes a neighbor list: the per-node min is
+    * a groupBy aggregate joined back onto the edges, so a supernode (the
+    * root of a huge component) never collects its members into one row —
+    * per-task state stays bounded at any component size.
+    *
+    *   large-star: every edge (u,v), v > u, re-points v at m(u) =
+    *               min(N(u) ∪ u) — strictly-larger neighbors hop to the
+    *               star's current minimum;
+    *   small-star: every edge (u,v), v < u, re-points v (and u) at
+    *               m(u) = min of u's smaller neighborhood — the star
+    *               flattens onto its minimum.
+    *
+    * Both phases preserve connectivity exactly (each replaced edge is
+    * covered by a path through m); the fixpoint is a forest of depth-1
+    * stars rooted at each component's min id. Labels equal
+    * [[connectedComponents]]'s on any input (GraphOpsSpec proves it,
+    * including a diameter-300 chain that converges here in ≤ 8 rounds).
+    *
+    * Returns (doc_id, component = min id of the component), one row per
+    * non-isolated node — the [[connectedComponents]] contract. */
+  def connectedComponentsAlternating(pairs: DataFrame, maxRounds: Int = 32): DataFrame =
+    alternatingWithRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponentsAlternating]] plus the round count it converged
+    * in — exposed for the spec that pins the O(log² n) round bound. */
+  private[graft] def alternatingWithRounds(
+      pairs: DataFrame, maxRounds: Int = 32): (DataFrame, Int) = {
+    val xy = pairs
+      .select(col("doc_a").cast("long").as("x"), col("doc_b").cast("long").as("y"))
+    // nodes listed up front so self-loop-only nodes keep their singleton
+    // label (the connectedComponents contract)
+    val nodes = xy.select(col("x").as("doc_id"))
+      .unionAll(xy.select(col("y").as("doc_id"))).distinct()
+    val canon = xy
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    var edges = canon.localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star: symmetrize, per-node min over N(u) ∪ {u}, strictly
+      // larger neighbors re-point at it. m < v always, so (m, v) is
+      // canonical by construction.
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star: only the smaller-side neighborhood (v < u); u and all
+      // its smaller neighbors re-point at its min m ≤ v < u.
+      val smalls = ls.select(col("b").as("u"), col("a").as("v"))
+      val smins = smalls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = smalls.join(smins, "u").filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(smins.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint = the canonical edge set is unchanged (exact, both ways);
+      // at that point both phases are identity and the set is a star forest
+      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(edges)
+      edges = ss
+      rounds += 1
+    }
+    require(converged || rounds < maxRounds,
+      s"alternating connected components did not converge in $maxRounds rounds")
+    // star forest → labels: every b points at its root a; roots label
+    // themselves; nodes with no surviving edge (self-loop-only) are their
+    // own component
+    val star = edges.select(col("b").as("doc_id"), col("a").as("component"))
+      .unionAll(edges.select(col("a").as("doc_id"), col("a").as("component")))
+      .distinct()
+    val labels = nodes.join(star, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    (labels, rounds)
+  }
 }

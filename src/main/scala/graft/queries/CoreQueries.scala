@@ -1280,6 +1280,65 @@ object CoreQueries {
         .withColumn("est_milli", expr(
           s"shiftleft(bin, $binBits) + (((rank - (cum - cnt)) * ${1L << binBits}L) DIV cnt)"))
         .select(col("flag"), col("p"), col("n"), col("est_milli"))
+    }),
+
+    "q88_bm25_search" -> ((s, dir) => {
+      // BM25 full-text retrieval (Robertson & Walker) — the inverted-index
+      // search that turns a corpus into a queryable store: per-term posting
+      // lists with tf, df-driven term weights, length-normalized tf
+      // saturation (k1 = 1.2, b = 0.75), bounded top-10 per query. All
+      // arithmetic is milli-unit integer fixed-point so the ranking
+      // replays bit-for-bit (the t08/t11 no-cross-libm rule); the idf is
+      // the pre-log BM25 odds (N−df+½)/(df+½) in milli — monotone in df
+      // exactly like the log form, so rare terms dominate common ones,
+      // without ln() on the replay path. Scale shape: the posting build is
+      // ONE term-keyed partial-count shuffle (the inverted index — at
+      // 100 TB this is the thing you persist, s06-style); query terms and
+      // their df-weights are dimension-tiny and BROADCAST, so scoring is
+      // map-side over the postings; per-(query,doc) partial sums shuffle
+      // on (query_id, doc_id), and the final cut is the bounded top-k
+      // aggregate — k rows per query survive map-side, no global sort.
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      import s.implicits._
+      val queries = Seq(
+        (1, "fast join"), (2, "window sort scan"),
+        (3, "customer data stream"), (4, "hash merge batch"))
+        .toDF("query_id", "qtext")
+        .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("tk"))
+      val tf = docs.select(col("doc_id"), explode(col("tk")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // corpus stats are a 1-row bounded driver artifact (the centroid /
+      // argmax precedent): collected once and inlined as plan literals, so
+      // no 1-row join node exists — the alternative (a constant-key join)
+      // constant-folds back into a nested loop
+      val statsRow = docs
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("sum_dl"))
+        .head()
+      val nDocs = statsRow.getLong(0)
+      val avgdlMilli = 1000L * statsRow.getLong(1) / nDocs
+      // dimension side: query terms × their corpus weights (a handful of rows)
+      val qw = queries.join(df, "term")
+        .withColumn("idf_milli",
+          expr(s"(1000L * (2L * ${nDocs}L - 2L * df + 1L)) DIV (2L * df + 1L)"))
+        .select("query_id", "term", "idf_milli")
+      val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      tf.join(dl, "doc_id")
+        .join(broadcast(qw), "term")
+        .withColumn("norm_milli", expr(s"250L + (750L * dl * 1000L) DIV ${avgdlMilli}L"))
+        .withColumn("sat_milli", expr(
+          "(tf * 2200L * 1000L) DIV (tf * 1000L + (1200L * norm_milli) DIV 1000L)"))
+        .withColumn("term_score", expr("(idf_milli * sat_milli) DIV 1000L"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("term_score").as("score_milli"))
+        .groupBy("query_id")
+        .agg(top_k_struct(
+          struct((col("score_milli") * -1).as("neg_score"), col("doc_id")), 10).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.doc_id"), (col("col.neg_score") * -1).as("score_milli"))
     })
   )
 
@@ -2116,6 +2175,40 @@ $steps
             FROM c, (SELECT UNNEST([500, 950, 990]) AS g) p)
       SELECT flag, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
              CAST((bin << 17) + (((rank - (cum - cnt)) * 131072) // cnt) AS BIGINT) AS est_milli
-      FROM q WHERE cum >= rank AND (cum - cnt) < rank"""
+      FROM q WHERE cum >= rank AND (cum - cnt) < rank""",
+
+    // the same milli fixed-point BM25: pre-log odds idf, k1=1.2 b=0.75
+    // saturation, top-10 by (score DESC, doc_id ASC) per query
+    "q88_bm25_search" -> """
+      WITH q AS (
+        SELECT query_id, UNNEST(STR_SPLIT(qtext, ' ')) AS term
+        FROM (VALUES (1, 'fast join'), (2, 'window sort scan'),
+                     (3, 'customer data stream'), (4, 'hash merge batch')) v(query_id, qtext)),
+      d AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      tf AS (SELECT doc_id, UNNEST(tk) AS term FROM d),
+      tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+      st AS (SELECT COUNT(*) AS n_docs, SUM(LEN(tk)) AS sum_dl,
+                    (1000 * SUM(LEN(tk))) // COUNT(*) AS avgdl_milli
+             FROM d),
+      qw AS (SELECT query_id, term,
+                    (1000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1) AS idf_milli,
+                    avgdl_milli
+             FROM q JOIN dfc USING (term) CROSS JOIN st),
+      dl AS (SELECT doc_id, LEN(tk) AS dl FROM d),
+      sc AS (
+        SELECT query_id, doc_id,
+               SUM((idf_milli * ((tf * 2200 * 1000) //
+                 (tf * 1000 + (1200 * (250 + (750 * dl * 1000) // avgdl_milli)) // 1000))) // 1000)
+                 AS score_milli
+        FROM tfc JOIN dl USING (doc_id) JOIN qw USING (term)
+        GROUP BY 1, 2)
+      SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+             CAST(score_milli AS BIGINT) AS score_milli
+      FROM (SELECT query_id, doc_id, score_milli,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score_milli DESC, doc_id) AS rank
+            FROM sc)
+      WHERE rank <= 10"""
   )
 }

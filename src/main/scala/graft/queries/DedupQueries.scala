@@ -800,6 +800,24 @@ object DedupQueries {
           coalesce(size(col("rm")), lit(0)).as("n_removed"),
           expr("array_join(filter(tk, (t, i) -> rm IS NULL OR NOT array_contains(rm, i + 1)), ' ')")
             .as("clean_text"))
+    }),
+
+    "d21_cc_alternating" -> ((s, dir) => {
+      // d09's duplicate-cluster assignment by the PRODUCTION-SCALE
+      // algorithm: alternating large-star/small-star contraction (Kiveris
+      // et al., SoCC 2014 — [[graft.operators.GraphOps
+      // .connectedComponentsAlternating]]). d09's distributed path is
+      // min-label propagation — one full shuffle per HOP of component
+      // diameter, and web-corpus duplicate families chain (A ≈ B ≈ C ≈ …),
+      // so diameter grows with the corpus; the alternating form converges
+      // in O(log² n) rounds on any topology with bounded per-task state
+      // (no neighbor lists — the per-node min is an aggregate). Labels are
+      // provably identical (GraphOpsSpec); cluster sizes ride along as the
+      // "how much is duplicated" report column.
+      val labels = graft.operators.GraphOps.connectedComponentsAlternating(
+        exactJaccardPairs(s, dir).select("doc_a", "doc_b"))
+      labels.withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
     })
   )
 
@@ -1243,6 +1261,34 @@ object DedupQueries {
         SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a)
       SELECT src AS doc_id, MIN(node) AS component
       FROM reach
-      GROUP BY src"""
+      GROUP BY src""",
+
+    // d09's reachability oracle + per-component size: the alternating
+    // algorithm must land on exactly the same min-id labels
+    "d21_cc_alternating" -> """
+      WITH RECURSIVE
+      tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (1000 * LEN(LIST_INTERSECT(a.s, b.s)))
+              // (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 500),
+      edges AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT doc_a AS id FROM edges),
+      reach(src, node) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.node = e.doc_a),
+      lab AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src)
+      SELECT doc_id, component,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM lab"""
   )
 }

@@ -547,6 +547,35 @@ object SimilarityQueries {
       topKPerQuery(scored, 5)
     }),
 
+    "s13_range_search_ivf" -> ((s, dir) => {
+      // RANGE search — "every neighbor with cosine ≥ τ", the other query
+      // shape a vector store serves (dedup candidate pulls, "anything this
+      // similar is a policy hit", radius joins): s02's IVF probe verbatim,
+      // but the cut is the threshold, not a top-k — so the result size is
+      // data-driven and the bounded-top-k aggregate is the WRONG tool; the
+      // threshold filter composes with the same bucket-bounded scan
+      // (nprobe/nlist of the corpus per query, √-scaled buckets, vectors
+      // never in an exchange). Scores ship as floor(cos·1e6) micro units —
+      // one IEEE multiply + floor on the exactly-replayed double (the s05
+      // rule), so the oracle is hash-exact. τ = 0.2 is this synthetic
+      // corpus' "related" band (max pairwise cos ≈ 0.48 — the d07 note);
+      // production would sit at ~0.8+.
+      val emb = tbl(s, dir, "embeddings")
+      val pivots = ivfPivots(s, dir)
+      val assigned = ivfAssigned(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(topPivotIds(pivots, col("embedding"),
+            nprobeFor(pivots.length))).as("pivot_id"))
+      assigned.join(broadcast(probes), "pivot_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+        .filter(col("score") >= 0.2)
+        .select(col("query_id"), col("neighbor_id"),
+          floor(col("score") * 1000000).cast("long").as("score_micro"))
+    }),
+
     "s09_knn_mmr" -> ((s, dir) => {
       // MMR-DIVERSIFIED top-k — retrieval's answer to near-duplicate
       // result lists (a dedup'd corpus still returns clustered
@@ -808,6 +837,27 @@ object SimilarityQueries {
         FROM sc2)
       WHERE rank <= 5"""
 
+  /** s13: the same probe pipeline, thresholded instead of top-k'd; scores
+    * as floor(cos·1e6) exact micro units. */
+  private def rangeOracle(k: Int, iters: Int, nprobe: Int, tau: Double): String =
+    assignCtes(k, iters) + s""",
+      pr AS MATERIALIZED (
+        SELECT query_id, pivot_id FROM (
+          SELECT n.vec_id AS query_id, p.pivot_id,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                   ORDER BY ${cosSql("n.embedding", "n.nrm", "p.emb", "p.nrm")} DESC, p.pivot_id) AS rn
+          FROM ne n CROSS JOIN pv p WHERE n.vec_id < 10) WHERE rn <= $nprobe),
+      sc2 AS (
+        SELECT pr.query_id, v.vec_id AS neighbor_id,
+               ${cosSql("q.embedding", "q.nrm", "v.embedding", "v.nrm")} AS score
+        FROM pr JOIN af ON af.pivot_id = pr.pivot_id
+        JOIN ne v ON v.vec_id = af.vec_id
+        JOIN ne q ON q.vec_id = pr.query_id
+        WHERE v.vec_id <> pr.query_id)
+      SELECT query_id, neighbor_id,
+             CAST(FLOOR(score * 1000000) AS BIGINT) AS score_micro
+      FROM sc2 WHERE score >= $tau"""
+
   /** s05: per-cluster population + milli-sim sums over the final
     * assignment (cluster keys are the ORIGINAL k-means ids). */
   private def kmeansClusterOracle(k: Int, iters: Int): String =
@@ -956,6 +1006,7 @@ object SimilarityQueries {
     "s02_knn_ivf" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
     "s06_knn_ivf_persisted" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
     "s08_knn_filtered" -> ivfOracle(IvfNlist, 2, 2 * IvfNprobe, " AND v.label = 3"),
+    "s13_range_search_ivf" -> rangeOracle(IvfNlist, 2, IvfNprobe, 0.2),
     "s05_kmeans_ivf" -> kmeansClusterOracle(8, 3),
     // full-double replay (the d07 trick): per-vector norms once in a CTE,
     // per-pair dots via LIST_REDUCE — the same ascending-double left fold

@@ -469,6 +469,60 @@ object TextQueries {
         .withColumn("expansion_milli", expr("(1000L * n_bpe_tokens) DIV n_words"))
     }),
 
+    "t23_bigram_lm_score" -> ((s, dir) => {
+      // LM-perplexity quality filtering (the CCNet recipe: score documents
+      // with a language model trained on the corpus' own clean split, keep
+      // the low-perplexity head) — here the LM is a bigram model trained on
+      // t07's hash-chosen 80% train split and the held-out 20% is scored.
+      // t11 scores by UNIGRAM rarity; this is the contextual upgrade: a
+      // token is surprising given its PREDECESSOR, so looping boilerplate
+      // (common words in incoherent order) scores badly where a bag-of-
+      // words filter waves it through. All arithmetic is exact-integer
+      // fixed-point (the t11/q85 rule — no cross-libm ln): a bigram
+      // occurrence's surprise is 1/p̂(w2|w1) in milli units,
+      //   seen bigram:        (1000·cnt_uni) DIV cnt_big
+      //   unseen, seen w1:    1000·(cnt_uni+1)   (≈ add-one smoothing)
+      //   unseen prefix:      1_000_000          (fixed OOV penalty)
+      // and a document's score is the mean over its bigrams — exactly the
+      // ranking mean negative log-likelihood induces per-prefix, minus the
+      // log's cross-term weighting, plus bit-identical replayability.
+      // Scale shape: both LM tables are Zipf-bounded (bigram TYPES, not
+      // occurrences) and BROADCAST, so scoring is map-side; the only
+      // shuffles are the LM build's (w1,w2)-keyed partial count and the
+      // doc_id-keyed partial sum — no row ever carries text past the scan.
+      // A vocabulary too large to broadcast degrades to a term-keyed
+      // shuffle join, shape otherwise unchanged (the t11 note).
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      val docs = tbl(s, dir, "documents")
+        .withColumn("tk", toks(col("text")))
+        .filter(size(col("tk")) >= 2) // a bigram LM has nothing to say below 2 tokens
+        .withColumn("is_train", bucket < 80)
+      val bigrams = docs.select(col("doc_id"), col("is_train"), explode(expr(
+        "transform(sequence(1, size(tk)-1), " +
+          "i -> struct(element_at(tk,i) AS w1, element_at(tk,i+1) AS w2))")).as("g"))
+        .select(col("doc_id"), col("is_train"), col("g.w1"), col("g.w2"))
+      val big = bigrams.filter(col("is_train"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_big"))
+      // prefix totals derived FROM the bigram table (Σ cnt_big over w2), so
+      // p̂(w2|w1) = cnt_big/cnt_uni sums to exactly 1 per seen prefix
+      val uni = big.groupBy("w1").agg(sum("cnt_big").as("cnt_uni"))
+      bigrams.filter(!col("is_train"))
+        .join(broadcast(big), Seq("w1", "w2"), "left")
+        .join(broadcast(uni), Seq("w1"), "left")
+        .withColumn("surprise_milli", expr(
+          "CASE WHEN cnt_big IS NOT NULL THEN (1000L * cnt_uni) DIV cnt_big " +
+            "WHEN cnt_uni IS NOT NULL THEN 1000L * (cnt_uni + 1) " +
+            "ELSE 1000000L END"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("surprise_milli").as("surprise_sum"))
+        .withColumn("ppl_milli", expr("surprise_sum DIV n_bigrams"))
+        // threshold at the observed corpus median (~31.6k): the CCNet-style
+        // "keep the head" cut, deterministic because the score is
+        .withColumn("verdict",
+          when(col("ppl_milli") <= 32000L, "keep").otherwise("drop"))
+    }),
+
     "t21_dedup_rewrite" -> ((s, dir) => {
       // duplicated-span REMOVAL — the rewrite half of t17's detector (the
       // RefinedWeb "exact-substring cut" applied at the 5-gram level):
@@ -900,6 +954,33 @@ object TextQueries {
 
     "t20_bpe_learn" -> bpeOracle(6),
     "t22_bpe_encode" -> bpeEncodeOracle(6),
+
+    "t23_bigram_lm_score" -> """
+      WITH d AS (
+        SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk,
+               CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+        FROM documents),
+      d2 AS (SELECT doc_id, tk, b < 80 AS is_train FROM d WHERE LEN(tk) >= 2),
+      bg AS (
+        SELECT doc_id, is_train,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                 i -> {'w1': tk[i], 'w2': tk[i+1]})) AS g
+        FROM d2),
+      bgf AS (SELECT doc_id, is_train, g.w1 AS w1, g.w2 AS w2 FROM bg),
+      big AS (SELECT w1, w2, COUNT(*) AS cnt_big FROM bgf WHERE is_train GROUP BY 1, 2),
+      uni AS (SELECT w1, SUM(cnt_big) AS cnt_uni FROM big GROUP BY 1),
+      sc AS (
+        SELECT doc_id,
+               CASE WHEN cnt_big IS NOT NULL THEN (1000 * cnt_uni) // cnt_big
+                    WHEN cnt_uni IS NOT NULL THEN 1000 * (cnt_uni + 1)
+                    ELSE 1000000 END AS s
+        FROM bgf LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+        WHERE NOT is_train)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(s) AS BIGINT) AS surprise_sum,
+             CAST(SUM(s) // COUNT(*) AS BIGINT) AS ppl_milli,
+             CASE WHEN SUM(s) // COUNT(*) <= 32000 THEN 'keep' ELSE 'drop' END AS verdict
+      FROM sc GROUP BY doc_id""",
 
     // the full doc-local rewrite replayed: 5-gram list, first-index repeat
     // test, span union, index-aware filter (DuckDB lambda indexes are

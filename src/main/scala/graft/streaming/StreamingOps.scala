@@ -164,6 +164,28 @@ object StreamingOps {
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming HyperLogLog registers — q85's streaming twin, completing
+    * the sketch-family trilogy: KMV folds by bounded-top-k, CMS by
+    * addition, HLL by MAX — a commutative AND idempotent fold, so beyond
+    * batching- and order-independence the register table is also immune
+    * to replayed duplicates (at-least-once delivery needs no dedup stage
+    * — the property the other two sketches don't have). Complete-mode
+    * state is ≤ 64 rows of one 6-bit rank per group forever; hashing,
+    * register split, and rho match q85 bit-for-bit (56-bit md5, top-6
+    * register, length(bin) rank), so a stream-built register table is
+    * interchangeable with the batch build and q85's integer estimator
+    * (incl. the linear-counting branch) reads either. */
+  def hllDistinctStream(events: DataFrame): DataFrame = {
+    val mask = (1L << 50) - 1
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10).cast("long")
+    events
+      .select(col("event_type").as("grp"), h.as("h"))
+      .select(col("grp"), shiftright(col("h"), 50).as("reg"),
+        expr(s"CASE WHEN (h & ${mask}L) = 0 THEN 51 " +
+          s"ELSE 51 - length(bin(h & ${mask}L)) END").as("rho"))
+      .groupBy("grp", "reg").agg(max("rho").as("rho"))
+  }
+
   /** Streaming novelty filter against a static corpus digest — the
     * streaming half of the d12 incremental-dedup design: keep only the
     * incoming documents that CANNOT be Jaccard>=0.5 near-dups of the

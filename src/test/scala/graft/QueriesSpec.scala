@@ -608,6 +608,64 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t23 bigram LM scoring: exactly the held-out 20% is scored, surprise is " +
+    "a proper inverse probability, and the cut separates both classes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("t23_bigram_lm_score")(spark, sf).collect()
+    // membership: scored docs = md5-bucket ≥ 80 AND ≥ 2 tokens (t07's split
+    // rule) — nothing from the train split may leak into the scored set
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      .filter(col("b") >= 80 &&
+        size(filter(split(col("text"), " "), t => t =!= "")) >= 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    rows.foreach { r =>
+      val (n, sum, ppl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // surprise ≥ 1000 per bigram (p̂ ≤ 1 always): milli-1/p floors at 1000
+      assert(ppl >= 1000 && sum >= 1000 * n, s"doc ${r.getLong(0)}: ppl $ppl below 1/p floor")
+      assert(r.getString(4) == (if (ppl <= 32000) "keep" else "drop"))
+    }
+    // the median cut must leave both classes populated — a threshold that
+    // keeps (or drops) everything is a broken filter, not a filter
+    val verdicts = rows.map(_.getString(4)).toSet
+    assert(verdicts == Set("keep", "drop"), s"one-sided verdicts: $verdicts")
+  }
+
+  test("q88 BM25: every hit contains a query term, ranks are contiguous, " +
+    "scores are non-increasing, and rarer terms out-weigh common ones") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q88_bm25_search")(spark, sf).collect()
+    val queries = Map(1 -> Seq("fast", "join"), 2 -> Seq("window", "sort", "scan"),
+      3 -> Seq("customer", "data", "stream"), 4 -> Seq("hash", "merge", "batch"))
+    val docToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    rows.groupBy(_.getInt(0)).foreach { case (qid, hits) =>
+      val sorted = hits.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length), s"q$qid ranks not contiguous")
+      assert(sorted.length <= 10)
+      // soundness: a BM25 score only accumulates over matched terms
+      sorted.foreach { h =>
+        assert(docToks(h.getLong(2)).intersect(queries(qid).toSet).nonEmpty,
+          s"q$qid hit ${h.getLong(2)} contains no query term")
+      }
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q$qid scores not non-increasing: ${scores.mkString(",")}")
+      // ties broken by doc_id ascending (the top_k_struct ordering)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        if (a.getLong(3) == b.getLong(3)) assert(a.getLong(2) < b.getLong(2))
+      }
+    }
+    // idf monotonicity: the pre-log odds weight strictly decreases in df —
+    // the property that makes the surrogate rank like the log form
+    def idfMilli(n: Long, df: Long) = (1000L * (2 * n - 2 * df + 1)) / (2 * df + 1)
+    val n = docToks.size.toLong
+    assert(idfMilli(n, 10) > idfMilli(n, 100) && idfMilli(n, 100) > idfMilli(n, 400))
+  }
+
   test("s12 SQ8 ANN: recall@5 vs the exact brute force clears the fixture floor, " +
     "and the int8 shortlist is deep enough that re-rank restores the exact top-1") {
     import org.apache.spark.sql.functions._
@@ -649,6 +707,39 @@ class QueriesSpec extends AnyFunSuite {
     val merged = enc.agg(sum("n_bpe_tokens")).head().getLong(0)
     assert(merged < unmerged,
       s"6 merges must compress: merged $merged vs unmerged $unmerged")
+  }
+
+  test("s13 range search: every hit is an exactly-scored true positive, and " +
+    "probe-bounded recall vs the brute-force range clears the floor") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("s13_range_search_ivf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val c = cos(embs(r.getLong(0)), embs(r.getLong(1)))
+      assert(c >= 0.2, s"${r.getLong(0)}->${r.getLong(1)}: cos $c below τ")
+      assert(r.getLong(2) == math.floor(c * 1e6).toLong, "score_micro not the exact floor")
+    }
+    // recall vs the unbounded brute-force range set: nprobe/nlist = 1/8 of
+    // the buckets are probed, but near neighbors concentrate in near
+    // buckets — the fixture floor is far above the 1/8 scan fraction
+    val truth = for {
+      q <- embs.keys.filter(_ < 10).toSeq; v <- embs.keys if v != q
+      if cos(embs(q), embs(v)) >= 0.2
+    } yield (q, v)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth.toSet), "IVF range search must be a subset of the true range")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.25, f"range recall $recall%.2f below the fixture floor")
   }
 
   test("s10 kNN graph restricted to s01's query set equals s01 row-for-row") {

@@ -148,6 +148,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch.size <= 4 * 64)
   }
 
+  test("streaming HLL registers are batching-independent, equal the batch " +
+    "build, and absorb at-least-once replays (max is idempotent)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1 to 400).map(i => (s"type${i % 3}", (i * 37) % 90L))
+    def run(name: String, splits: Seq[Seq[(String, Long)]]): Set[(String, Long, Int)] = {
+      val ms = MemoryStream[(String, Long)]
+      val df = ms.toDF().toDF("event_type", "user_id")
+      val q = StreamingOps.hllDistinctStream(df).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val oneBatch = run("hll_one", Seq(rows))
+    val (a, b) = rows.splitAt(150)
+    val manyBatches = run("hll_many", Seq(b.reverse, a))
+    assert(oneBatch.nonEmpty && oneBatch == manyBatches,
+      "max-fold register state must not depend on batching or order")
+    // idempotence: replaying every event (at-least-once delivery) must
+    // leave the registers untouched — the property the additive CMS lacks
+    val replayed = run("hll_replay", Seq(rows, rows.take(200), rows))
+    assert(replayed == oneBatch, "duplicate delivery must not move a max register")
+    // and the stream build is interchangeable with the batch build
+    val batch = StreamingOps.hllDistinctStream(
+      rows.toDF("event_type", "user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oneBatch == batch, "stream and batch register tables must agree")
+    // state bound: ≤ 64 registers per group
+    assert(oneBatch.groupBy(_._1).values.forall(_.size <= 64))
+  }
+
   test("stream-static broadcast join enriches every event exactly once") {
     val dim = spark.read.parquet(s"$sf/customer.parquet").select("c_custkey", "c_name")
     val joined = StreamingOps.enrichStream(StreamingOps.eventStream(spark, sf), dim)
