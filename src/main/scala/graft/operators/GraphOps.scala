@@ -175,9 +175,21 @@ object GraphOps {
         .unionAll(smins.select(col("m").as("a"), col("u").as("b")))
         .distinct()
         .localCheckpoint()
-      // fixpoint = the canonical edge set is unchanged (exact, both ways);
-      // at that point both phases are identity and the set is a star forest
-      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // fixpoint test = star form, checked structurally: a canonical edge
+      // set is a disjoint star forest iff (1) no node appears in both
+      // columns (a node that is sometimes parent, sometimes child has
+      // depth ≥ 2 — small-star re-points it) and (2) every child has ONE
+      // parent (two parents for one child is a 2-level bipartite shape
+      // that small-star collapses). Star form ⇒ both phases are identity
+      // (the root is each star's min because edges are canonical), so
+      // this IS convergence — probed as a single union-of-violations
+      // action, cheaper than the two exceptAll passes set-equality costs
+      val abOverlap = ss.select(col("a").as("n"))
+        .join(ss.select(col("b").as("n")), Seq("n"), "left_semi")
+        .select(lit(1).as("viol"))
+      val multiParent = ss.groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(lit(1).as("viol"))
+      converged = abOverlap.unionAll(multiParent).isEmpty
       org.apache.spark.sql.graft.CheckpointUtils.unpersistCheckpoint(edges)
       edges = ss
       rounds += 1
