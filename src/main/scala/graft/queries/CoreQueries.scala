@@ -1339,6 +1339,97 @@ object CoreQueries {
         .select(col("query_id"), posexplode(col("top")))
         .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
           col("col.doc_id"), (col("col.neg_score") * -1).as("score_milli"))
+    }),
+
+    "q89_frequent_pairs" -> ((s, dir) => {
+      // association mining: frequent part PAIRS across order baskets
+      // (the Apriori/FP-growth 2-itemset core — "bought together" at
+      // corpus scale) + lift. The scale lever is basket-local pair
+      // generation: baskets collapse to ONE row each (collect_set is
+      // bounded by basket size, ≤7 parts here, ≤ hundreds in any retail
+      // corpus), and the C(n,2) fan-out happens map-side from that row —
+      // so the only shuffles are the basket build (orderkey-keyed) and the
+      // pair-count partial agg (pair-keyed); nothing ever self-joins the
+      // fact table. Lift = P(a∧b)/(P(a)P(b)) in exact milli integers; the
+      // basket count rides as a plan literal (the q88 1-row artifact
+      // rule), part frequencies broadcast (dimension-sized). Output is the
+      // bounded global top-100 by (support, lift) — fixed-size at any
+      // corpus scale.
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      val b = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      val baskets = b.groupBy("okey")
+        .agg(sort_array(collect_set(col("part"))).as("items"))
+      val nBaskets = baskets.count()
+      val pf = b.distinct().groupBy("part").agg(count(lit(1)).as("cnt"))
+      val pairs = baskets.filter(size(col("items")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(items) - 1), " +
+            "i -> transform(sequence(i + 1, size(items)), " +
+            "j -> struct(element_at(items, i) AS part_a, element_at(items, j) AS part_b))))"))
+          .as("p"))
+        .select(col("p.part_a"), col("p.part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_together"))
+        .filter(col("n_together") >= 2)
+      pairs
+        .join(broadcast(pf.select(col("part").as("part_a"), col("cnt").as("cnt_a"))), "part_a")
+        .join(broadcast(pf.select(col("part").as("part_b"), col("cnt").as("cnt_b"))), "part_b")
+        .withColumn("lift_milli",
+          expr(s"(1000L * ${nBaskets}L * n_together) DIV (cnt_a * cnt_b)"))
+        .groupBy()
+        .agg(top_k_struct(struct((col("n_together") * -1).as("neg_n"),
+          (col("lift_milli") * -1).as("neg_lift"), col("part_a"), col("part_b")), 100).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("col.part_a"), col("col.part_b"),
+          (col("col.neg_n") * -1).as("n_together"),
+          (col("col.neg_lift") * -1).as("lift_milli"))
+    }),
+
+    "q90_data_quality_audit" -> ((s, dir) => {
+      // Deequ-style data-quality audit — the validation pass every 100 TB
+      // ingest runs before anything downstream trusts the data: PK
+      // uniqueness, referential integrity, range / completeness rules,
+      // and cross-table consistency, emitted as one (check, observed,
+      // status) report table. Shape: ONE scan computes every same-table
+      // metric (the "many metrics, one pass" aggregation), referential
+      // checks are anti-joins that shuffle only keys, and the cross-table
+      // date rule shares a single orders⋈lineitem pass with the
+      // fan-out-ratio metric. On this generator the audit genuinely FAILS
+      // one check — l_shipdate precedes o_orderdate on about half the
+      // lineitems — which is exactly what an audit is for: report it,
+      // don't patch it.
+      val orders = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      val cust = tbl(s, dir, "customer")
+      def viol(name: String, agg: DataFrame): DataFrame =
+        agg.select(lit(name).as("check"), col("v").cast("long").as("observed"))
+      val oScan = orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dups"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("price_viol"))
+      val joined = orders.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("ship_viol"),
+          expr("(1000L * count(l_orderkey)) DIV count(DISTINCT o_orderkey)").as("fanout_milli"))
+      val report = Seq(
+        viol("orders_pk_unique", oScan.select(col("pk_dups").as("v"))),
+        viol("orders_price_positive", oScan.select(col("price_viol").as("v"))),
+        viol("orders_custkey_resolves", orders
+          .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v"))),
+        viol("lineitem_orderkey_resolves", li
+          .join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v"))),
+        viol("lineitem_qty_in_range", li.agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v"))),
+        viol("customer_acctbal_complete", cust.agg(
+          sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("v"))),
+        viol("lineitem_ship_after_order", joined.select(col("ship_viol").as("v"))),
+        viol("lineitem_per_order_milli", joined.select(col("fanout_milli").as("v"))))
+        .reduce(_.unionAll(_))
+      report.withColumn("status",
+        when(col("check") === "lineitem_per_order_milli",
+          when(col("observed").between(1000L, 8000L), "pass").otherwise("fail"))
+          .otherwise(when(col("observed") === 0L, "pass").otherwise("fail")))
     })
   )
 
@@ -2209,6 +2300,55 @@ $steps
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY score_milli DESC, doc_id) AS rank
             FROM sc)
-      WHERE rank <= 10"""
+      WHERE rank <= 10""",
+
+    // basket pairs via the distinct (order, part) set — identical to the
+    // collect_set + map-side C(n,2) fan-out; same integer lift
+    "q89_frequent_pairs" -> """
+      WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      nb AS (SELECT COUNT(DISTINCT okey) AS n FROM b),
+      pf AS (SELECT part, COUNT(*) AS cnt FROM b GROUP BY 1),
+      p AS (SELECT a.part AS part_a, c.part AS part_b
+            FROM b a JOIN b c ON a.okey = c.okey AND a.part < c.part),
+      pc AS (SELECT part_a, part_b, COUNT(*) AS n_together
+             FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sc AS (SELECT part_a, part_b, n_together,
+                    (1000 * (SELECT n FROM nb) * n_together) // (fa.cnt * fb.cnt) AS lift_milli
+             FROM pc JOIN pf fa ON fa.part = pc.part_a
+                     JOIN pf fb ON fb.part = pc.part_b)
+      SELECT CAST(rank AS INT) AS rank, part_a, part_b,
+             CAST(n_together AS BIGINT) AS n_together,
+             CAST(lift_milli AS BIGINT) AS lift_milli
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_together DESC, lift_milli DESC,
+                                         part_a, part_b) AS rank
+            FROM sc)
+      WHERE rank <= 100""",
+
+    "q90_data_quality_audit" -> """
+      WITH o AS (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dups,
+                        COUNT(*) FILTER (o_totalprice <= 0) AS price_viol
+                 FROM orders),
+      j AS (SELECT COUNT(l.l_orderkey) AS nli,
+                   COUNT(DISTINCT o.o_orderkey) AS nord,
+                   COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END), 0) AS ship_viol
+            FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      r AS (
+        SELECT 'orders_pk_unique' AS chk, pk_dups AS observed FROM o
+        UNION ALL SELECT 'orders_price_positive', price_viol FROM o
+        UNION ALL SELECT 'orders_custkey_resolves',
+          (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        UNION ALL SELECT 'lineitem_orderkey_resolves',
+          (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        UNION ALL SELECT 'lineitem_qty_in_range',
+          (SELECT COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem)
+        UNION ALL SELECT 'customer_acctbal_complete',
+          (SELECT COUNT(*) FILTER (c_acctbal IS NULL) FROM customer)
+        UNION ALL SELECT 'lineitem_ship_after_order', ship_viol FROM j
+        UNION ALL SELECT 'lineitem_per_order_milli', (1000 * nli) // nord FROM j)
+      SELECT chk AS "check", CAST(observed AS BIGINT) AS observed,
+             CASE WHEN chk = 'lineitem_per_order_milli'
+                    THEN CASE WHEN observed BETWEEN 1000 AND 8000 THEN 'pass' ELSE 'fail' END
+                  WHEN observed = 0 THEN 'pass' ELSE 'fail' END AS status
+      FROM r"""
   )
 }

@@ -709,6 +709,63 @@ class QueriesSpec extends AnyFunSuite {
       s"6 merges must compress: merged $merged vs unmerged $unmerged")
   }
 
+  test("q89 frequent pairs: counts and lift match a driver recompute, and " +
+    "nothing outside the report beats the cut") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q89_frequent_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    // driver recompute of basket pair supports + lift
+    val b = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val baskets = b.groupBy(_._1).map { case (_, xs) => xs.map(_._2).distinct.sorted }
+    val nBaskets = baskets.size.toLong
+    val pf = b.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val support = scala.collection.mutable.Map[(Long, Long), Long]()
+    baskets.foreach { items =>
+      for (i <- items.indices; j <- i + 1 until items.length)
+        support((items(i), items(j))) = support.getOrElse((items(i), items(j)), 0L) + 1
+    }
+    rows.foreach { r =>
+      val (a, bb, n, lift) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(support((a, bb)) == n, s"pair ($a,$bb) support mismatch")
+      assert(lift == 1000L * nBaskets * n / (pf(a) * pf(bb)), s"pair ($a,$bb) lift mismatch")
+    }
+    // top-k correctness: no unreported pair strictly beats the last report
+    val last = rows.last
+    val lastKey = (last.getLong(3), last.getLong(4))
+    val reported = rows.map(r => (r.getLong(1), r.getLong(2))).toSet
+    support.filter(_._2 >= 2).foreach { case ((a, bb), n) =>
+      if (!reported((a, bb)) && rows.length == 100) {
+        val lift = 1000L * nBaskets * n / (pf(a) * pf(bb))
+        assert(n < lastKey._1 || (n == lastKey._1 && lift <= lastKey._2),
+          s"unreported pair ($a,$bb) support=$n lift=$lift beats the published cut $lastKey")
+      }
+    }
+  }
+
+  test("q90 data-quality audit: the generator's real defect is reported as " +
+    "the one failing check, and counts match a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q90_data_quality_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.size == 8)
+    // the synthetic generator ships before ordering on ~half the lineitems
+    // — the audit must surface it, not smooth it over
+    val (shipViol, shipStatus) = rows("lineitem_ship_after_order")
+    assert(shipStatus == "fail" && shipViol > 0)
+    rows.filterKeys(_ != "lineitem_ship_after_order").foreach { case (k, (_, st)) =>
+      assert(st == "pass", s"$k unexpectedly $st")
+    }
+    // spot recompute: ship violations + the fan-out ratio
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(shipViol == exact)
+    assert(rows("lineitem_per_order_milli")._1 == 1000L * l.count() / o.count())
+  }
+
   test("s13 range search: every hit is an exactly-scored true positive, and " +
     "probe-bounded recall vs the brute-force range clears the floor") {
     import org.apache.spark.sql.functions._
