@@ -1430,6 +1430,28 @@ object CoreQueries {
         when(col("check") === "lineitem_per_order_milli",
           when(col("observed").between(1000L, 8000L), "pass").otherwise("fail"))
           .otherwise(when(col("observed") === 0L, "pass").otherwise("fail")))
+    }),
+
+    "q91_k_anonymity" -> ((s, dir) => {
+      // privacy-governance audit: k-anonymity (Sweeney 2002) + l-diversity
+      // (Machanavajjhala 2006) over the quasi-identifier (nation, market
+      // segment) — before a customer extract ships to analytics or a
+      // training mix, every QI group must hide each member among ≥ k
+      // lookalikes AND carry ≥ l distinct values of the sensitive
+      // attribute (account-balance band — k alone is defeated when the
+      // whole group shares one sensitive value). One groupBy with
+      // map-side partials; QI-group cardinality is dimension-bounded
+      // (|nations|·|segments|), so the report stays tiny at any corpus
+      // size. Groups below the bar are flagged for suppression or
+      // generalization — the audit reports, it does not rewrite (q90's
+      // stance).
+      tbl(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")).as("l_diversity"))
+        .withColumn("status",
+          when(col("n_members") >= 10 && col("l_diversity") >= 3, "anonymous")
+            .otherwise("at_risk"))
     })
   )
 
@@ -2349,6 +2371,16 @@ $steps
              CASE WHEN chk = 'lineitem_per_order_milli'
                     THEN CASE WHEN observed BETWEEN 1000 AND 8000 THEN 'pass' ELSE 'fail' END
                   WHEN observed = 0 THEN 'pass' ELSE 'fail' END AS status
-      FROM r"""
+      FROM r""",
+
+    "q91_k_anonymity" -> """
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             COUNT(*) AS n_members,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l_diversity,
+             CASE WHEN COUNT(*) >= 10
+                   AND COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) >= 3
+                  THEN 'anonymous' ELSE 'at_risk' END AS status
+      FROM customer
+      GROUP BY 1, 2"""
   )
 }

@@ -766,6 +766,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows("lineitem_per_order_milli")._1 == 1000L * l.count() / o.count())
   }
 
+  test("q91 k-anonymity: flagged groups are exactly those violating k or l") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q91_k_anonymity")(spark, sf).collect()
+    val groups = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")).as("l"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.length == groups.size)
+    rows.foreach { r =>
+      val (n, l) = groups((r.getAs[Number](0).longValue, r.getString(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == l)
+      assert(r.getString(4) == (if (n >= 10 && l >= 3) "anonymous" else "at_risk"))
+    }
+    // at sf0.001 every group is sub-k (150 customers over 93 QI groups) —
+    // all at_risk is the CORRECT verdict there; sf0.01 exercises both
+    // (35 of 125 groups at risk, oracle-checked)
+    assert(rows.exists(_.getString(4) == "at_risk"))
+  }
+
   test("s13 range search: every hit is an exactly-scored true positive, and " +
     "probe-bounded recall vs the brute-force range clears the floor") {
     import org.apache.spark.sql.functions._
