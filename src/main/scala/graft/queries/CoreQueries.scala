@@ -1310,24 +1310,28 @@ object CoreQueries {
       val tf = docs.select(col("doc_id"), explode(col("tk")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      // corpus stats are a 1-row bounded driver artifact (the centroid /
-      // argmax precedent): collected once and inlined as plan literals, so
-      // no 1-row join node exists — the alternative (a constant-key join)
-      // constant-folds back into a nested loop
-      val statsRow = docs
+      // the 1-row corpus stats attach via an equi-join on a COMPUTED zero
+      // key: a literal-key join (and even `x * 0`, which the optimizer
+      // algebraically simplifies) constant-folds its condition away and
+      // re-plans as a nested loop; `shiftright(x, 62)` is 0 for any count
+      // yet has no simplification rule, so the equi-join survives and the
+      // planner stays on BroadcastHashJoin — the whole query is one
+      // declarative job (no eager stats action at build time)
+      val stats = docs
         .agg(count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("sum_dl"))
-        .head()
-      val nDocs = statsRow.getLong(0)
-      val avgdlMilli = 1000L * statsRow.getLong(1) / nDocs
+        .select(col("n_docs"), expr("(1000L * sum_dl) DIV n_docs").as("avgdl_milli"))
+        .withColumn("jk", shiftright(col("n_docs"), 62).cast("int"))
       // dimension side: query terms × their corpus weights (a handful of rows)
       val qw = queries.join(df, "term")
+        .withColumn("jk", shiftright(col("df"), 62).cast("int"))
+        .join(broadcast(stats), "jk")
         .withColumn("idf_milli",
-          expr(s"(1000L * (2L * ${nDocs}L - 2L * df + 1L)) DIV (2L * df + 1L)"))
-        .select("query_id", "term", "idf_milli")
+          expr("(1000L * (2L * n_docs - 2L * df + 1L)) DIV (2L * df + 1L)"))
+        .select("query_id", "term", "idf_milli", "avgdl_milli")
       val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
       tf.join(dl, "doc_id")
         .join(broadcast(qw), "term")
-        .withColumn("norm_milli", expr(s"250L + (750L * dl * 1000L) DIV ${avgdlMilli}L"))
+        .withColumn("norm_milli", expr("250L + (750L * dl * 1000L) DIV avgdl_milli"))
         .withColumn("sat_milli", expr(
           "(tf * 2200L * 1000L) DIV (tf * 1000L + (1200L * norm_milli) DIV 1000L)"))
         .withColumn("term_score", expr("(idf_milli * sat_milli) DIV 1000L"))
@@ -1360,7 +1364,12 @@ object CoreQueries {
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       val baskets = b.groupBy("okey")
         .agg(sort_array(collect_set(col("part"))).as("items"))
-      val nBaskets = baskets.count()
+      // basket count rides as a 1-row computed-zero-key broadcast (the
+      // q88 shiftright pattern: literal and x*0 keys constant-fold into a
+      // nested loop; the shift keeps the hash join and the query a single
+      // declarative job)
+      val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+        .withColumn("jk", shiftright(col("n_baskets"), 62).cast("int"))
       val pf = b.distinct().groupBy("part").agg(count(lit(1)).as("cnt"))
       val pairs = baskets.filter(size(col("items")) >= 2)
         .select(explode(expr(
@@ -1374,8 +1383,10 @@ object CoreQueries {
       pairs
         .join(broadcast(pf.select(col("part").as("part_a"), col("cnt").as("cnt_a"))), "part_a")
         .join(broadcast(pf.select(col("part").as("part_b"), col("cnt").as("cnt_b"))), "part_b")
+        .withColumn("jk", shiftright(col("cnt_a"), 62).cast("int"))
+        .join(broadcast(nb), "jk")
         .withColumn("lift_milli",
-          expr(s"(1000L * ${nBaskets}L * n_together) DIV (cnt_a * cnt_b)"))
+          expr("(1000L * n_baskets * n_together) DIV (cnt_a * cnt_b)"))
         .groupBy()
         .agg(top_k_struct(struct((col("n_together") * -1).as("neg_n"),
           (col("lift_milli") * -1).as("neg_lift"), col("part_a"), col("part_b")), 100).as("top"))
