@@ -186,6 +186,28 @@ object StreamingOps {
       .groupBy("grp", "reg").agg(max("rho").as("rho"))
   }
 
+  /** Streaming fixed-domain histogram — q87's streaming twin and the
+    * fourth member of the mergeable-sketch family (KMV folds by
+    * bounded-top-k, CMS by addition, HLL by max, the histogram by
+    * addition over a FIXED bin domain): bin counts are additive
+    * complete-mode state bounded at groups·nBins rows forever, and any
+    * micro-batch split of the same events lands on the identical counts.
+    * The FIXED domain (not data-dependent min/max) is exactly what makes
+    * the sketch mergeable across partitions, days, and streams — q87's
+    * batch rule; out-of-domain values clamp to the edge bins (resolution
+    * loss there, never a correctness loss — rank semantics hold on the
+    * clamp bin). q87's integer rank/interpolation extraction runs on the
+    * tiny output table, stream-built or batch-built interchangeably. */
+  def histQuantileStream(events: DataFrame, binBits: Int = 17, nBins: Int = 1024): DataFrame = {
+    require(binBits >= 0 && nBins >= 2, s"need binBits >= 0, nBins >= 2; got $binBits/$nBins")
+    events
+      .select(col("event_type").as("grp"),
+        expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("vm"))
+      .select(col("grp"),
+        least(greatest(shiftright(col("vm"), binBits), lit(0L)), lit(nBins - 1L)).as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming novelty filter against a static corpus digest — the
     * streaming half of the d12 incremental-dedup design: keep only the
     * incoming documents that CANNOT be Jaccard>=0.5 near-dups of the

@@ -182,6 +182,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch.groupBy(_._1).values.forall(_.size <= 64))
   }
 
+  test("streaming histogram bins are batching-independent, equal the batch " +
+    "build, and clamp out-of-domain values to the edge bins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // values spanning below-domain (negative → bin 0) and above-domain
+    // (huge → bin 1023) plus an in-domain spread
+    val rows = (1 to 400).map(i =>
+      (s"type${i % 2}", if (i % 97 == 0) -5.0 else if (i % 89 == 0) 1e9 else i * 317.0))
+    def run(name: String, splits: Seq[Seq[(String, Double)]]): Set[(String, Long, Long)] = {
+      val ms = MemoryStream[(String, Double)]
+      val df = ms.toDF().toDF("event_type", "value")
+      val q = StreamingOps.histQuantileStream(df).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val oneBatch = run("hist_one", Seq(rows))
+    val (a, b) = rows.splitAt(150)
+    val manyBatches = run("hist_many", Seq(b.reverse, a))
+    assert(oneBatch.nonEmpty && oneBatch == manyBatches,
+      "additive bin state must not depend on batching or order")
+    val batch = StreamingOps.histQuantileStream(
+      rows.toDF("event_type", "value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneBatch == batch, "stream and batch builds must agree bin-for-bin")
+    // clamp semantics: the planted outliers land in the edge bins
+    assert(oneBatch.exists { case (_, bin, _) => bin == 0L })
+    assert(oneBatch.exists { case (_, bin, _) => bin == 1023L })
+    // every bin inside the fixed domain
+    assert(oneBatch.forall { case (_, bin, _) => bin >= 0L && bin <= 1023L })
+  }
+
   test("stream-static broadcast join enriches every event exactly once") {
     val dim = spark.read.parquet(s"$sf/customer.parquet").select("c_custkey", "c_name")
     val joined = StreamingOps.enrichStream(StreamingOps.eventStream(spark, sf), dim)
