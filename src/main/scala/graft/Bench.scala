@@ -112,7 +112,11 @@ object Bench {
     // r9: inverted-index retrieval — the posting build + per-(query,doc)
     // scoring join both grow with the corpus; a superlinear regression
     // would hide in the sf0.1 floor
-    "q88_bm25_search")
+    "q88_bm25_search",
+    // r9: alternating-CC is the graph-dedup scale path (log² rounds over a
+    // corpus-driven edge list) — its per-round shuffles grow with the pair
+    // graph while the sf0.1 run is latency-floored
+    "d21_cc_alternating")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

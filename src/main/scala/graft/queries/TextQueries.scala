@@ -523,6 +523,63 @@ object TextQueries {
           when(col("ppl_milli") <= 32000L, "keep").otherwise("drop"))
     }),
 
+    "p01_training_mix" -> ((s, dir) => {
+      // END-TO-END curation pipeline — the composition the individual
+      // operators exist FOR, as one declarative program Catalyst optimizes
+      // whole: quality gate → exact dedup → benchmark decontamination →
+      // deterministic split → sequence packing. Each stage is an
+      // already-oracle-checked semantic (t03/t13 rules, d02's
+      // normalized-key dedup, d10's shared-shingle rule, t07's hash
+      // split, t12's packing) re-stated inline; the pipeline's own oracle
+      // replays the whole chain, so stage WIRING is verified too —
+      // filters compose before the scan, the dedup shuffle carries
+      // digests not text, the eval posting list broadcasts, packing
+      // windows stay (lang, shard)-bounded. Attrition at sf0.01:
+      // 500 docs → eval held out → quality gate → first-per-digest →
+      // decontaminated → 80% train split → packed sequences.
+      val d = tbl(s, dir, "documents")
+        .withColumn("tk", toks(col("text")))
+        .withColumn("n_tokens", size(col("tk")))
+      val isEval = col("doc_id") % 97 === 0
+      val sh3 = expr("array_distinct(transform(sequence(1, size(tk) - 2), " +
+        "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))")
+      // stage 1 — rule gate, map-side (the t13 shape); eval docs are
+      // benchmark data, never corpus
+      val q = d.filter(!isEval)
+        .withColumn("uniq_milli",
+          expr("(1000L * size(array_distinct(tk))) DIV greatest(n_tokens, 1)"))
+        .filter(col("n_tokens") >= 10 && col("uniq_milli") >= 300)
+      // stage 2 — exact dedup on the normalized-text digest; the shuffle
+      // carries (digest, doc_id), never text (d02's rule)
+      val dd = q.withColumn("k", md5(lower(col("text"))))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      // stage 3 — decontamination: any 3 shared 3-shingles with the eval
+      // set disqualify (d10's rule); the eval posting list is
+      // benchmark-sized and broadcast
+      val evalSh = d.filter(isEval).filter(size(col("tk")) >= 3)
+        .select(explode(sh3).as("sh")).distinct()
+      val contaminated = dd.filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(sh3).as("sh"))
+        .join(broadcast(evalSh), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= 3)
+      val clean = dd.join(contaminated, Seq("doc_id"), "left_anti")
+      // stages 4+5 — t07's hash split (train fold) and t12's packing in
+      // bounded (lang, shard) windows
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shard").orderBy("doc_id")
+      clean.filter(bucket < 80)
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") / 100).cast("long").as("shard"), col("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens").cast("long")).over(wp))
+        .withColumn("seq_id", expr("(cum - n_tokens) DIV 2048"))
+        .select("doc_id", "lang", "n_tokens", "seq_id")
+    }),
+
     "t21_dedup_rewrite" -> ((s, dir) => {
       // duplicated-span REMOVAL — the rewrite half of t17's detector (the
       // RefinedWeb "exact-substring cut" applied at the 5-gram level):
@@ -954,6 +1011,44 @@ object TextQueries {
 
     "t20_bpe_learn" -> bpeOracle(6),
     "t22_bpe_encode" -> bpeEncodeOracle(6),
+
+    "p01_training_mix" -> """
+      WITH d AS (
+        SELECT doc_id, lang, text,
+               LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk
+        FROM documents),
+      d2 AS (SELECT *, LEN(tk) AS n_tokens, doc_id % 97 = 0 AS is_eval FROM d),
+      q AS (
+        SELECT * FROM d2
+        WHERE NOT is_eval AND n_tokens >= 10
+          AND (1000 * LEN(LIST_DISTINCT(tk))) // GREATEST(n_tokens, 1) >= 300),
+      dd AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(LOWER(text))
+                                       ORDER BY doc_id) AS rn
+          FROM q) WHERE rn = 1),
+      ev AS (
+        SELECT DISTINCT UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, LEN(tk) - 2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        FROM d2 WHERE is_eval AND LEN(tk) >= 3),
+      cont AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+          FROM dd WHERE LEN(tk) >= 3) x
+        JOIN ev USING (sh)
+        GROUP BY doc_id HAVING COUNT(*) >= 3),
+      clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      train AS (
+        SELECT doc_id, lang, doc_id // 100 AS shard, n_tokens FROM clean
+        WHERE CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80)
+      SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+      FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard
+                                          ORDER BY doc_id) AS cum
+            FROM train)""",
 
     "t23_bigram_lm_score" -> """
       WITH d AS (

@@ -766,6 +766,51 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows("lineitem_per_order_milli")._1 == 1000L * l.count() / o.count())
   }
 
+  test("p01 training-mix pipeline: every stage's invariant holds on the output") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("p01_training_mix")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        filter(split(col("text"), " "), t => t =!= "").as("tk"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getSeq[String](2).toList)).toMap
+    // eval fold excluded
+    assert(ids.forall(_ % 97 != 0), "an eval doc leaked into the training mix")
+    // quality gate: every survivor clears both rules
+    ids.foreach { id =>
+      val tk = docs(id)._2
+      assert(tk.length >= 10 && 1000L * tk.distinct.length / tk.length >= 300, s"doc $id fails gate")
+    }
+    // dedup: normalized digests unique across the output
+    val keys = ids.toSeq.map(id => docs(id)._1.toLowerCase)
+    assert(keys.distinct.length == keys.length, "duplicate normalized text survived")
+    // decontamination: < 3 shared 3-shingles with the eval set
+    def sh3(tk: List[String]) =
+      if (tk.length < 3) Set.empty[String] else tk.sliding(3).map(_.mkString(" ")).toSet
+    val evalSh = docs.collect { case (id, (_, tk)) if id % 97 == 0 => sh3(tk) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    ids.foreach { id =>
+      assert(sh3(docs(id)._2).count(evalSh) < 3, s"doc $id is benchmark-contaminated")
+    }
+    // split: train bucket only (t07's rule)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ids.foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(java.lang.Long.parseLong(hex.take(4), 16) % 100 < 80, s"doc $id not in train fold")
+    }
+    // packing: within each (lang, shard) window, seq_id is the running-sum
+    // assignment — non-decreasing in doc_id with the first doc in seq 0
+    out.groupBy(r => (r.getString(1), r.getLong(0) / 100)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(0))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) == cum / 2048, s"doc ${r.getLong(0)} mis-packed")
+        cum += r.getInt(2)
+      }
+    }
+  }
+
   test("q91 k-anonymity: flagged groups are exactly those violating k or l") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q91_k_anonymity")(spark, sf).collect()
