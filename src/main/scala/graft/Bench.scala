@@ -291,10 +291,19 @@ object Bench {
       s"""{"supplement":"bench","heavy_10x":${jsonMap(heavy.map { case (k, v) => shortId(k) -> v })}""" +
       s""","lineage_plans_per_sec":${jsonMap(lineage)}}"""
     println(supplement)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","queries":${results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmt2(v) }
-        .mkString("{", ",", "}")}""" +
-      s""","sf":"$sfDir"}"""
+    // precision adapts to inventory size: 2-decimal entries while they
+    // fit, else 1-decimal (still ≥ run-to-run noise at the sf0.1 floor) —
+    // so inventory growth can never silently push the line past the
+    // driver's 2000-char window again (full precision is in
+    // bench_details.json regardless); the require stays as the backstop
+    def buildLine(f: Double => String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+        s""","queries":${results.map { case (k, v) => "\"" + shortId(k) + "\":" + f(v) }
+          .mkString("{", ",", "}")}""" +
+        s""","sf":"$sfDir"}"""
+    val line2 = buildLine(fmt2)
+    val line = if (line2.length <= 1900) line2
+      else buildLine(v => String.format(Locale.ROOT, "%.1f", Double.box(v)))
     require(line.length <= 1900,
       s"compact bench line grew to ${line.length} chars — it will be " +
         "front-truncated in the driver's 2000-char stdout tail; shrink it")
