@@ -38,7 +38,11 @@ object SparkEntry {
       val panel = Seq("q01_pricing_summary", "q05_local_supplier", "q07_window_topk",
         "q10_cube", "q12_union_all", "q16_scalar_subquery", "q19_anti_join",
         "q23_explode_tokens", "q38_asof_join", "d03_minhash_lsh",
-        "s01_knn_brute", "m03_feature_extract")
+        "s01_knn_brute", "m03_feature_extract",
+        // r9: the end-to-end pipeline — the deepest plan in the inventory
+        // (two window stages, an anti-join, a broadcast semi-probe, a
+        // multi-branch scan) as a lineage stress member
+        "p01_training_mix")
       // per-plan analysis is embarrassingly parallel (SURVEY §4): build and
       // analyze the panel concurrently on the driver; results sorted by name
       import scala.concurrent.{Await, Future, ExecutionContext}

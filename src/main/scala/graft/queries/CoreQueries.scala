@@ -1362,15 +1362,22 @@ object CoreQueries {
       import org.apache.spark.sql.graft.functions.top_k_struct
       val b = tbl(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      // EVERY downstream input derives from `baskets` — the basket count,
+      // the per-part order frequencies (explode of the basket row ≡
+      // distinct (order, part)), and the pairs. The aggregate is
+      // materialized ONCE (localCheckpoint — the q81 shared-table
+      // pattern), so the fact table is scanned exactly once per run where
+      // a per-branch build would read lineitem four times; the plan spec
+      // pins it (zero fact scans downstream of the checkpoint)
       val baskets = b.groupBy("okey")
         .agg(sort_array(collect_set(col("part"))).as("items"))
-      // basket count rides as a 1-row computed-zero-key broadcast (the
-      // q88 shiftright pattern: literal and x*0 keys constant-fold into a
-      // nested loop; the shift keeps the hash join and the query a single
-      // declarative job)
+        .localCheckpoint()
+      // 1-row stat attaches by the q88 shiftright computed-key pattern
+      // (literal and x*0 keys constant-fold into a nested loop)
       val nb = baskets.agg(count(lit(1)).as("n_baskets"))
         .withColumn("jk", shiftright(col("n_baskets"), 62).cast("int"))
-      val pf = b.distinct().groupBy("part").agg(count(lit(1)).as("cnt"))
+      val pf = baskets.select(explode(col("items")).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("cnt"))
       val pairs = baskets.filter(size(col("items")) >= 2)
         .select(explode(expr(
           "flatten(transform(sequence(1, size(items) - 1), " +
