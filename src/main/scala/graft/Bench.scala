@@ -116,7 +116,11 @@ object Bench {
     // r9: alternating-CC is the graph-dedup scale path (log² rounds over a
     // corpus-driven edge list) — its per-round shuffles grow with the pair
     // graph while the sf0.1 run is latency-floored
-    "d21_cc_alternating")
+    "d21_cc_alternating",
+    // r9: the end-to-end pipeline — five chained stages over documents;
+    // a superlinear regression in any stage's wiring (dedup window,
+    // decontamination probe, packing windows) shows here first
+    "p01_training_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -81,6 +81,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("alternating equals union-find across 8 random topologies " +
+    "(density sweep incl. near-empty and super-connected)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { t =>
+      val n = 10 + rnd.nextInt(80)
+      // density sweeps from m ≈ n/4 (forest of fragments) to m ≈ 3n
+      // (one giant component) across trials
+      val m = 1 + rnd.nextInt(3 * n)
+      val ps = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (ps.nonEmpty) {
+        val df = ps.toDF("doc_a", "doc_b")
+        val want = GraphOps.connectedComponents(df, maxDriverPairs = 1000000)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val got = GraphOps.connectedComponentsAlternating(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"trial $t (n=$n m=$m)")
+      }
+    }
+  }
+
   test("alternating pins no intermediate checkpoints after completion") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
