@@ -274,6 +274,38 @@ object SimilarityQueries {
     }
   }
 
+  /** s14's index: the SAME partition layout as [[ivfIndexPath]], built
+    * INCREMENTALLY — the standing corpus (vec_id % 5 ≠ 0 stands in for
+    * "yesterday's index") is written first, then the ingest batch
+    * (vec_id % 5 = 0) is assigned with the same frozen quantizer and
+    * parquet-APPENDED into the partition dirs: existing part-files are
+    * never touched, each partition just gains the batch's new files.
+    * Assignment is a pure per-vector function of the frozen pivots, so
+    * upsert ≡ full rebuild exactly (spec pins s14 to s06 row-for-row). */
+  private val upsertPaths =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def ivfUpsertIndexPath(s: SparkSession, dir: String): String = {
+    val key = (s, dir)
+    val existing = upsertPaths.get(key)
+    if (existing != null) return existing
+    val pivotVecs = ivfPivots(s, dir)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ivf-upsert")
+    val path = tmpRoot.resolve("embeddings_ivf").toString
+    def assigned = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        assignedPivotId(pivotVecs, col("embedding")).as("pivot_id"))
+    assigned.filter(col("vec_id") % 5 =!= 0)
+      .write.mode("overwrite").partitionBy("pivot_id").parquet(path)
+    assigned.filter(col("vec_id") % 5 === 0)
+      .write.mode("append").partitionBy("pivot_id").parquet(path)
+    val prev = upsertPaths.putIfAbsent(key, path)
+    if (prev != null) { deleteRecursively(tmpRoot); prev }
+    else {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmpRoot)))
+      path
+    }
+  }
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(root)) {
@@ -378,6 +410,31 @@ object SimilarityQueries {
       // assignment cost is paid once at ingest, not per query batch.
       // QueriesSpec proves s06 ≡ s02 row-for-row.
       val idx = s.read.parquet(ivfIndexPath(s, dir))
+      val pivots = ivfPivots(s, dir)
+      val probes = tbl(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(topPivotIds(pivots, col("embedding"),
+            nprobeFor(pivots.length))).as("pivot_id"))
+      val scored = idx.join(broadcast(probes), "pivot_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      topKPerQuery(scored, 5)
+    }),
+
+    "s14_ivf_index_upsert" -> ((s, dir) => {
+      // INCREMENTAL index maintenance — the lakehouse vector-store story:
+      // the standing corpus is already indexed (s06's partitioned layout);
+      // an ingest batch is assigned with the same FROZEN quantizer and
+      // parquet-appended into the partition dirs — no rebuild, no rewrite
+      // of existing files, query cost unchanged (DPP still prunes to the
+      // probed buckets; a partition just spans more part-files). Because
+      // assignment is a pure per-vector function of the frozen pivots,
+      // upsert ≡ rebuild EXACTLY: the spec pins this query row-for-row to
+      // s06 over the rebuilt index, and the oracle is s02's full-training
+      // replay. d19 is the same build-once/append-many design for the LSH
+      // band index; this is its vector sibling.
+      val idx = s.read.parquet(ivfUpsertIndexPath(s, dir))
       val pivots = ivfPivots(s, dir)
       val probes = tbl(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -1007,6 +1064,8 @@ object SimilarityQueries {
     "s06_knn_ivf_persisted" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
     "s08_knn_filtered" -> ivfOracle(IvfNlist, 2, 2 * IvfNprobe, " AND v.label = 3"),
     "s13_range_search_ivf" -> rangeOracle(IvfNlist, 2, IvfNprobe, 0.2),
+    // upsert ≡ rebuild: the incremental index answers exactly like s02/s06
+    "s14_ivf_index_upsert" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
     "s05_kmeans_ivf" -> kmeansClusterOracle(8, 3),
     // full-double replay (the d07 trick): per-vector norms once in a CTE,
     // per-pair dots via LIST_REDUCE — the same ascending-double left fold

@@ -958,6 +958,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(inFlight.exceptAll(fromIndex).count() === 0)
   }
 
+  test("s14 incremental index upsert equals the full rebuild row-for-row, " +
+    "and the append genuinely left two file generations in the partitions") {
+    val upserted = SparkEntry.queries("s14_ivf_index_upsert")(spark, sf)
+    val rebuilt = SparkEntry.queries("s06_knn_ivf_persisted")(spark, sf)
+    assert(upserted.count() === rebuilt.count())
+    assert(upserted.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(upserted).count() === 0)
+    // evidence the incremental path ran: some pivot partition holds part
+    // files from BOTH writes (base + appended batch) — an accidental full
+    // rewrite would leave exactly one file generation everywhere
+    val root = new java.io.File(
+      graft.queries.SimilarityQueries.ivfUpsertIndexPath(spark, sf))
+    val perPartition = root.listFiles().filter(_.getName.startsWith("pivot_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perPartition.nonEmpty && perPartition.exists(_ >= 2),
+      s"expected a partition with >= 2 part-files; got ${perPartition.mkString(",")}")
+  }
+
   test("IVF top-k recall vs brute-force ground truth stays above 40%") {
     // s02 probes IvfNprobe of IvfNlist buckets → it may miss true
     // neighbors, but on the fixture the coarse quantizer must still find a
