@@ -1470,6 +1470,35 @@ object CoreQueries {
         .withColumn("status",
           when(col("n_members") >= 10 && col("l_diversity") >= 3, "anonymous")
             .otherwise("at_risk"))
+    }),
+
+    "q92_winsorize" -> ((s, dir) => {
+      // percentile winsorization — the feature-prep staple that tames
+      // heavy-tailed metrics before they hit a model or a report: per
+      // group, values below the exact p1 (or above the exact p99) clamp
+      // to the percentile value. Percentiles are EXACT ranks, not
+      // approximations (rank = ceil(p·n) over the sorted group — all
+      // integer arithmetic, so the oracle is hash-exact; q87's histogram
+      // is the sketch alternative when a full sort is too expensive).
+      // Shape: one group-keyed window pass (sort carries (pm, key) pairs
+      // only), the per-group cap table is dimension-sized and broadcast
+      // back onto the row stream. Money in floor-milli units throughout.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          expr("CAST(FLOOR(o_totalprice * 1000) AS BIGINT)").as("pm"))
+      val w = Window.partitionBy("grp").orderBy("pm", "o_orderkey")
+      val r = o
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      val caps = r.groupBy("grp").agg(
+        max(when(col("rn") === expr("(n + 99) DIV 100"), col("pm"))).as("lo"),
+        max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("pm"))).as("hi"))
+      o.join(broadcast(caps), "grp")
+        .withColumn("pm_winsor", least(greatest(col("pm"), col("lo")), col("hi")))
+        .withColumn("clip",
+          when(col("pm") < col("lo"), "low")
+            .when(col("pm") > col("hi"), "high").otherwise("kept"))
+        .select("o_orderkey", "grp", "pm", "pm_winsor", "clip")
     })
   )
 
@@ -2399,6 +2428,23 @@ $steps
                    AND COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) >= 3
                   THEN 'anonymous' ELSE 'at_risk' END AS status
       FROM customer
-      GROUP BY 1, 2"""
+      GROUP BY 1, 2""",
+
+    "q92_winsorize" -> """
+      WITH o AS (SELECT o_orderkey, o_orderpriority AS grp,
+                        CAST(FLOOR(o_totalprice * 1000) AS BIGINT) AS pm
+                 FROM orders),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY pm, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM o),
+      caps AS (SELECT grp,
+                      MAX(CASE WHEN rn = (n + 99) // 100 THEN pm END) AS lo,
+                      MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN pm END) AS hi
+               FROM r GROUP BY grp)
+      SELECT o_orderkey, grp, pm,
+             LEAST(GREATEST(pm, lo), hi) AS pm_winsor,
+             CASE WHEN pm < lo THEN 'low'
+                  WHEN pm > hi THEN 'high' ELSE 'kept' END AS clip
+      FROM o JOIN caps USING (grp)"""
   )
 }

@@ -447,6 +447,34 @@ object SimilarityQueries {
       topKPerQuery(scored, 5)
     }),
 
+    "s15_ivf_tombstone_delete" -> ((s, dir) => {
+      // index DELETES — the third act of the index lifecycle (s06 build,
+      // s14 append, here remove): a lakehouse index never rewrites
+      // partition files on delete; deleted ids land in a tiny TOMBSTONE
+      // table and queries anti-join it until a compaction folds them in
+      // (Delta/Iceberg's delete-vector pattern). The tombstone side is
+      // deletion-sized and BROADCAST, so the anti-join is map-side over
+      // the DPP-pruned index scan — query cost unchanged, delete cost
+      // O(deletes). Semantics are exact, not approximate: the spec pins
+      // this query to s02 re-run over the corpus minus the deleted ids,
+      // and the oracle replays the same filter inside s02's full
+      // k-means-training replay.
+      val idx = s.read.parquet(ivfIndexPath(s, dir))
+      val pivots = ivfPivots(s, dir)
+      val tombstones = tbl(s, dir, "embeddings")
+        .filter(col("vec_id") % 7 === 0).select("vec_id")
+      val live = idx.join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+      val probes = tbl(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(topPivotIds(pivots, col("embedding"),
+            nprobeFor(pivots.length))).as("pivot_id"))
+      val scored = live.join(broadcast(probes), "pivot_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+      topKPerQuery(scored, 5)
+    }),
+
     "s07_knn_ivfpq" -> ((s, dir) => ivfPqKnn(s, dir)),
 
     "s08_knn_filtered" -> ((s, dir) => {
@@ -1066,6 +1094,9 @@ object SimilarityQueries {
     "s13_range_search_ivf" -> rangeOracle(IvfNlist, 2, IvfNprobe, 0.2),
     // upsert ≡ rebuild: the incremental index answers exactly like s02/s06
     "s14_ivf_index_upsert" -> ivfOracle(IvfNlist, 2, IvfNprobe, ""),
+    // tombstoned ids vanish exactly — s02's replay minus the deleted set
+    "s15_ivf_tombstone_delete" -> ivfOracle(IvfNlist, 2, IvfNprobe,
+      " AND v.vec_id % 7 <> 0"),
     "s05_kmeans_ivf" -> kmeansClusterOracle(8, 3),
     // full-double replay (the d07 trick): per-vector norms once in a CTE,
     // per-pair dots via LIST_REDUCE — the same ascending-double left fold

@@ -811,6 +811,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q92 winsorization: caps are the exact rank statistics, clamps are " +
+    "tight, and the interior is untouched") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q92_winsorize")(spark, sf).collect()
+    val byGrp = rows.groupBy(_.getString(1))
+    byGrp.foreach { case (g, rs) =>
+      val pms = rs.map(_.getLong(2)).sorted
+      val n = pms.length
+      val lo = pms((n + 99) / 100 - 1)
+      val hi = pms((99 * n + 99) / 100 - 1)
+      rs.foreach { r =>
+        val (pm, wz, clip) = (r.getLong(2), r.getLong(3), r.getString(4))
+        assert(wz == math.min(math.max(pm, lo), hi), s"$g: wrong clamp for $pm")
+        assert(clip == (if (pm < lo) "low" else if (pm > hi) "high" else "kept"))
+      }
+      // the caps must be actual group values (rank statistics, not
+      // interpolations) and clamping must be at most ~2% of the group
+      assert(pms.contains(lo) && pms.contains(hi))
+      val clipped = rs.count(_.getString(4) != "kept")
+      assert(clipped <= math.max(2, n / 25), s"$g: clipped $clipped of $n")
+    }
+  }
+
   test("q91 k-anonymity: flagged groups are exactly those violating k or l") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q91_k_anonymity")(spark, sf).collect()
@@ -974,6 +997,44 @@ class QueriesSpec extends AnyFunSuite {
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(perPartition.nonEmpty && perPartition.exists(_ >= 2),
       s"expected a partition with >= 2 part-files; got ${perPartition.mkString(",")}")
+  }
+
+  test("s15 tombstone deletes: no deleted id ever surfaces, and the result " +
+    "equals a brute-force search of the probed buckets minus the deletions") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("s15_ivf_tombstone_delete")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 7 != 0,
+        s"deleted vector ${r.getLong(2)} surfaced for query ${r.getLong(0)}")
+    }
+    // independent reference: the same probed-bucket search with the
+    // deletion applied the straightforward way (a plain filter on the
+    // index, a window top-k) must agree row-for-row — note filtering
+    // s06's OUTPUT would not be equivalent (its ranks truncate after
+    // scoring the full buckets), the recompute is the honest reference
+    import graft.queries.SimilarityQueries
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = {
+      val idx = spark.read.parquet(SimilarityQueries.ivfIndexPath(spark, sf))
+        .filter(col("vec_id") % 7 =!= 0)
+      val pivots = SimilarityQueries.ivfPivots(spark, sf)
+      val probes = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(SimilarityQueries.topPivotIds(pivots, col("embedding"),
+            SimilarityQueries.nprobeFor(pivots.length))).as("pivot_id"))
+      import org.apache.spark.sql.graft.functions.vec_cosine
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      idx.join(probes, "pivot_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          vec_cosine(col("q_emb"), col("embedding")).as("score"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    }
+    assert(got == want, "tombstone anti-join must equal the filtered search")
   }
 
   test("IVF top-k recall vs brute-force ground truth stays above 40%") {
