@@ -186,6 +186,31 @@ object StreamingOps {
       .groupBy("grp", "reg").agg(max("rho").as("rho"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the "did a follow-up arrive"
+    * shape ([[pairsWithinGap]]'s outer sibling): every event pairs with
+    * the SAME user's strictly-later events inside `gapMinutes`, and an
+    * event with no follow-up still emits once, with null b-columns, after
+    * the watermark proves no matching row can still arrive. That deferred
+    * null emission is the capability inner joins don't exercise: the state
+    * store must hold the left row until event-time passes its join window,
+    * then release it as a non-match — Spark bounds that state with the
+    * same two-sided watermark + time-range condition as the inner form,
+    * sharded by user_id. The spec pins the stream result row-for-row to
+    * the batch left-outer formulation. */
+  def pairsWithinGapOuter(events: DataFrame, gapMinutes: Int = 1): DataFrame = {
+    val a = events.select(col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts")).withWatermark("a_ts", "10 minutes")
+    val b = events.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts")).withWatermark("b_ts", "10 minutes")
+    a.join(b, expr(
+      s"""user_id = b_user AND
+          b_ts > a_ts AND b_ts <= a_ts + INTERVAL $gapMinutes MINUTES AND
+          a_id != b_id"""), "left_outer")
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        ((unix_micros(col("b_ts")) - unix_micros(col("a_ts"))) / 1000000L)
+          .cast("long").as("diff_sec"))
+  }
+
   /** Streaming fixed-domain histogram — q87's streaming twin and the
     * fourth member of the mergeable-sketch family (KMV folds by
     * bounded-top-k, CMS by addition, HLL by max, the histogram by

@@ -255,6 +255,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(undirected.distinct().count() === batch.count())
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emit exactly, and " +
+    "non-matches emit null once the watermark proves them final") {
+    val joined = StreamingOps.pairsWithinGapOuter(
+      StreamingOps.eventStream(spark, sf), gapMinutes = 1)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("pairs_outer_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pairs_outer_stream")
+    val e = graft.queries.QueryDsl.events(spark, sf)
+    val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val batch = a.join(b, expr(
+      """user_id = b_user AND b_ts > a_ts AND
+         b_ts <= a_ts + INTERVAL 1 MINUTES AND a_id != b_id"""), "left_outer")
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        ((unix_micros(col("b_ts")) - unix_micros(col("a_ts"))) / 1000000L)
+          .cast("long").as("diff_sec"))
+    // matched rows stream out immediately — exact equality with the batch
+    val gotM = got.filter(col("b_id").isNotNull)
+    val batchM = batch.filter(col("b_id").isNotNull)
+    assert(gotM.count() === batchM.count())
+    assert(gotM.exceptAll(batchM).count() === 0)
+    // null rows are the deferred half: one per unmatched left row, but
+    // ONLY once the event-time watermark (max ts − 10 min) has passed the
+    // row's join window (a_ts + gap) — rows near the stream's end stay
+    // open and must NOT have been emitted
+    val maxTs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoff = maxTs - (10L + 1L) * 60 * 1000000L
+    // a_id is the event id — unique per left row, so null rows compare by id
+    val gotNIds = got.filter(col("b_id").isNull)
+      .select("a_id").collect().map(_.getLong(0)).toSet
+    val batchNWithTs = batch.filter(col("b_id").isNull)
+      .join(a, Seq("a_id"))
+      .select(col("a_id"), unix_micros(col("a_ts")).as("ats"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotNIds.subsetOf(batchNWithTs.keySet),
+      "every emitted null row must be a true batch non-match")
+    val dueIds = batchNWithTs.filter(_._2 < cutoff).keySet
+    assert(dueIds.subsetOf(gotNIds),
+      "a non-match whose window closed under the final watermark must have emitted")
+    assert(gotNIds.nonEmpty, "the fixture must exercise the deferred-null path")
+  }
+
   test("streaming ingest gate: redact → grade → novelty in one stateless pass, " +
       "each rejection class routed; stream equals the batch gate") {
     import spark.implicits._
