@@ -1499,6 +1499,52 @@ object CoreQueries {
           when(col("pm") < col("lo"), "low")
             .when(col("pm") > col("hi"), "high").otherwise("kept"))
         .select("o_orderkey", "grp", "pm", "pm_winsor", "clip")
+    }),
+
+    "q93_position_attribution" -> ((s, dir) => {
+      // U-shaped (position-based) MULTI-touch attribution — q79's
+      // last-touch sibling: every touch in the journey that ends at a
+      // purchase gets credit (40% first / 40% last / 20% split across the
+      // middle; 100% single, 50/50 pair). The scale trick is the JOURNEY
+      // id: a running count of prior purchases partitions each user's
+      // timeline into conversion-scoped segments, so touch↔purchase
+      // matching is an equi-join on (user, journey) — ONE user-keyed
+      // shuffle end to end where the naive form range-joins purchases
+      // against all earlier touches. Credit is exact integer milli:
+      // middles get 200 DIV (n−2) each and the LAST touch absorbs the
+      // division remainder, so every journey's credits sum to exactly
+      // 1000 (spec-pinned).
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = events(s, dir)
+        .select("user_id", "event_id", "event_type", "ts")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .withColumn("journey",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("journey", coalesce(col("journey"), lit(0L)))
+      val touches = base.filter(col("event_type") =!= "purchase")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("journey"), col("event_id").as("purchase_id"))
+      val wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+      touches
+        .withColumn("pos", org.apache.spark.sql.functions.row_number().over(wj))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id", "journey")))
+        .join(purchases, Seq("user_id", "journey"))
+        .withColumn("position",
+          when(col("n") === 1, "only")
+            .when(col("pos") === 1, "first")
+            .when(col("pos") === col("n"), "last")
+            .otherwise("middle"))
+        .withColumn("credit_milli",
+          when(col("n") === 1, 1000L)
+            .when(col("n") === 2, 500L)
+            .when(col("pos") === 1, 400L)
+            .when(col("pos") === col("n"),
+              lit(600L) - expr("(200L DIV (n - 2)) * (n - 2)"))
+            .otherwise(expr("200L DIV (n - 2)")))
+        .select(col("user_id"), col("purchase_id"),
+          col("event_id").as("touch_id"), col("n").cast("long").as("n_touches"),
+          col("position"), col("credit_milli").cast("long").as("credit_milli"))
     })
   )
 
@@ -2445,6 +2491,29 @@ $steps
              LEAST(GREATEST(pm, lo), hi) AS pm_winsor,
              CASE WHEN pm < lo THEN 'low'
                   WHEN pm > hi THEN 'high' ELSE 'kept' END AS clip
-      FROM o JOIN caps USING (grp)"""
+      FROM o JOIN caps USING (grp)""",
+
+    "q93_position_attribution" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      j AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+            FROM e),
+      t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                         ORDER BY ts, event_id) AS pos,
+                   COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+            FROM j WHERE event_type <> 'purchase'),
+      p AS (SELECT user_id, journey, event_id AS purchase_id
+            FROM j WHERE event_type = 'purchase')
+      SELECT t.user_id, p.purchase_id, t.event_id AS touch_id,
+             CAST(n AS BIGINT) AS n_touches,
+             CASE WHEN n = 1 THEN 'only' WHEN pos = 1 THEN 'first'
+                  WHEN pos = n THEN 'last' ELSE 'middle' END AS "position",
+             CAST(CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
+                       WHEN pos = 1 THEN 400
+                       WHEN pos = n THEN 600 - (200 // (n - 2)) * (n - 2)
+                       ELSE 200 // (n - 2) END AS BIGINT) AS credit_milli
+      FROM t JOIN p USING (user_id, journey)"""
   )
 }

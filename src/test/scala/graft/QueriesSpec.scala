@@ -811,6 +811,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q93 U-shaped attribution: every journey's credits sum to exactly 1000, " +
+    "positions are coherent, and no touch crosses a purchase boundary") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q93_position_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (pid, g) =>
+      assert(g.map(_.getLong(5)).sum == 1000L, s"journey of purchase $pid: credits != 1000")
+      val n = g.head.getLong(3)
+      assert(g.forall(_.getLong(3) == n))
+      val positions = g.map(_.getString(4)).groupBy(identity).view.mapValues(_.size).toMap
+      if (n == 1) assert(positions == Map("only" -> 1))
+      else {
+        assert(positions.getOrElse("first", 0) == 1 && positions.getOrElse("last", 0) == 1)
+        assert(positions.getOrElse("middle", 0) == n - 2)
+      }
+    }
+    // boundary: every touch happens strictly before its purchase and after
+    // the user's previous purchase on the (ts, event_id) timeline
+    val ev = graft.queries.QueryDsl.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2).getTime)).toMap
+    val purchasesByUser = rows.map(_.getLong(1)).distinct
+      .groupBy(p => ev(p)._1).view.mapValues(_.map(p => (ev(p)._2, p)).sorted).toMap
+    rows.foreach { r =>
+      val (touch, purchase) = (r.getLong(2), r.getLong(1))
+      val tkey = (ev(touch)._2, touch)
+      val pkey = (ev(purchase)._2, purchase)
+      assert(Ordering[(Long, Long)].lt(tkey, pkey), s"touch $touch not before purchase $purchase")
+      val prev = purchasesByUser(ev(purchase)._1).filter(k => Ordering[(Long, Long)].lt(k, pkey))
+      prev.lastOption.foreach { pk =>
+        assert(Ordering[(Long, Long)].lt(pk, tkey),
+          s"touch $touch belongs to an earlier journey than purchase $purchase")
+      }
+    }
+  }
+
   test("q92 winsorization: caps are the exact rank statistics, clamps are " +
     "tight, and the interior is untouched") {
     import org.apache.spark.sql.functions._
