@@ -1545,6 +1545,44 @@ object CoreQueries {
         .select(col("user_id"), col("purchase_id"),
           col("event_id").as("touch_id"), col("n").cast("long").as("n_touches"),
           col("position"), col("credit_milli").cast("long").as("credit_milli"))
+    }),
+
+    "q94_mad_outliers" -> ((s, dir) => {
+      // robust anomaly detection — the MAD (median absolute deviation)
+      // z-score, the outlier detector that mean/stddev can't be trusted
+      // for on heavy-tailed data (one whale order drags the mean toward
+      // itself and hides inside its own inflated stddev; medians don't
+      // move). Both the median and the MAD are EXACT lower-median rank
+      // statistics (rank (n+1) DIV 2 — all integer, the q92 discipline),
+      // z rides in milli units, and rather than an arbitrary threshold
+      // the report is the bounded top-5 most deviant per group (ties by
+      // key) — always meaningful, fixed-size at any corpus. Shape: two
+      // group-keyed window passes (values, then deviations), cap tables
+      // broadcast, the final cut is the bounded top-k aggregate.
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          expr("CAST(FLOOR(o_totalprice * 1000) AS BIGINT)").as("pm"))
+      def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+        val w = Window.partitionBy("grp").orderBy(col(valueCol), col("o_orderkey"))
+        df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+          .groupBy("grp")
+          .agg(max(when(col("rn") === expr("(n + 1) DIV 2"), col(valueCol))).as(outCol))
+      }
+      val med = lowerMedian(o, "pm", "med")
+      val dev = o.join(broadcast(med), "grp")
+        .withColumn("dev", abs(col("pm") - col("med")))
+      val mad = lowerMedian(dev, "dev", "mad")
+      dev.join(broadcast(mad), "grp")
+        .withColumn("z_milli", expr("(1000L * dev) DIV greatest(mad, 1)"))
+        .groupBy("grp")
+        .agg(top_k_struct(struct((col("z_milli") * -1).as("neg_z"), col("o_orderkey"),
+          col("pm"), col("med"), col("mad")), 5).as("top"))
+        .select(col("grp"), posexplode(col("top")))
+        .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.o_orderkey"), col("col.pm"), col("col.med"), col("col.mad"),
+          (col("col.neg_z") * -1).as("z_milli"))
     })
   )
 
@@ -2514,6 +2552,32 @@ $steps
                        WHEN pos = 1 THEN 400
                        WHEN pos = n THEN 600 - (200 // (n - 2)) * (n - 2)
                        ELSE 200 // (n - 2) END AS BIGINT) AS credit_milli
-      FROM t JOIN p USING (user_id, journey)"""
+      FROM t JOIN p USING (user_id, journey)""",
+
+    "q94_mad_outliers" -> """
+      WITH o AS (SELECT o_orderkey, o_orderpriority AS grp,
+                        CAST(FLOOR(o_totalprice * 1000) AS BIGINT) AS pm
+                 FROM orders),
+      r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY pm, o_orderkey) AS rn,
+                    COUNT(*) OVER (PARTITION BY grp) AS n
+             FROM o),
+      med AS (SELECT grp, MAX(CASE WHEN rn = (n + 1) // 2 THEN pm END) AS med
+              FROM r1 GROUP BY grp),
+      d AS (SELECT o.grp, o.o_orderkey, o.pm, med, ABS(pm - med) AS dev
+            FROM o JOIN med USING (grp)),
+      r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY dev, o_orderkey) AS rn,
+                    COUNT(*) OVER (PARTITION BY grp) AS n
+             FROM d),
+      mad AS (SELECT grp, MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+              FROM r2 GROUP BY grp),
+      z AS (SELECT d.grp, d.o_orderkey, d.pm, d.med, mad,
+                   (1000 * dev) // GREATEST(mad, 1) AS z_milli
+            FROM d JOIN mad USING (grp))
+      SELECT grp, CAST(rank AS INT) AS rank, o_orderkey, pm, med, mad,
+             CAST(z_milli AS BIGINT) AS z_milli
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                        ORDER BY z_milli DESC, o_orderkey) AS rank
+            FROM z)
+      WHERE rank <= 5"""
   )
 }

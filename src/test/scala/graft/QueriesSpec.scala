@@ -847,6 +847,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q94 MAD outliers: medians and MADs are the exact rank statistics, " +
+    "and the report is the true top-5 per group") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q94_mad_outliers")(spark, sf).collect()
+    val data = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(FLOOR(o_totalprice * 1000) AS BIGINT)").as("pm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    rows.groupBy(_.getString(0)).foreach { case (g, rs) =>
+      val grp = data.filter(_._2 == g)
+      val med = lowerMedian(grp.map(_._3).toIndexedSeq)
+      val mad = lowerMedian(grp.map(x => math.abs(x._3 - med)).toIndexedSeq)
+      val zOf = grp.map(x => (x._1, 1000L * math.abs(x._3 - med) / math.max(mad, 1))).toMap
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.foreach { r =>
+        assert(r.getLong(4) == med && r.getLong(5) == mad, s"$g: wrong rank statistics")
+        assert(r.getLong(6) == zOf(r.getLong(2)), s"$g: wrong z for ${r.getLong(2)}")
+      }
+      // true top-5: nothing outside the report out-scores the published cut
+      val trueTop = zOf.toSeq.sortBy { case (k, z) => (-z, k) }.take(5).map(_._1)
+      assert(sorted.map(_.getLong(2)).toSeq == trueTop, s"$g: not the true top-5")
+    }
+  }
+
   test("q92 winsorization: caps are the exact rank statistics, clamps are " +
     "tight, and the interior is untouched") {
     import org.apache.spark.sql.functions._
