@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join with PREFIX FILTERING — the AllPairs /
+  * PPJoin candidate rule (Bayardo, Ma & Srikant, WWW'07 "Scaling up all
+  * pairs similarity search"; Xiao, Wang, Lin & Yu, WWW'08 "Efficient
+  * similarity joins for near duplicate detection").
+  *
+  * The naive exact Jaccard join generates a candidate pair for every
+  * co-occurring element (Σ df² pairs over the full inverted index — d08's
+  * shape, which needs a df-stoplist to tame heavy hitters, trading a
+  * documented soundness caveat for the cut). Prefix filtering keeps
+  * exactness AND cuts candidates with a theorem instead of a heuristic:
+  *
+  *   order every set by one GLOBAL canonical element order (rarest-first
+  *   df order — ties by element), and call the first
+  *   |x| − ⌈τ·|x|⌉ + 1 elements the PREFIX of x. If J(a,b) ≥ τ, then
+  *   prefix(a) ∩ prefix(b) ≠ ∅.
+  *
+  *   Proof sketch: J(a,b) ≥ τ forces |a∩b| ≥ ⌈τ·max(|a|,|b|)⌉. A set
+  *   shares NO prefix element with the other only if every common element
+  *   sits in its suffix, but a suffix holds at most ⌈τ·|x|⌉ − 1 < ⌈τ·|x|⌉
+  *   elements of any common subset ordered canonically — contradiction.
+  *
+  * So the inverted index is built over PREFIX positions only, heavy
+  * hitters sort last (largest df) and fall out of most prefixes
+  * naturally, and the length filter τ·|a| ≤ |b| ≤ |a|/τ (a second exact
+  * necessary condition) prunes the rest. Verification then counts the
+  * true intersection for surviving candidates only.
+  *
+  * Scale shape at 100 TB:
+  *   - the df table and every join key are 8-byte hashes — no set, array
+  *     or text ever rides a shuffle;
+  *   - candidate generation shuffles prefix postings (a τ-fraction of the
+  *     full posting list) keyed by element — the Σ df_prefix² work is the
+  *     algorithm's known cost, minimized by the rarest-first order;
+  *   - verification is an equi-join of the candidate list against the two
+  *     posting lists (candidates × avg-set-size rows), partial-aggregated
+  *     before the count lands;
+  *   - skew: a degenerate heavy hitter inflates one prefix bucket only if
+  *     it appears in a prefix at all — rarest-first ordering makes that
+  *     the LAST element to enter any prefix.
+  */
+object PrefixFilterOps {
+
+  /** All unordered pairs (id_a < id_b) of `sets` with Jaccard ≥ tauNum /
+    * tauDen, computed exactly via prefix filtering. `sets` must have an
+    * integral id column `idCol` and a column `setCol` of ARRAY<LONG>
+    * DISTINCT element hashes. Returns (id_a, id_b, jaccard_milli) where
+    * jaccard_milli = (1000·|a∩b|) DIV |a∪b| — integer floor-milli, so the
+    * τ cut (milli ≥ 1000·tauNum DIV tauDen) is exact for any rational τ
+    * whose 1000·num/den is integral (e.g. 3/5 → 600). */
+  def jaccardSelfJoin(sets: DataFrame, idCol: String, setCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
+    require((1000L * tauNum) % tauDen == 0,
+      s"tau=$tauNum/$tauDen has no exact milli threshold — the output cut " +
+        "would disagree with the candidate rule at boundary pairs")
+    val milliTau = 1000L * tauNum / tauDen
+    val posting = sets.select(col(idCol).as("id"),
+      size(col(setCol)).as("sz"), explode(col(setCol)).as("h"))
+    val prefix = prefixPostings(posting, tauNum, tauDen)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("b.sz") * tauDen >= col("a.sz") * tauNum &&
+          col("a.sz") * tauDen >= col("b.sz") * tauNum)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct()
+    cand
+      .join(posting.as("pa"), col("id_a") === col("pa.id"))
+      .join(posting.as("pb"),
+        col("id_b") === col("pb.id") && col("pa.h") === col("pb.h"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("ni"))
+      .withColumn("jaccard_milli",
+        expr("(1000 * ni) DIV (sz_a + sz_b - ni)"))
+      .filter(col("jaccard_milli") >= milliTau)
+      .select(col("id_a"), col("id_b"), col("jaccard_milli"))
+  }
+
+  /** The prefix posting list: each set's first |x| − ⌈τ·|x|⌉ + 1 elements
+    * in the global rarest-first (df asc, hash asc) canonical order.
+    * Exposed for the candidate-reduction spec. Columns (id, sz, h). */
+  private[graft] def prefixPostings(posting: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val df_ = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy("df", "h")
+    posting.join(df_, "h")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) DIV $tauDen") + 1)
+      .select(col("id"), col("sz"), col("h"))
+  }
+}

@@ -1583,6 +1583,71 @@ object CoreQueries {
         .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
           col("col.o_orderkey"), col("col.pm"), col("col.med"), col("col.mad"),
           (col("col.neg_z") * -1).as("z_milli"))
+    }),
+
+    "q95_pps_sample" -> ((s, dir) => {
+      // systematic probability-proportional-to-size (PPS) sampling — the
+      // survey-statistics workhorse (Madow's systematic selection) that
+      // training pipelines use to draw a weight-faithful subcorpus: walk
+      // the cumulative weight axis in m equal steps, pick whichever row
+      // each step lands in. An order heavier than the step width is
+      // drawn with multiplicity (n_picks > 1) — that is the correct PPS
+      // semantics, not a bug. Everything is exact integer cents, and the
+      // cumulative weights come from GlobalOrderOps' two-phase
+      // distributed prefix sum — ONE range shuffle, never the
+      // single-task no-PARTITION window (q34's caveat, solved). The
+      // grand total is a 1-row bounded driver artifact inlined as a
+      // literal (the q88 corpus-stats pattern).
+      import graft.operators.GlobalOrderOps
+      val m = 37
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val total = o.agg(sum("cents")).head.getLong(0)
+      // cum·m must stay inside Long: at ~1e9 orders × 1e6 cents × m=37
+      // this is ~4e16 — two orders of magnitude of headroom; past that,
+      // widen to DECIMAL(38,0) (the d20 bit-field discipline: guard the
+      // packing, don't let it silently wrap).
+      require(total > 0 && total <= Long.MaxValue / m,
+        s"cumulative-weight overflow: total=$total * m=$m exceeds Long")
+      GlobalOrderOps.withGlobalOrder(o, Seq(col("o_orderkey")),
+          rankCol = "rk", runningSums = Seq("cents" -> "cum"))
+        .withColumn("n_picks",
+          expr(s"(cum * $m) DIV ${total}L - ((cum - cents) * $m) DIV ${total}L"))
+        .filter(col("n_picks") > 0)
+        .select("o_orderkey", "cents", "n_picks")
+    }),
+
+    "q97_ab_contingency" -> ((s, dir) => {
+      // A/B experiment readout — per-user conversion split by a
+      // deterministic hash arm (user_id parity stands in for the bucket
+      // hash), with the 2×2 contingency table and the φ² (phi-squared)
+      // association strength = χ²/n in exact floor-milli. φ² instead of
+      // raw χ² because it keeps EVERY intermediate inside DECIMAL(38,0)
+      // at any corpus size ((ad−bc)² ≤ n⁴ ≈ 1e36 at 1e9 users; χ² = n·φ²
+      // multiplies one more n and overflows 38 digits first). Shape: one
+      // user-keyed partial-aggregated groupBy, then a 2-row rollup — the
+      // statistic itself is computed on a bounded 1-row frame.
+      // "conversion" = a heavy purchaser (≥14 purchase events): the raw
+      // any-purchase flag is degenerate on this generator (every user
+      // purchases → two empty margins → φ² undefined); the threshold form
+      // exercises the same per-user aggregate with all four cells
+      // populated at every sf.
+      val conv = events(s, dir)
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14)
+          .cast("int").as("converted"))
+        .withColumn("arm", (col("user_id") % 2).cast("int"))
+      conv.agg(
+          sum(when(col("arm") === 0 && col("converted") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("arm") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("arm") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("d"))
+        .withColumn("phi2_milli", expr(
+          "CAST((1000 * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) " +
+            " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)) " +
+            " DIV greatest((a + b) * CAST(c + d AS DECIMAL(38,0)) * (a + c) * (b + d), 1) AS BIGINT)"))
+        .select("a", "b", "c", "d", "phi2_milli")
     })
   )
 
@@ -2578,6 +2643,42 @@ $steps
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
                         ORDER BY z_milli DESC, o_orderkey) AS rank
             FROM z)
-      WHERE rank <= 5"""
+      WHERE rank <= 5""",
+
+    // DuckDB's window cumsum replays the distributed two-phase prefix sum
+    // exactly: both are the same integer running total under the same
+    // total order, so the systematic picks match row-for-row
+    "q95_pps_sample" -> """
+      WITH o AS (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      c AS (SELECT o_orderkey, cents,
+                   CAST(SUM(cents) OVER (ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM o),
+      t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM o)
+      SELECT o_orderkey, cents,
+             CAST((cum * 37) // total - ((cum - cents) * 37) // total AS BIGINT) AS n_picks
+      FROM c, t
+      WHERE (cum * 37) // total - ((cum - cents) * 37) // total > 0""",
+
+    "q97_ab_contingency" -> """
+      WITH conv AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted,
+               CAST(user_id % 2 AS INT) AS arm
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM conv)
+      SELECT a, b, c, d,
+             CAST((1000 * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+                  // GREATEST((a + b) * CAST(c + d AS HUGEINT) * (a + c) * (b + d), 1)
+                  AS BIGINT) AS phi2_milli
+      FROM cells"""
   )
 }

@@ -818,6 +818,24 @@ object DedupQueries {
         exactJaccardPairs(s, dir).select("doc_a", "doc_b"))
       labels.withColumn("n_members", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("component")))
+    }),
+
+    "d22_prefix_filter_join" -> ((s, dir) => {
+      // d08's exact-Jaccard join with the THEOREM-backed candidate cut:
+      // prefix filtering (AllPairs/PPJoin — see
+      // [[graft.operators.PrefixFilterOps]]). Sets ordered by global
+      // rarest-first df, only the first |x| − ⌈τ·|x|⌉ + 1 elements enter
+      // the inverted index, and the τ·|a| ≤ |b| ≤ |a|/τ length filter
+      // prunes the rest — sound AND complete at τ = 0.6 with NO stoplist
+      // caveat (d08's df-stoplist trades completeness for the same cut).
+      // Heavy hitters sort LAST in the canonical order, so they fall out
+      // of prefixes instead of flooding candidate buckets. Shares the
+      // persisted shingle-hash table with the d03/d08 family; every join
+      // key is an 8-byte hash.
+      graft.operators.PrefixFilterOps
+        .jaccardSelfJoin(shingleTable(s, dir), "doc_id", "sh", 3, 5)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
     })
   )
 
@@ -1289,6 +1307,26 @@ object DedupQueries {
       lab AS (SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src)
       SELECT doc_id, component,
              COUNT(*) OVER (PARTITION BY component) AS n_members
-      FROM lab"""
+      FROM lab""",
+
+    // brute-force replay: prefix filtering is exact, so the all-pairs
+    // Jaccard at tau = 0.6 IS the spec (d08's shingling CTEs, tau 600)
+    "d22_prefix_filter_join" -> """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEN(LIST_INTERSECT(a.s, b.s)) AS ni,
+               LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s)) AS nu
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, (1000 * ni) // nu AS jaccard_milli
+      FROM pairs
+      WHERE (1000 * ni) // nu >= 600"""
   )
 }

@@ -613,6 +613,51 @@ object TextQueries {
           size(col("rm")).as("n_removed"),
           expr("array_join(filter(tk, (t, i) -> NOT array_contains(rm, i + 1)), ' ')")
             .as("clean_text"))
+    }),
+
+    "t24_score_lift" -> ((s, dir) => {
+      // model-evaluation gains/lift table — the calibration readout every
+      // quality-filter deployment needs before trusting t16's scores to
+      // gate a corpus: rank all documents by score, cut into EXACT global
+      // deciles, and report per-decile positive rate, cumulative capture
+      // and lift. "Positive" is a deterministic reference label (the
+      // document mentions 'spark'). Deciles come from GlobalOrderOps'
+      // two-phase global rank — one range shuffle of (score, id) pairs,
+      // never the single-task no-PARTITION window (NTILE's trap) — and
+      // decile = ((rank−1)·10) DIV n + 1 so both engines share one integer
+      // formula instead of trusting NTILE tie rules. The capture/lift
+      // pass runs on the aggregated 10-row table (a bounded frame), and
+      // all rates are exact floor-milli integers.
+      import graft.operators.GlobalOrderOps
+      import org.apache.spark.sql.expressions.Window
+      val stopArr = array(stopEn.map(lit): _*)
+      val scored = tbl(s, dir, "documents")
+        .withColumn("tk", toks(col("text")))
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(filter(col("tk"), t => array_contains(stopArr, t))).as("n_stop"),
+          size(array_distinct(col("tk"))).as("n_unique"),
+          array_contains(col("tk"), "spark").cast("long").as("pos"))
+        .withColumn("logit_milli", expr(
+          "3 * ((1000 * n_unique) DIV greatest(n_tokens, 1)) " +
+            "- 2 * ((1000 * n_stop) DIV greatest(n_tokens, 1)) " +
+            "+ 5 * least(n_tokens, 100) - 1500"))
+        .select("doc_id", "logit_milli", "pos")
+      val n = scored.count() // 1-row bounded driver artifact (q88 pattern)
+      val deciles = GlobalOrderOps
+        .withGlobalOrder(scored, Seq(col("logit_milli").desc, col("doc_id")), rankCol = "rk")
+        .withColumn("decile", expr(s"CAST(((rk - 1) * 10) DIV ${n}L + 1 AS INT)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"))
+      val w10 = Window.orderBy("decile")
+      deciles
+        .withColumn("cum_pos", sum("n_pos").over(
+          w10.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total_pos", sum("n_pos").over(
+          w10.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          expr("(1000 * cum_pos) DIV greatest(total_pos, 1)").as("capture_milli"),
+          expr(s"(1000 * n_pos * ${n}L) DIV greatest(n_docs * total_pos, 1)").as("lift_milli"))
     })
   )
 
@@ -1102,6 +1147,42 @@ object TextQueries {
       SELECT doc_id, CAST(LEN(tk) AS INT) AS n_tokens,
              CAST(LEN(rm) AS INT) AS n_removed,
              COALESCE(ARRAY_TO_STRING(LIST_FILTER(tk, (t, i) -> NOT LIST_CONTAINS(rm, i)), ' '), '') AS clean_text
-      FROM c"""
+      FROM c""",
+
+    // t16's feature/logit CTEs verbatim, then one shared integer decile
+    // formula (((rank−1)·10) // n + 1 — NOT NTILE, whose tie handling
+    // neither engine should be trusted to share) and milli rates
+    "t24_score_lift" -> """
+      WITH f AS (
+        SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], t))) AS n_stop,
+               LEN(LIST_DISTINCT(toks)) AS n_unique,
+               CASE WHEN LIST_CONTAINS(toks, 'spark') THEN 1 ELSE 0 END AS pos
+        FROM (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS toks FROM documents)),
+      g AS (
+        SELECT doc_id, pos,
+               3 * ((1000 * n_unique) // GREATEST(n_tokens, 1))
+                 - 2 * ((1000 * n_stop) // GREATEST(n_tokens, 1))
+                 + 5 * LEAST(n_tokens, 100) - 1500 AS logit_milli
+        FROM f),
+      r AS (
+        SELECT pos,
+               ROW_NUMBER() OVER (ORDER BY logit_milli DESC, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM g),
+      d AS (
+        SELECT CAST(((rk - 1) * 10) // n + 1 AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               MAX(n) AS n
+        FROM r GROUP BY 1)
+      SELECT decile, n_docs, n_pos,
+             CAST((1000 * SUM(n_pos) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  // GREATEST(SUM(n_pos) OVER (), 1) AS BIGINT) AS capture_milli,
+             CAST((1000 * n_pos * n)
+                  // GREATEST(n_docs * SUM(n_pos) OVER (), 1) AS BIGINT) AS lift_milli
+      FROM d"""
   )
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PrefixFilterOps
+
+/** PrefixFilterOps — the AllPairs/PPJoin prefix-filtered exact Jaccard
+  * self-join behind d22. */
+class PrefixFilterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("prefix-filter-spec")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def setsDf(sets: Seq[(Long, Seq[Long])]): DataFrame =
+    sets.map { case (id, s) => (id, s.distinct.sorted) }.toDF("id", "sh")
+
+  /** Brute-force reference: broadcast cross join + exact intersection. */
+  private def brute(sets: Seq[(Long, Seq[Long])], milliTau: Long): Set[(Long, Long, Long)] = {
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      ni = (sa.toSet & sb.toSet).size.toLong
+      nu = sa.toSet.size + sb.toSet.size - ni
+      m = 1000 * ni / nu if m >= milliTau
+    } yield (ia, ib, m)).toSet
+  }
+
+  private def run(sets: Seq[(Long, Seq[Long])], tn: Int, td: Int): Set[(Long, Long, Long)] =
+    PrefixFilterOps.jaccardSelfJoin(setsDf(sets), "id", "sh", tn, td)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("matches brute force on a randomized corpus (tau = 3/5)") {
+    val rnd = new scala.util.Random(11)
+    // 120 sets over a small universe with planted near-dup pairs
+    val base = (0 until 120).map { i =>
+      i.toLong -> Seq.fill(8 + rnd.nextInt(20))(rnd.nextInt(60).toLong)
+    }
+    val planted = base.take(15).map { case (id, s) =>
+      // mutate one element → a high-Jaccard sibling
+      (id + 1000) -> (s.distinct.drop(1) :+ 997L)
+    }
+    val sets = base ++ planted
+    assert(run(sets, 3, 5) === brute(sets, 600))
+  }
+
+  test("boundary pairs: exactly tau is kept, just under tau is dropped") {
+    val sets = Seq(
+      1L -> Seq(1L, 2L, 3L, 4L),  // J(1,2) = 3/5 exactly → 600, kept
+      2L -> Seq(2L, 3L, 4L, 5L),
+      3L -> Seq(10L, 11L, 12L, 13L, 14L), // J(3,4) = 3/7 → 428, dropped
+      4L -> Seq(12L, 13L, 14L, 15L))
+    val got = run(sets, 3, 5)
+    assert(got === Set((1L, 2L, 600L)))
+  }
+
+  test("identical and disjoint sets behave (1000 kept, 0 absent)") {
+    val sets = Seq(1L -> Seq(1L, 2L, 3L), 2L -> Seq(1L, 2L, 3L), 3L -> Seq(9L))
+    assert(run(sets, 3, 5) === Set((1L, 2L, 1000L)))
+  }
+
+  test("a universal heavy hitter never enters any prefix (rarest-first order)") {
+    // every set shares element 999; with tau = 3/5 the prefix is ~2/5 of
+    // the set and 999 (max df) sorts last — it must be absent from the
+    // prefix posting list, so it can never flood a candidate bucket
+    val rnd = new scala.util.Random(5)
+    val sets = (0 until 40).map { i =>
+      i.toLong -> (Seq.fill(12)(rnd.nextInt(500).toLong) :+ 999L)
+    }
+    val posting = setsDf(sets).select(col("id"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    val prefixHashes = PrefixFilterOps.prefixPostings(posting, 3, 5)
+      .select("h").as[Long].collect().toSet
+    assert(!prefixHashes.contains(999L))
+    // and exactness still holds with the heavy hitter in play
+    assert(run(sets, 3, 5) === brute(sets, 600))
+  }
+
+  test("d22 on the fixture: prefix candidates strictly undercut the full inverted index") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.graft.functions.token_shingle_hashes
+    val sets = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), token_shingle_hashes(col("text"), 3).as("sh"))
+    val posting = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    def pairCount(p: DataFrame): Long = p.as("a").join(p.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val full = pairCount(posting)
+    val pref = pairCount(PrefixFilterOps.prefixPostings(posting, 3, 5))
+    assert(pref < full, s"prefix candidates $pref should undercut full-index $full")
+    // the cut is substantial on this corpus, not cosmetic
+    assert(pref.toDouble / full < 0.5, s"only $pref/$full")
+  }
+
+  test("irrational milli thresholds are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      PrefixFilterOps.jaccardSelfJoin(setsDf(Seq(1L -> Seq(1L))), "id", "sh", 1, 3)
+    }
+    assert(e.getMessage.contains("milli"))
+  }
+}
