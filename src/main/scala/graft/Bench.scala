@@ -120,7 +120,12 @@ object Bench {
     // r9: the end-to-end pipeline — five chained stages over documents;
     // a superlinear regression in any stage's wiring (dedup window,
     // decontamination probe, packing windows) shows here first
-    "p01_training_mix")
+    "p01_training_mix",
+    // r9: the prefix-filtered exact-similarity join — candidate volume is
+    // Σ df_prefix², which grows with the corpus exactly like d08's full
+    // inverted index; a regression in the prefix cut would be invisible
+    // at the sf0.1 floor
+    "d22_prefix_filter_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

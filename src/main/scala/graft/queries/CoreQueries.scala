@@ -1648,6 +1648,38 @@ object CoreQueries {
             " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)) " +
             " DIV greatest((a + b) * CAST(c + d AS DECIMAL(38,0)) * (a + c) * (b + d), 1) AS BIGINT)"))
         .select("a", "b", "c", "d", "phi2_milli")
+    }),
+
+    "q98_event_debounce" -> ((s, dir) => {
+      // per-(user, event_type) event-time DEBOUNCE — the rate-limiting /
+      // duplicate-burst suppressor every event pipeline needs: an event
+      // survives only if ≥24 h of EVENT time passed since the last
+      // SURVIVING event of its key (the greedy anchor walk — lag() can't
+      // express it: the anchor is the previous KEPT event, not the
+      // previous event). The walk is entity-LOCAL, so the whole operator
+      // is one user-keyed shuffle + a sorted in-group fold (`aggregate`
+      // over the collected list): per-key carried state is ONE timestamp
+      // — exactly the 8 bytes the streaming twin
+      // ([[graft.streaming.StreamingOps.debounceStream]]) keeps per key
+      // in its state store. Per-key list size is bounded by per-entity
+      // activity (the q72 funnel caveat; a hyperactive key is a data
+      // problem long before it is a memory one).
+      val tolUs = 86400000000L // 24 h of event time, in microseconds
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .groupBy("user_id", "event_type")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id")))).as("evs"))
+        .select(col("user_id"), col("event_type"), explode(expr(
+          s"""aggregate(evs,
+                named_struct('last', CAST(-1 AS BIGINT),
+                             'kept', CAST(array() AS ARRAY<STRUCT<ts_us: BIGINT, event_id: BIGINT>>)),
+                (acc, e) -> IF(acc.last < 0 OR e.ts_us - acc.last >= ${tolUs}L,
+                               named_struct('last', e.ts_us,
+                                            'kept', array_append(acc.kept, e)),
+                               acc),
+                acc -> acc.kept)""")).as("e"))
+        .select(col("user_id"), col("event_type"), col("e.event_id"), col("e.ts_us"))
     })
   )
 
@@ -2679,6 +2711,28 @@ $steps
                         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
                   // GREATEST((a + b) * CAST(c + d AS HUGEINT) * (a + c) * (b + d), 1)
                   AS BIGINT) AS phi2_milli
-      FROM cells"""
+      FROM cells""",
+
+    // the greedy anchor walk replayed as a recursive anchor chain: seed =
+    // first event per key, step = the earliest event ≥ anchor + 24 h
+    // (LATERAL top-1) — same (ts, id) order, same ≥ comparison as the
+    // Spark fold, so the kept sets match row-for-row
+    "q98_event_debounce" -> """
+      WITH RECURSIVE anchors AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (SELECT user_id, event_type, ts, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        UNION ALL
+        SELECT n.user_id, n.event_type, n.ts, n.event_id
+        FROM anchors a JOIN LATERAL (
+          SELECT e.user_id, e.event_type, e.ts, e.event_id FROM events e
+          WHERE e.user_id = a.user_id AND e.event_type = a.event_type
+            AND e.ts >= a.ts + INTERVAL 1 DAY
+          ORDER BY e.ts, e.event_id LIMIT 1) n ON true)
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM anchors"""
   )
 }

@@ -353,4 +353,46 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  case class Debounced(user_id: Long, event_type: String, event_id: Long, ts_us: Long)
+
+  /** Per-(user, event_type) event-time DEBOUNCE — q98's streaming twin: an
+    * event is emitted only when ≥ `tolHours` of EVENT time has passed
+    * since the last emitted event of the same key (the greedy anchor
+    * walk). State is ONE long per key (the last anchor), the smallest
+    * possible state-store row; deliberately NO timeout — expiring the
+    * anchor would re-admit a suppressed key after every quiet period,
+    * which is exactly what a rate limiter must not do, and the state is
+    * 8 bytes × key cardinality, bounded regardless of event volume.
+    * Within a micro-batch events sort by (ts, id) so emission matches the
+    * batch fold; events arriving before the standing anchor (late data
+    * inside the watermark) are correctly suppressed — they cannot move an
+    * anchor that is already emitted. */
+  def debounceStream(events: Dataset[Event], tolHours: Int = 24): Dataset[Debounced] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tolUs = tolHours * 3600L * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    def update(key: (Long, String), evts: Iterator[Event],
+        state: GroupState[Long]): Iterator[Debounced] = {
+      val out = scala.collection.mutable.ArrayBuffer[Debounced]()
+      var last = state.getOption.getOrElse(Long.MinValue)
+      evts.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        if (last == Long.MinValue || t - last >= tolUs) {
+          last = t
+          out += Debounced(key._1, key._2, e.event_id, t)
+        }
+      }
+      if (last != Long.MinValue) state.update(last)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

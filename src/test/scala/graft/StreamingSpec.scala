@@ -44,6 +44,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("streaming debounce over one batch equals the batch anchor walk exactly") {
+    import spark.implicits._
+    val deb = StreamingOps.debounceStream(
+      StreamingOps.eventStream(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamingOps.Event], tolHours = 24)
+    val q = deb.writeStream.outputMode("append")
+      .format("memory").queryName("debounce_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("debounce_stream")
+      .select("user_id", "event_type", "event_id", "ts_us")
+    val batch = SparkEntry.queries("q98_event_debounce")(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() === 0 && batch.exceptAll(got).count() === 0,
+      "single-batch streaming debounce must equal the batch fold row-for-row")
+  }
+
+  test("debounce anchors persist across micro-batches and suppress late arrivals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hours: Int, id: Long) = StreamingOps.Event(
+      id, new java.sql.Timestamp(t0.getTime + hours * 3600L * 1000), 1L, "click", 0.0)
+    val ms = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.debounceStream(ms.toDS(), tolHours = 24).writeStream
+      .outputMode("append").format("memory").queryName("debounce_state").start()
+    ms.addData(at(0, 1)); q.processAllAvailable()     // anchor at t0 → emitted
+    ms.addData(at(1, 2), at(25, 3)); q.processAllAvailable() // +1 h suppressed, +25 h emitted
+    ms.addData(at(26, 4)); q.processAllAvailable()    // 1 h after the NEW anchor → suppressed
+    q.stop()
+    val ids = spark.table("debounce_state").select("event_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L),
+      "the anchor must survive micro-batch boundaries with no timeout")
+  }
+
   test("streaming dropDuplicates matches the batch distinct over the same keys") {
     val dd = StreamingOps.dedupStream(StreamingOps.eventStream(spark, sf))
     val q = dd.writeStream.outputMode("append")
