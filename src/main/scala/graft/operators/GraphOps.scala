@@ -206,4 +206,39 @@ object GraphOps {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     (labels, rounds)
   }
+
+  /** k-CORE of the undirected graph given as unordered `pairs`
+    * (doc_a, doc_b): the maximal subgraph in which every node has degree
+    * ≥ k, computed by the textbook simultaneous-removal peel
+    * alive_{i+1} = {v : deg within alive_i ≥ k}. The peel runs a FIXED
+    * `rounds` iterations — the caller asserts convergence (one tail node
+    * peels per round in the worst chain, so a diameter-R dangling path
+    * needs R rounds; duplicate-pair graphs converge in a handful). Fixed
+    * rounds keep the computation replayable in an unrolled-CTE oracle.
+    *
+    * Returns (doc_id, core_degree) for surviving nodes. Scale shape: each
+    * round is two id-keyed semi-joins + one partial-aggregated count over
+    * the PAIR graph (≪ corpus); alive shrinks monotonically and
+    * localCheckpoint truncates the doubling plan (each round references
+    * alive twice — unchecked, the lazy plan would grow 2^rounds). */
+  def kcore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val und = pairs.toDF("v", "u")
+      .union(pairs.toDF("u", "v").select("v", "u"))
+      .localCheckpoint()
+    var alive = und.select("v").distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = und
+        .join(alive, "v")
+        .join(alive.withColumnRenamed("v", "u"), "u")
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("v")
+        .localCheckpoint()
+    }
+    und.join(alive, "v")
+      .join(alive.withColumnRenamed("v", "u"), "u")
+      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+      .select(col("v").as("doc_id"), col("core_degree"))
+  }
 }

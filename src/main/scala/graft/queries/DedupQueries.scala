@@ -836,6 +836,26 @@ object DedupQueries {
         .jaccardSelfJoin(shingleTable(s, dir), "doc_id", "sh", 3, 5)
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
+    }),
+
+    "d23_dup_kcore" -> ((s, dir) => {
+      // k-CORE of the duplicate-pair graph (k = 2): d09/d21 label WHICH
+      // docs belong to the same duplicate family; the 2-core separates
+      // HOW they duplicate — chain-linked borderline pairs (A≈B≈C where
+      // A and C are not near-dups: they peel away, degree < 2) versus
+      // cyclically-verified clusters (every member near-dups ≥2 others:
+      // the set you can delete all-but-one of with confidence). Peeling
+      // is the textbook simultaneous-removal iteration
+      // alive_{i+1} = {v : deg_alive(v) ≥ k}, run a FIXED 8 rounds in
+      // both engines (the q80 unrolled-oracle discipline — the fixture
+      // fixpoint lands in 2; DedupCapSpec asserts convergence so the
+      // fixed count IS the k-core, not a truncation). Scale shape: each
+      // round is two id-keyed semi-joins + one partial-aggregated degree
+      // count over the PAIR graph (≪ corpus), alive shrinks
+      // monotonically, and localCheckpoint truncates the growing plan
+      // exactly like q80's iteration.
+      graft.operators.GraphOps.kcore(
+        exactJaccardPairs(s, dir).select("doc_a", "doc_b"), k = 2, rounds = 8)
     })
   )
 
@@ -1327,6 +1347,43 @@ object DedupQueries {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, (1000 * ni) // nu AS jaccard_milli
       FROM pairs
-      WHERE (1000 * ni) // nu >= 600"""
+      WHERE (1000 * ni) // nu >= 600""",
+
+    // the 8 peel rounds unrolled as chained CTEs (the q80 discipline —
+    // recursive CTEs cannot aggregate over their recursive reference).
+    // Every step CTE is AS MATERIALIZED: each a_i references a_{i-1}
+    // TWICE (both endpoints), so DuckDB's default inlining would double
+    // the plan per round — 2^8 copies of the whole pair join (q80's
+    // chain is safe unmaterialized only because each step references its
+    // predecessor once). alive_{i+1} = {v : deg within alive_i >= 2},
+    // fixpoint by round 8
+    "d23_dup_kcore" -> {
+      val steps = (1 to 8).map { i =>
+        s"""      a$i AS MATERIALIZED (SELECT e.v FROM e
+           |        JOIN a${i - 1} x ON e.v = x.v JOIN a${i - 1} y ON e.u = y.v
+           |        GROUP BY e.v HAVING COUNT(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      pairs AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (1000 * LEN(LIST_INTERSECT(a.s, b.s)))
+              // (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) >= 500),
+      e AS MATERIALIZED (SELECT doc_a AS v, doc_b AS u FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+      a0 AS MATERIALIZED (SELECT DISTINCT v FROM e),
+$steps
+      SELECT e.v AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+      FROM e JOIN a8 x ON e.v = x.v JOIN a8 y ON e.u = y.v
+      GROUP BY e.v"""
+    }
   )
 }

@@ -120,4 +120,51 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1L to 9L).map(_ -> 1L).toMap)
   }
+
+  private def core(df: org.apache.spark.sql.DataFrame, k: Int, rounds: Int): Map[Long, Long] =
+    GraphOps.kcore(df, k, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("2-core: chains dissolve, cycles survive with their in-core degrees") {
+    // triangle {1,2,3} with a dangling tail 3-4-5, plus an isolated pair
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    // tail and pair peel away; the triangle stays with degree 2 each
+    assert(core(g, 2, 8) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // 3-core of a triangle is empty (no node has 3 in-core neighbors)
+    assert(core(g, 3, 8) === Map.empty)
+  }
+
+  test("a long dangling path peels one node per round — fixed rounds must cover the depth") {
+    // cycle {1,2,3} + path 3-10-11-...-15 (depth 5). With rounds=2 the
+    // far end of the path is still alive (NOT the k-core); by rounds=5
+    // the peel reaches the fixpoint and more rounds change nothing.
+    val path = Seq((3L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L))
+    val g = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++ path).toDF("doc_a", "doc_b")
+    val truncated = core(g, 2, 2)
+    val fix = Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    assert(truncated !== fix, "2 rounds must NOT have finished a depth-6 peel")
+    assert(core(g, 2, 6) === fix)
+    assert(core(g, 2, 12) === fix, "extra rounds past the fixpoint are no-ops")
+  }
+
+  test("d23 fixture core is a true fixpoint and every survivor has degree >= k") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.graft.functions.token_shingle_hashes
+    // the same exact >= 0.5 pair set d23 builds internally, via the
+    // (independent) prefix-filter kernel
+    val sets = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        token_shingle_hashes(org.apache.spark.sql.functions.col("text"), 3).as("sh"))
+    val pairs05 = graft.operators.PrefixFilterOps
+      .jaccardSelfJoin(sets, "id", "sh", 1, 2)
+      .select("id_a", "id_b")
+    val at8 = core(pairs05, 2, 8)
+    val at12 = core(pairs05, 2, 12)
+    assert(at8 === at12, "the fixture peel must have converged by round 8")
+    assert(at8.nonEmpty && at8.values.forall(_ >= 2))
+    val d23 = SparkEntry.queries("d23_dup_kcore")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d23 === at8, "d23 must equal the independently-built 2-core")
+  }
 }
