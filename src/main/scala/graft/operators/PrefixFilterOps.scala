@@ -62,7 +62,12 @@ object PrefixFilterOps {
     val milliTau = 1000L * tauNum / tauDen
     val posting = sets.select(col(idCol).as("id"),
       size(col(setCol)).as("sz"), explode(col(setCol)).as("h"))
-    val prefix = prefixPostings(posting, tauNum, tauDen)
+    // materialize the prefix posting list ONCE (the shared-subtree
+    // localCheckpoint pattern): both sides of the candidate self-join
+    // consume it, and without the checkpoint Catalyst rebuilds the
+    // df-count + per-set ranking window separately per side — at corpus
+    // scale that doubles the two most expensive passes of the algorithm
+    val prefix = prefixPostings(posting, tauNum, tauDen).localCheckpoint()
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.sz") * tauDen >= col("a.sz") * tauNum &&
