@@ -1680,6 +1680,37 @@ object CoreQueries {
                                acc),
                 acc -> acc.kept)""")).as("e"))
         .select(col("user_id"), col("event_type"), col("e.event_id"), col("e.ts_us"))
+    }),
+
+    "q99_topk_paths" -> ((s, dir) => {
+      // clickstream PATH MINING — the free-form sibling of q72's fixed
+      // funnel: gap-sessionize each user's timeline (a >12 h silence
+      // starts a new session — the lag-break + running-count idiom, the
+      // same one q93's journey ids use), string the session's event
+      // types into an ordered path, and report the top-10 most common
+      // paths. Scale shape: ONE user-keyed shuffle does sessionization
+      // AND path assembly (the window and the groupBy share the
+      // partitioning), per-session state is bounded by session length
+      // (the q72 caveat), the path groupBy shuffles short strings with
+      // map-side partial counts, and the global top-10 is a bounded
+      // TakeOrdered — no full sort ever materializes.
+      val wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("brk",
+          when(col("ts_us") - lag("ts_us", 1).over(wu) > 12L * 3600 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(expr("array_join(transform(evs, e -> e.event_type), '>')").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(10)
     })
   )
 
@@ -2733,6 +2764,26 @@ $steps
           ORDER BY e.ts, e.event_id LIMIT 1) n ON true)
       SELECT user_id, event_type, event_id,
              CAST(epoch_us(ts) AS BIGINT) AS ts_us
-      FROM anchors"""
+      FROM anchors""",
+
+    "q99_topk_paths" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      b AS (
+        SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > 43200000000 THEN 1 ELSE 0 END AS brk
+        FROM e),
+      s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM b),
+      p AS (
+        SELECT STRING_AGG(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM s GROUP BY user_id, sid)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY path
+      ORDER BY n_sessions DESC, path ASC
+      LIMIT 10"""
   )
 }
