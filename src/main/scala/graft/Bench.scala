@@ -197,9 +197,13 @@ object Bench {
     val secondByName = runAll(rotated = true).toMap
     val results = first.map { case (k, v) =>
       k -> minOk(v, secondByName.getOrElse(k, v)) }
-    // heavy tier: one pass (JIT is warm by now) on the synthetic 10× corpus
+    // heavy tier: one pass (JIT is warm by now) on the synthetic 10× corpus.
+    // SPARK_GRAFT_ONLY normally skips the tier (focused main-tier runs);
+    // setting SPARK_GRAFT_HEAVY=1 explicitly keeps it, filtered to the
+    // same names — the dev loop for iterating on one heavy entry.
     val heavy: Seq[(String, Double)] =
-      if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0") || only.nonEmpty) Seq.empty
+      if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0") ||
+        (only.nonEmpty && !sys.env.get("SPARK_GRAFT_HEAVY").contains("1"))) Seq.empty
       else {
         val heavyDir = buildHeavyDir(spark, sfDir, copies = 10)
         // MIN-OF-THREE here, not the main tier's min-of-2: heavy samples on
@@ -218,6 +222,7 @@ object Bench {
           graft.queries.DedupQueries.releaseShared()
           spark.catalog.clearCache()
           val ordered = HeavyNames.filter(SparkEntry.queries.contains)
+            .filter(n => only.forall(_.exists(n.startsWith)))
           rotateBy(ordered, third * ordered.size / 3)
             .map { n =>
               // level the memory playing field before each measurement:

@@ -42,7 +42,10 @@ object SparkEntry {
         // r9: the end-to-end pipeline — the deepest plan in the inventory
         // (two window stages, an anti-join, a broadcast semi-probe, a
         // multi-branch scan) as a lineage stress member
-        "p01_training_mix")
+        "p01_training_mix",
+        // r9: an RDD-backed plan (GlobalOrderOps' checkpoint + rebuild) —
+        // the LogicalRDD leaf path stays on the lineage panel
+        "q95_pps_sample")
       // per-plan analysis is embarrassingly parallel (SURVEY §4): build and
       // analyze the panel concurrently on the driver; results sorted by name
       import scala.concurrent.{Await, Future, ExecutionContext}

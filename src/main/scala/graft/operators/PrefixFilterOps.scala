@@ -43,6 +43,16 @@ import org.apache.spark.sql.functions._
   *   - skew: a degenerate heavy hitter inflates one prefix bucket only if
   *     it appears in a prefix at all — rarest-first ordering makes that
   *     the LAST element to enter any prefix.
+  *
+  * Measured trade-off vs d08's direct inverted-index counting (10× bench
+  * tier, df-FLAT synthetic corpus): the prefix machinery (df aggregate +
+  * df join + per-set ranking window over the full posting list) is pure
+  * overhead there — d08's Σ df² is already tiny when every element is
+  * rare, so d08 wins by an order of magnitude on that corpus. The prefix
+  * pays off exactly where d08 breaks: Zipfian element frequencies, where
+  * Σ df² is dominated by head elements that prefix ordering excludes and
+  * d08 must stoplist away (giving up completeness). Pick per corpus
+  * shape; both are exact on their admitted candidates.
   */
 object PrefixFilterOps {
 
@@ -75,9 +85,21 @@ object PrefixFilterOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
+      // consumed three times below (id extraction + the two-step
+      // verification join head) — one materialization, same rationale as
+      // the prefix checkpoint above
+      .localCheckpoint()
+    // verification reads posting lists of CANDIDATE members only — on a
+    // deduplicated-ish corpus most documents have no candidate partner,
+    // so the semi-join cuts the verification join inputs from |corpus|
+    // postings to |candidate docs| postings (measured on the 10× bench
+    // tier: the full-posting double join dominated the whole operator)
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val vposting = posting.join(candIds, Seq("id"), "left_semi").localCheckpoint()
     cand
-      .join(posting.as("pa"), col("id_a") === col("pa.id"))
-      .join(posting.as("pb"),
+      .join(vposting.as("pa"), col("id_a") === col("pa.id"))
+      .join(vposting.as("pb"),
         col("id_b") === col("pb.id") && col("pa.h") === col("pb.h"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("ni"))

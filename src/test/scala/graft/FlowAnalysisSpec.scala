@@ -454,4 +454,27 @@ class FlowAnalysisSpec extends AnyFunSuite {
     assert(g1._1.map(_.uniqueId) === g2._1.map(_.uniqueId))
     assert(g1._2 === g2._2)
   }
+
+  test("RDD-backed plans (localCheckpoint / createDataFrame-from-RDD) analyze as leaves") {
+    // GlobalOrderOps' two-phase kernel (q95/t24) and the q81/q89
+    // materialization pattern hand Catalyst a LogicalRDD leaf — the
+    // lineage cut must treat it like any other typed leaf (the
+    // checkpoint is a provenance BOUNDARY by design: upstream lineage is
+    // captured when the upstream plan is analyzed, the checkpointed scan
+    // starts a fresh segment), never throw, and keep column-level edges
+    // above it
+    import spark.implicits._
+    val ck = Seq((1L, 10L), (2L, 20L)).toDF("id", "w").localCheckpoint()
+    val df = ck.groupBy("id").agg(sum("w").as("s"))
+    val (nodes, edges) = SQLFlow.datasetGraph(df)
+    val leaf = nodes.find(_.tpe == FlowNodeType.LeafPlan)
+    assert(leaf.nonEmpty, s"expected a LeafPlan node for the RDD scan: $nodes")
+    assert(leaf.get.attributes === Seq("id", "w"))
+    // aggregate edges still resolve column-level above the RDD leaf
+    assert(edges.exists(e => e.fromId == leaf.get.uniqueId))
+    // and the full q95 plan (range shuffle + offsets + RDD rebuild) analyzes
+    val q95 = SparkEntry.queries("q95_pps_sample")(spark, sf)
+    val (n95, e95) = SQLFlow.datasetGraph(q95)
+    assert(n95.nonEmpty && e95.nonEmpty)
+  }
 }
