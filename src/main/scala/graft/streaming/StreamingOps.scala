@@ -211,6 +211,29 @@ object StreamingOps {
           .cast("long").as("diff_sec"))
   }
 
+  /** FULL outer interval self-join — completes the stream-stream join
+    * family (inner [[pairsWithinGap]], left-outer [[pairsWithinGapOuter]]):
+    * window-less events surface from BOTH sides, (a_id, null) and
+    * (null, b_id), each once the watermark proves its join window closed;
+    * matches emit immediately. Outer-ness changes what is emitted at
+    * state EVICTION, not what is retained — per-side state is the same
+    * watermark-bounded window as the inner join, so the full-outer form
+    * scales identically. */
+  def pairsWithinGapFull(events: DataFrame, gapMinutes: Int = 1): DataFrame = {
+    val a = events.select(col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts")).withWatermark("a_ts", "10 minutes")
+    val b = events.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts")).withWatermark("b_ts", "10 minutes")
+    a.join(b, expr(
+      s"""user_id = b_user AND
+          b_ts > a_ts AND b_ts <= a_ts + INTERVAL $gapMinutes MINUTES AND
+          a_id != b_id"""), "full_outer")
+      .select(coalesce(col("user_id"), col("b_user")).as("user_id"),
+        col("a_id"), col("b_id"),
+        ((unix_micros(col("b_ts")) - unix_micros(col("a_ts"))) / 1000000L)
+          .cast("long").as("diff_sec"))
+  }
+
   /** Streaming fixed-domain histogram — q87's streaming twin and the
     * fourth member of the mergeable-sketch family (KMV folds by
     * bounded-top-k, CMS by addition, HLL by max, the histogram by

@@ -588,4 +588,20 @@ class OptimizationSpec extends AnyFunSuite {
     assert(factFactJoins.isEmpty,
       s"q89 must not self-join the fact table: ${factFactJoins.map(_.nodeName)}")
   }
+
+  test("q99's global top-10 is a bounded TakeOrdered, never a full sort") {
+    // the path-count table is unbounded (one row per distinct path); the
+    // top-10 must plan as TakeOrderedAndProject (k-bounded per-partition
+    // heaps + one k-row merge), not a global Sort + Limit — the same
+    // bounded-top-k discipline q59/q03 pin
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.graft.PlanIntrospection
+    val plan = PlanIntrospection.physicalPlan(
+      SparkEntry.queries("q99_topk_paths")(spark, sf))
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"expected TakeOrderedAndProject in:\n$plan")
+    val globalSorts = plan.collect { case s: SortExec if s.global => s }
+    assert(globalSorts.isEmpty,
+      s"q99 must not globally sort the path table: $globalSorts")
+  }
 }

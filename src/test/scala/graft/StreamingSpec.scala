@@ -336,6 +336,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotNIds.nonEmpty, "the fixture must exercise the deferred-null path")
   }
 
+  test("stream-stream FULL OUTER interval join: matches exact, both null classes " +
+    "emit only once their windows close under the watermark") {
+    val joined = StreamingOps.pairsWithinGapFull(
+      StreamingOps.eventStream(spark, sf), gapMinutes = 1)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("pairs_full_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pairs_full_stream")
+    val e = graft.queries.QueryDsl.events(spark, sf)
+    val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+    val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val batch = a.join(b, expr(
+      """user_id = b_user AND b_ts > a_ts AND
+         b_ts <= a_ts + INTERVAL 1 MINUTES AND a_id != b_id"""), "full_outer")
+      .select(coalesce(col("user_id"), col("b_user")).as("user_id"),
+        col("a_id"), col("b_id"),
+        ((unix_micros(col("b_ts")) - unix_micros(col("a_ts"))) / 1000000L)
+          .cast("long").as("diff_sec"))
+    // matched rows stream out immediately — exact equality with the batch
+    val gotM = got.filter(col("a_id").isNotNull && col("b_id").isNotNull)
+    val batchM = batch.filter(col("a_id").isNotNull && col("b_id").isNotNull)
+    assert(gotM.count() === batchM.count())
+    assert(gotM.exceptAll(batchM).count() === 0)
+    // the two deferred null classes, each gated by the final watermark
+    val maxTs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoff = maxTs - (10L + 1L) * 60 * 1000000L
+    def nullSide(df: org.apache.spark.sql.DataFrame, idCol: String,
+        otherCol: String): Set[Long] =
+      df.filter(col(otherCol).isNull).select(idCol)
+        .collect().map(_.getLong(0)).toSet
+    val tsById = e.select(col("event_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((idCol, otherCol) <- Seq(("a_id", "b_id"), ("b_id", "a_id"))) {
+      val gotN = nullSide(got, idCol, otherCol)
+      val batchN = nullSide(batch, idCol, otherCol)
+      assert(gotN.subsetOf(batchN),
+        s"every emitted $idCol null row must be a true batch non-match")
+      val due = batchN.filter(id => tsById(id) < cutoff)
+      assert(due.subsetOf(gotN),
+        s"a $idCol non-match whose window closed under the final watermark must emit")
+      assert(gotN.nonEmpty, s"the fixture must exercise the $idCol deferred-null path")
+    }
+  }
+
   test("streaming ingest gate: redact → grade → novelty in one stateless pass, " +
       "each rejection class routed; stream equals the batch gate") {
     import spark.implicits._
