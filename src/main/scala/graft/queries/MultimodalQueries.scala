@@ -383,6 +383,65 @@ object MultimodalQueries {
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") >= 2)
         .select(col("keep_id"), col("n_copies"))
+    }),
+
+    "m11_image_patches" -> ((s, dir) => {
+      // ViT-style PATCH extraction — the pre-embedding tiling every
+      // vision-transformer ingest runs: decode the image (REAL ImageIO
+      // PNG decode, m03's batch shape), cut it into a fixed 4×4 patch
+      // grid (edge patches truncate — the resize-free convention), and
+      // emit one row per patch with its grid position and per-channel
+      // milli means — the exact schema a downstream patch-embedding
+      // mapInPandas stage consumes (media_id, patch_row, patch_col,
+      // pixels-summary). Pixels are the closed-form synth, so the whole
+      // decode → tile → reduce chain is hash-exact against SQL. Scale
+      // shape: decode + tiling are partition-local projections (fan-out
+      // ≤ ⌈w/4⌉·⌈h/4⌉ rows per image, no shuffle at all — the output is
+      // written or consumed map-side).
+      val P = 4
+      val pngs = pngTable(s, dir)
+      val patchSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("patch_row", IntegerType, nullable = false),
+        StructField("patch_col", IntegerType, nullable = false),
+        StructField("patch_w", IntegerType, nullable = false),
+        StructField("patch_h", IntegerType, nullable = false),
+        StructField("r_mean_milli", LongType, nullable = false),
+        StructField("g_mean_milli", LongType, nullable = false),
+        StructField("b_mean_milli", LongType, nullable = false)))
+      val patchEnc = org.apache.spark.sql.Encoders.row(patchSchema)
+      pngs.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // see m03
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth
+          val h = img.getHeight
+          for {
+            pr <- 0 until (h + P - 1) / P
+            pc <- 0 until (w + P - 1) / P
+          } yield {
+            val x0 = pc * P; val y0 = pr * P
+            val pw = math.min(P, w - x0); val ph = math.min(P, h - y0)
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var y = y0
+            while (y < y0 + ph) {
+              var x = x0
+              while (x < x0 + pw) {
+                val rgb = img.getRGB(x, y)
+                rs += (rgb >> 16) & 0xff
+                gs += (rgb >> 8) & 0xff
+                bs += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = pw.toLong * ph
+            Row(id, pr, pc, pw, ph, 1000L * rs / n, 1000L * gs / n, 1000L * bs / n)
+          }
+        }
+      }(patchEnc)
     })
   )
 
@@ -576,6 +635,35 @@ object MultimodalQueries {
              md5(media_id || ':' || UNNEST(GENERATE_SERIES(0, n_frames - 1, 4))) AS frame_sig
       FROM (SELECT doc_id AS media_id,
                    OCTET_LENGTH(ENCODE(text)) // 100 + 1 AS n_frames
-            FROM documents)"""
+            FROM documents)""",
+
+    // the decode → 4×4 tile → per-patch reduce chain replayed from the
+    // closed-form pixel formula (edge patches truncate to the image)
+    "m11_image_patches" -> """
+      WITH dims AS (
+        SELECT doc_id AS media_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        FROM documents),
+      grid AS (
+        SELECT media_id, w, h, UNNEST(GENERATE_SERIES(0, (h + 3) // 4 - 1)) AS pr
+        FROM dims),
+      gridc AS (
+        SELECT media_id, w, h, pr, UNNEST(GENERATE_SERIES(0, (w + 3) // 4 - 1)) AS pc
+        FROM grid),
+      px AS (
+        SELECT media_id, w, h, pr, pc,
+               UNNEST(GENERATE_SERIES(pc * 4, LEAST(w, pc * 4 + 4) - 1)) AS x
+        FROM gridc),
+      pxy AS (
+        SELECT media_id, w, h, pr, pc, x,
+               UNNEST(GENERATE_SERIES(pr * 4, LEAST(h, pr * 4 + 4) - 1)) AS y
+        FROM px)
+      SELECT media_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+             CAST(LEAST(w, pc * 4 + 4) - pc * 4 AS INT) AS patch_w,
+             CAST(LEAST(h, pr * 4 + 4) - pr * 4 AS INT) AS patch_h,
+             CAST((1000 * SUM((media_id * 31 + x * 7 + y * 13) % 256)) // COUNT(*) AS BIGINT) AS r_mean_milli,
+             CAST((1000 * SUM((media_id * 17 + x * 11 + y * 3) % 256)) // COUNT(*) AS BIGINT) AS g_mean_milli,
+             CAST((1000 * SUM((media_id * 29 + x * 5 + y * 19) % 256)) // COUNT(*) AS BIGINT) AS b_mean_milli
+      FROM pxy
+      GROUP BY media_id, w, h, pr, pc"""
   )
 }

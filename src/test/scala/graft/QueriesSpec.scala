@@ -1454,6 +1454,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.size >= 45 && out.size <= 50, s"group count ${out.size} outside [45, 50]")
   }
 
+  test("m11 patches tile the image exactly: coverage, bounds, and m03 consistency") {
+    val patches = SparkEntry.queries("m11_image_patches")(spark, sf).collect()
+    val m03 = SparkEntry.queries("m03_feature_extract")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val byMedia = patches.groupBy(_.getLong(0))
+    assert(byMedia.keySet === m03.keySet, "every decoded image must produce patches")
+    byMedia.foreach { case (id, ps) =>
+      val (w, h) = m03(id)
+      // the grid covers the image exactly once: patch areas sum to w·h
+      assert(ps.map(r => r.getInt(3).toLong * r.getInt(4)).sum === w.toLong * h,
+        s"media $id: patch areas must tile $w x $h")
+      assert(ps.length === ((w + 3) / 4) * ((h + 3) / 4))
+      // interior patches are full 4x4; only edge patches truncate
+      ps.foreach { r =>
+        val (pr, pc, pw, ph) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+        assert(pw == 4 || pc == (w + 3) / 4 - 1, s"media $id: narrow interior patch")
+        assert(ph == 4 || pr == (h + 3) / 4 - 1, s"media $id: short interior patch")
+      }
+    }
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
