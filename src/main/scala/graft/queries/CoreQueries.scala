@@ -1711,6 +1711,54 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(desc("n_sessions"), asc("path"))
         .limit(10)
+    }),
+
+    "q100_survival_curve" -> ((s, dir) => {
+      // Kaplan-Meier time-to-conversion — the survival curve behind every
+      // churn/conversion dashboard, with CENSORING done right: a user who
+      // hasn't converted by the end of the observation window is not a
+      // failure, they leave the risk set (naive conversion-rate-by-day
+      // undercounts the tail). Day 0 = the user's first view; the event =
+      // first high-value purchase (value ≥ 95) after it; the censor day
+      // is the per-user observation horizon. S_d = S_{d-1}·(n_d−e_d)/n_d
+      // runs as an exact integer milli recurrence (the q98 fold
+      // discipline), so both engines replay it step for step. Shape: one
+      // user-keyed pass builds (conversion day, censor day) per user, a
+      // bounded ≤31-row fan-out builds the day table, and the sequential
+      // KM product folds over that bounded table — never over users.
+      val ev = events(s, dir)
+      val horizon = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("tv"))
+      val p = ev.filter(col("event_type") === "purchase" && col("value") >= 95)
+        .select(col("user_id").as("pu"), unix_micros(col("ts")).as("tp"))
+      val conv = v
+        .join(p, col("user_id") === col("pu") && col("tp") >= col("tv"), "left")
+        .groupBy("user_id", "tv").agg(min("tp").as("tp"))
+        .withColumn("cd", expr("CAST((tp - tv) DIV 86400000000 AS INT)"))
+        .withColumn("censor_d", expr(s"CAST((${horizon}L - tv) DIV 86400000000 AS INT)"))
+      val risk = conv
+        .select(explode(expr(
+          "sequence(0, least(coalesce(cd, censor_d), censor_d, 30))")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_at_risk"))
+      val evts = conv.filter(col("cd").isNotNull && col("cd") <= 30)
+        .groupBy(col("cd").as("day")).agg(count(lit(1)).as("n_events"))
+      risk.join(evts, Seq("day"), "left").na.fill(0L, Seq("n_events"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n_at_risk"),
+          col("n_events")))).as("ds"))
+        .select(explode(expr(
+          """aggregate(ds,
+            |  named_struct('s', 1000L,
+            |    'out', CAST(array() AS ARRAY<STRUCT<day: INT, n_at_risk: BIGINT,
+            |                                        n_events: BIGINT, survival_milli: BIGINT>>)),
+            |  (acc, e) -> named_struct(
+            |    's', (acc.s * (e.n_at_risk - e.n_events)) DIV greatest(e.n_at_risk, 1),
+            |    'out', array_append(acc.out, named_struct(
+            |      'day', e.day, 'n_at_risk', e.n_at_risk, 'n_events', e.n_events,
+            |      'survival_milli',
+            |      (acc.s * (e.n_at_risk - e.n_events)) DIV greatest(e.n_at_risk, 1)))),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select("r.day", "r.n_at_risk", "r.n_events", "r.survival_milli")
     })
   )
 
@@ -2784,6 +2832,39 @@ $steps
       SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
       FROM p GROUP BY path
       ORDER BY n_sessions DESC, path ASC
-      LIMIT 10"""
+      LIMIT 10""",
+
+    // the KM integer recurrence replayed as a linear recursive CTE (single
+    // self-reference per step — no MATERIALIZED needed, unlike d23)
+    "q100_survival_curve" -> """
+      WITH RECURSIVE
+      v AS (SELECT user_id, MIN(epoch_us(ts)) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT user_id, epoch_us(ts) AS tp FROM events
+            WHERE event_type = 'purchase' AND value >= 95),
+      c AS (SELECT v.user_id, tv, MIN(CASE WHEN tp >= tv THEN tp END) AS tp
+            FROM v LEFT JOIN p USING (user_id) GROUP BY v.user_id, tv),
+      h AS (SELECT MAX(epoch_us(ts)) AS horizon FROM events),
+      u AS (SELECT user_id, CAST((tp - tv) // 86400000000 AS INT) AS cd,
+                   CAST((horizon - tv) // 86400000000 AS INT) AS censor_d
+            FROM c, h),
+      rd AS (SELECT UNNEST(GENERATE_SERIES(0,
+               LEAST(COALESCE(cd, censor_d), censor_d, 30))) AS day FROM u),
+      risk AS (SELECT day, COUNT(*) AS n_at_risk FROM rd GROUP BY day),
+      ev AS (SELECT cd AS day, COUNT(*) AS n_events FROM u
+             WHERE cd IS NOT NULL AND cd <= 30 GROUP BY cd),
+      dt AS (SELECT day, n_at_risk, COALESCE(n_events, 0) AS n_events
+             FROM risk LEFT JOIN ev USING (day)),
+      km(day, n_at_risk, n_events, s) AS (
+        SELECT day, n_at_risk, n_events,
+               (1000 * (n_at_risk - n_events)) // GREATEST(n_at_risk, 1)
+        FROM dt WHERE day = 0
+        UNION ALL
+        SELECT d.day, d.n_at_risk, d.n_events,
+               (k.s * (d.n_at_risk - d.n_events)) // GREATEST(d.n_at_risk, 1)
+        FROM km k JOIN dt d ON d.day = k.day + 1)
+      SELECT CAST(day AS INT) AS day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+             CAST(n_events AS BIGINT) AS n_events, CAST(s AS BIGINT) AS survival_milli
+      FROM km"""
   )
 }

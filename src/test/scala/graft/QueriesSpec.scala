@@ -1475,6 +1475,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 KM invariants: contiguous days, shrinking risk set, monotone survival, " +
+      "censoring keeps survival above the naive conversion curve") {
+    val rows = SparkEntry.queries("q100_survival_curve")(spark, sf)
+      .orderBy("day").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.indices.map(_ + rows.head._1),
+      "risk days must be contiguous")
+    assert(rows.head._1 === 0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, "the risk set can only shrink")
+      assert(b._4 <= a._4, "survival is monotone nonincreasing")
+    }
+    assert(rows.head._4 <= 1000L && rows.forall(_._4 >= 0))
+    // with real censoring, KM survival at the last day must sit at or
+    // above 1 − (total events / initial cohort) — the naive curve that
+    // wrongly counts censored users as failures
+    val cohort = rows.head._2
+    val totalEvents = rows.map(_._3).sum
+    // slack = one milli per recurrence step: each integer DIV floors, so
+    // the product can sit up to rows.length milli under the exact value
+    assert(rows.last._4 >= 1000L * (cohort - totalEvents) / cohort - rows.length,
+      "KM must not undercut the naive all-censored-are-failures curve")
+    assert(totalEvents > 0 && totalEvents < cohort,
+      "the fixture must exercise both events and censoring")
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
