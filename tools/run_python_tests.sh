@@ -16,4 +16,4 @@ export SQLFLOW_LIB="$PWD/$JAR"
 export SPARK_LOCAL_IP=127.0.0.1
 
 cd python
-exec python3 -m unittest tests.test_sqlflow -v
+exec python3 -m unittest tests.test_sqlflow tests.test_multimodal -v
