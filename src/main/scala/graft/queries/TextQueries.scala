@@ -658,6 +658,32 @@ object TextQueries {
         .select(col("decile"), col("n_docs"), col("n_pos"),
           expr("(1000 * cum_pos) DIV greatest(total_pos, 1)").as("capture_milli"),
           expr(s"(1000 * n_pos * ${n}L) DIV greatest(n_docs * total_pos, 1)").as("lift_milli"))
+    }),
+
+    "t25_rag_chunking" -> ((s, dir) => {
+      // overlapping-window chunking — the EMBEDDING-side sibling of t12's
+      // training packer: retrieval corpora cut documents into fixed-size
+      // windows with overlap (here 64 tokens, stride 48 → 16-token
+      // overlap) so no sentence straddling a boundary is lost to both
+      // chunks. The window count is 1 + ⌈max(n−64,0)/48⌉ — every token
+      // is covered, the final window reaches the document end, and no
+      // window is fully contained in its predecessor. Entirely DOC-LOCAL:
+      // chunk ids, slices and fingerprints are higher-order array
+      // functions inside the scan projection — zero shuffle at any
+      // corpus size (the chunk table is written or fed straight to an
+      // embedding mapInPandas stage).
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("nc",
+          expr("1 + (greatest(size(tk) - 64, 0) + 47) DIV 48"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("slice(sequence(0, nc), 1, nc)")).as("chunk_id"))
+        .withColumn("chunk_tk", expr("slice(tk, chunk_id * 48 + 1, 64)"))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          (col("chunk_id") * 48 + 1).cast("int").as("start_tok"),
+          size(col("chunk_tk")).as("n_chunk_tokens"),
+          expr("array_join(chunk_tk, ' ')").as("chunk_text"),
+          md5(expr("array_join(chunk_tk, ' ')")).as("chunk_md5"))
     })
   )
 
@@ -1183,6 +1209,26 @@ object TextQueries {
                   // GREATEST(SUM(n_pos) OVER (), 1) AS BIGINT) AS capture_milli,
              CAST((1000 * n_pos * n)
                   // GREATEST(n_docs * SUM(n_pos) OVER (), 1) AS BIGINT) AS lift_milli
-      FROM d"""
+      FROM d""",
+
+    // 1-based inclusive list slicing replays Spark's slice(tk, start, 64)
+    // (both clamp at the list end); empty docs yield one empty chunk
+    "t25_rag_chunking" -> """
+      WITH d AS (
+        SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk
+        FROM documents),
+      n AS (
+        SELECT doc_id, tk,
+               1 + (GREATEST(LEN(tk) - 64, 0) + 47) // 48 AS nc
+        FROM d),
+      c AS (
+        SELECT doc_id, tk, UNNEST(GENERATE_SERIES(0, nc - 1)) AS chunk_id
+        FROM n)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             CAST(chunk_id * 48 + 1 AS INT) AS start_tok,
+             CAST(LEN(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS n_chunk_tokens,
+             COALESCE(ARRAY_TO_STRING(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '), '') AS chunk_text,
+             md5(COALESCE(ARRAY_TO_STRING(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '), '')) AS chunk_md5
+      FROM c"""
   )
 }

@@ -1502,6 +1502,32 @@ class QueriesSpec extends AnyFunSuite {
       "the fixture must exercise both events and censoring")
   }
 
+  test("t25 chunk windows: full coverage, exact 16-token overlap, end-aligned tails") {
+    val chunks = SparkEntry.queries("t25_rag_chunking")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val nTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "size(filter(split(text, ' '), t -> t != '')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet === nTokens.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val n = nTokens(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices, s"doc $id: chunk ids not dense")
+      // coverage: windows start at stride 48 and the last reaches the end
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 >= n, s"doc $id: final window misses the tail")
+      // no window is contained in its predecessor (each adds ≥1 new token)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 === a._3 + 48, s"doc $id: stride must be 48")
+          if (b._4 == 64 && a._4 == 64)
+            assert(a._3 + 64 - b._3 === 16, s"doc $id: full windows overlap != 16")
+        case _ =>
+      }
+    }
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
