@@ -684,6 +684,43 @@ object TextQueries {
           size(col("chunk_tk")).as("n_chunk_tokens"),
           expr("array_join(chunk_tk, ' ')").as("chunk_text"),
           md5(expr("array_join(chunk_tk, ' ')")).as("chunk_md5"))
+    }),
+
+    "p02_retrieval_index" -> ((s, dir) => {
+      // the RETRIEVAL-ingestion pipeline end to end, as ONE declarative
+      // plan (p01's sibling for the serving side): t25's overlapping
+      // chunks → a deterministic 8-dim integer "embedding" per chunk (an
+      // md5-derived stub standing in for the model forward pass — same
+      // carve-out as m02/m03, which makes the WHOLE chain replayable in
+      // SQL) → exact top-5 neighbor search of the query chunks (docs
+      // 0/1) against the corpus chunks. Scale shape: chunking and
+      // embedding are doc-local projections, the query side is bounded
+      // and BROADCAST (the s01 pattern), scoring is a map-side integer
+      // dot product over the corpus scan, and the per-query top-5 is the
+      // bounded top-k aggregate — no corpus-sized sort, no vector ever
+      // on a shuffle.
+      import org.apache.spark.sql.graft.functions.top_k_struct
+      val dims = 0 until 8
+      def emb(prefix: String) = dims.map { j =>
+        expr(s"CAST(conv(substring(md5(concat(chunk_md5, '|', $j)), 1, 8), 16, 10) " +
+          s"AS BIGINT) % 2001 - 1000").as(s"$prefix$j")
+      }
+      val chunks = defs("t25_rag_chunking")(s, dir)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+      val corpus = chunks.filter(col("doc_id") >= 2)
+        .select(col("doc_id") +: col("chunk_id") +: emb("e"): _*)
+      val queries = chunks.filter(col("doc_id") < 2)
+        .select(col("doc_id").as("q_doc") +: col("chunk_id").as("q_chunk") +: emb("q"): _*)
+      val dot = dims.map(j => col(s"e$j") * col(s"q$j")).reduce(_ + _)
+      corpus.join(broadcast(queries))
+        .select(col("q_doc"), col("q_chunk"), col("doc_id"), col("chunk_id"),
+          dot.as("score"))
+        .groupBy("q_doc", "q_chunk")
+        .agg(top_k_struct(
+          struct((col("score") * -1).as("neg"), col("doc_id"), col("chunk_id")), 5).as("top"))
+        .select(col("q_doc"), col("q_chunk"), posexplode(col("top")))
+        .select(col("q_doc"), col("q_chunk"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.doc_id"), col("col.chunk_id"), (col("col.neg") * -1).as("score"))
     })
   )
 
@@ -1229,6 +1266,42 @@ object TextQueries {
              CAST(LEN(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS n_chunk_tokens,
              COALESCE(ARRAY_TO_STRING(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '), '') AS chunk_text,
              md5(COALESCE(ARRAY_TO_STRING(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '), '')) AS chunk_md5
-      FROM c"""
+      FROM c""",
+
+    // t25's chunk CTEs, then the md5-stub embedding and the exact integer
+    // dot-product top-5 replayed relationally (join on the dim index)
+    "p02_retrieval_index" -> """
+      WITH d AS (
+        SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk
+        FROM documents),
+      n AS (
+        SELECT doc_id, tk,
+               1 + (GREATEST(LEN(tk) - 64, 0) + 47) // 48 AS nc
+        FROM d),
+      c AS (
+        SELECT doc_id, tk, UNNEST(GENERATE_SERIES(0, nc - 1)) AS chunk_id
+        FROM n),
+      ch AS (
+        SELECT doc_id, chunk_id,
+               md5(COALESCE(ARRAY_TO_STRING(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' '), '')) AS chunk_md5
+        FROM c),
+      e AS (
+        SELECT doc_id, chunk_id, t.j,
+               CAST(CONCAT('0x', SUBSTRING(md5(chunk_md5 || '|' || t.j), 1, 8)) AS BIGINT) % 2001 - 1000 AS v
+        FROM ch, UNNEST(GENERATE_SERIES(0, 7)) AS t(j)),
+      s AS (
+        SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+               c2.doc_id AS doc_id, c2.chunk_id AS chunk_id,
+               CAST(SUM(q.v * c2.v) AS BIGINT) AS score
+        FROM e q JOIN e c2 ON q.j = c2.j
+        WHERE q.doc_id < 2 AND c2.doc_id >= 2
+        GROUP BY 1, 2, 3, 4),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc, q_chunk
+                    ORDER BY score DESC, doc_id, chunk_id) AS rank
+        FROM s)
+      SELECT q_doc, CAST(q_chunk AS INT) AS q_chunk, CAST(rank AS INT) AS rank,
+             doc_id, CAST(chunk_id AS INT) AS chunk_id, score
+      FROM r WHERE rank <= 5"""
   )
 }

@@ -388,8 +388,11 @@ class OptimizationSpec extends AnyFunSuite {
     //  - s12_knn_sq8: s01's bounded-broadcast pattern (the build side is
     //    the vec_id < 10 query set, here as 64-byte int8 codes); witness
     //    shared with s01/s09 below.
+    //  - p02_retrieval_index: s01's bounded-broadcast pattern — the build
+    //    side is the query-chunk set (doc_id < 2, witness below), the
+    //    corpus chunks stay map-side.
     val exempt = Set("q22_cross_join", "s01_knn_brute", "s09_knn_mmr", "s12_knn_sq8",
-      "q81_kmv_set_ops")
+      "q81_kmv_set_ops", "p02_retrieval_index")
     def nestedLoops(p: SparkPlan): Seq[SparkPlan] = p.collect {
       case j: BroadcastNestedLoopJoinExec => j
       case j: CartesianProductExec => j
@@ -406,14 +409,17 @@ class OptimizationSpec extends AnyFunSuite {
     // boundedness witnesses for the exemptions that DO nested-loop:
     // s01/s09 must keep the vec_id < 10 query filter on some side of the
     // plan (the bound that makes the broadcast side ~10 rows)
-    Seq("s01_knn_brute", "s09_knn_mmr", "s12_knn_sq8").foreach { name =>
-      val plan = PlanIntrospection.physicalPlan(SparkEntry.queries(name)(spark, sf))
-      val bounded = plan.exists(_.expressions.exists(_.exists {
-        case LessThan(a, Literal(10, _)) => a.references.exists(_.name == "vec_id")
-        case _ => false
-      }))
-      assert(bounded, s"$name: expected the vec_id < 10 query-set bound in the plan")
-    }
+    Seq(("s01_knn_brute", "vec_id", 10), ("s09_knn_mmr", "vec_id", 10),
+      ("s12_knn_sq8", "vec_id", 10), ("p02_retrieval_index", "doc_id", 2))
+      .foreach { case (name, colName, bound) =>
+        val plan = PlanIntrospection.physicalPlan(SparkEntry.queries(name)(spark, sf))
+        val bounded = plan.exists(_.expressions.exists(_.exists {
+          case LessThan(a, Literal(b, _)) if b == bound =>
+            a.references.exists(_.name == colName)
+          case _ => false
+        }))
+        assert(bounded, s"$name: expected the $colName < $bound query-set bound in the plan")
+      }
     // q22's cross join multiplies two dimension tables — output stays tiny
     assert(SparkEntry.queries("q22_cross_join")(spark, sf).count() <= 1000)
     // q81's nested loops must each theta-join on the GROUP key (grp_a <
