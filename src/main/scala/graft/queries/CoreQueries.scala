@@ -1759,6 +1759,49 @@ object CoreQueries {
             |      (acc.s * (e.n_at_risk - e.n_events)) DIV greatest(e.n_at_risk, 1)))),
             |  acc -> acc.out)""".stripMargin)).as("r"))
         .select("r.day", "r.n_at_risk", "r.n_events", "r.survival_milli")
+    }),
+
+    "q101_hopping_window" -> ((s, dir) => {
+      // hopping (sliding) event-time windows — q33's session sibling and
+      // the batch twin of the streaming windowed aggregation: 1-hour
+      // windows sliding every 15 minutes, so every event lands in
+      // exactly W/S = 4 overlapping windows. Spark's `window()` plans
+      // this as a 4-way generator + ONE keyed shuffle with partial
+      // aggregation (the fan-out happens map-side, never a self-join).
+      // Money stays decimal until the final double cast; window bounds
+      // emit as epoch micros (the q98 dtype discipline).
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          unix_micros(col("window.end")).as("w_end_us"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    "q102_temporal_state_join" -> ((s, dir) => {
+      // point-in-time (temporal) join — the payoff query for q77's SCD2
+      // machinery: "what state was the user in WHEN they purchased".
+      // Dimension = per-(user, instant) state snapshots from the
+      // non-purchase stream (max_by(event_id) collapses same-timestamp
+      // events to one deterministic state — without it an as-of against
+      // duplicate timestamps is ambiguous and the 5-vs-16-thread gate
+      // would catch the nondeterminism); fact = purchases; the custom
+      // sort-merge AsOf operator picks the latest snapshot at-or-before
+      // each purchase in one O(|L|+|R|) pass per user — where a naive
+      // formulation range-joins every purchase against the user's whole
+      // history. Purchases before any snapshot drop (no state existed).
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val dim = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id").as("d_user"), col("ts").as("valid_from"))
+        .agg(expr("max_by(event_type, event_id)").as("state"))
+      org.apache.spark.sql.graft.AsOf
+        .join(purchases, dim, "user_id", "d_user", "ts", "valid_from")
+        .filter(col("state").isNotNull)
+        .select(col("event_id"), col("user_id"), col("state"),
+          unix_micros(col("valid_from")).as("state_since_us"))
     })
   )
 
@@ -2865,6 +2908,38 @@ $steps
         FROM km k JOIN dt d ON d.day = k.day + 1)
       SELECT CAST(day AS INT) AS day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
              CAST(n_events AS BIGINT) AS n_events, CAST(s AS BIGINT) AS survival_milli
-      FROM km"""
+      FROM km""",
+
+    // Spark's window(ts, 1h, 15m) assignment replayed: starts are the
+    // epoch-aligned 15-minute multiples in (ts − 1 h, ts] — exactly 4 per
+    // event (floor(ts/S)·S − k·S for k = 0..3)
+    "q101_hopping_window" -> """
+      WITH e AS (
+        SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events),
+      w AS (
+        SELECT event_type, v,
+               (ts_us // 900000000) * 900000000 - t.k * 900000000 AS w_start_us
+        FROM e, UNNEST(GENERATE_SERIES(0, 3)) AS t(k))
+      SELECT w_start_us, w_start_us + 3600000000 AS w_end_us, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM w
+      GROUP BY w_start_us, event_type""",
+
+    "q102_temporal_state_join" -> """
+      WITH snap AS (
+        SELECT user_id, ts, MAX_BY(event_type, event_id) AS state
+        FROM events WHERE event_type <> 'purchase'
+        GROUP BY user_id, ts),
+      p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, d.state,
+             CAST(epoch_us(d.vf) AS BIGINT) AS state_since_us
+      FROM p JOIN LATERAL (
+        SELECT s.state, s.ts AS vf FROM snap s
+        WHERE s.user_id = p.user_id AND s.ts <= p.ts
+        ORDER BY s.ts DESC LIMIT 1) d ON true"""
   )
 }
