@@ -56,6 +56,27 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("extreme key skew: 90% duplicate keys stay parallelism-invariant under the tiebreak") {
+    // a heavy-hitter key spanning several range-partition boundaries is
+    // exactly where a NON-total order would give sampler-dependent ranks;
+    // with the unique tiebreak the output must not care how the range
+    // partitioner splits the run of equal keys
+    val rows = (1 to 2000).map { i =>
+      (if (i % 10 == 0) i.toLong * 7 else 1L, i.toLong, (i % 13).toLong)
+    }
+    val df = new scala.util.Random(3).shuffle(rows).toDF("k", "id", "w")
+    val a = GlobalOrderOps.withGlobalOrder(df.repartition(3),
+      Seq(col("k"), col("id")), rankCol = "rk", runningSums = Seq("w" -> "cum"))
+    val b = GlobalOrderOps.withGlobalOrder(df.repartition(13),
+      Seq(col("k"), col("id")), rankCol = "rk", runningSums = Seq("w" -> "cum"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val w = Window.orderBy("k", "id")
+    val ref = df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum("w").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(a.except(ref).isEmpty && ref.except(a).isEmpty)
+  }
+
   test("descending order and multiple running sums") {
     val got = GlobalOrderOps.withGlobalOrder(fixture,
       Seq(col("k").desc, col("id")), rankCol = "rk",

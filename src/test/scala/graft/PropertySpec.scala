@@ -265,4 +265,43 @@ class PropertySpec extends AnyFunSuite {
     assert(once.map(_.toList).toList === twice.map(_.toList).toList)
     once.foreach(f => assert(f.nonEmpty))
   }
+
+  test("q98's SQL debounce fold equals a reference greedy walk on 200 random timelines") {
+    // the distributed fold (sorted collect_list + aggregate) against a
+    // direct Scala implementation of the greedy anchor walk, over random
+    // bursty timelines with duplicate timestamps
+    val tol = 1000L
+    val keys = (1 to 200).map { k =>
+      val n = 1 + rnd.nextInt(40)
+      var t = rnd.nextInt(500).toLong
+      val evs = (1 to n).map { i =>
+        t += (if (rnd.nextBoolean()) rnd.nextInt(300) else rnd.nextInt(3000)).toLong
+        (k.toLong, t, (k * 1000 + i).toLong)
+      }
+      k.toLong -> evs
+    }.toMap
+    def reference(evs: Seq[(Long, Long, Long)]): Seq[Long] = {
+      var last = Long.MinValue
+      evs.sortBy(e => (e._2, e._3)).flatMap { case (_, ts, id) =>
+        if (last == Long.MinValue || ts - last >= tol) { last = ts; Some(id) } else None
+      }
+    }
+    val df = rnd.shuffle(keys.values.flatten.toSeq).toDF("k", "ts_us", "event_id")
+    val got = df
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct($"ts_us", $"event_id"))).as("evs"))
+      .select($"k", explode(expr(
+        s"""aggregate(evs,
+              named_struct('last', CAST(-1 AS BIGINT),
+                           'kept', CAST(array() AS ARRAY<STRUCT<ts_us: BIGINT, event_id: BIGINT>>)),
+              (acc, e) -> IF(acc.last < 0 OR e.ts_us - acc.last >= ${tol}L,
+                             named_struct('last', e.ts_us, 'kept', array_append(acc.kept, e)),
+                             acc),
+              acc -> acc.kept)""")).as("e"))
+      .select($"k", $"e.event_id")
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    keys.foreach { case (k, evs) =>
+      assert(got.getOrElse(k, Set.empty) === reference(evs).toSet, s"key $k diverged")
+    }
+  }
 }
