@@ -67,6 +67,22 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) windowed counts — q101's streaming twin: each event
+    * lands in windowMinutes / slideMinutes overlapping windows; Spark
+    * expands the assignment map-side, so state per key is the same
+    * watermark-bounded window set as the tumbling form, just W/S times as
+    * many open windows. */
+  def hoppingCounts(events: DataFrame, windowMinutes: Int = 60,
+      slideMinutes: Int = 15): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), s"$windowMinutes minutes", s"$slideMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming deduplication: first arrival per key wins WITHIN the
     * watermark horizon — dropDuplicatesWithinWatermark keeps per-key state
     * evictable (plain dropDuplicates without the event-time column in the

@@ -44,6 +44,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatches === 0)
   }
 
+  test("streaming hopping windows agree with batch q101 on every closed window") {
+    val agg = StreamingOps.hoppingCounts(StreamingOps.eventStream(spark, sf))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hop_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hop_counts")
+      .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),
+        col("n"), col("sum_value").cast("double").as("sum_value"))
+    assert(got.count() > 0, "no closed hopping windows emitted")
+    val batch = SparkEntry.queries("q101_hopping_window")(spark, sf)
+      .select("w_start_us", "event_type", "n", "sum_value")
+    // append mode emits only watermark-closed windows; each emitted row
+    // must match the batch aggregation exactly (count AND decimal sum)
+    assert(got.exceptAll(batch).count() === 0,
+      "every closed streaming window must equal its batch twin")
+    // closed windows dominate a one-batch replay: only the final hour's
+    // W/S window set can still be open
+    assert(got.count() >= batch.count() - 8 * 5)
+  }
+
   test("streaming debounce over one batch equals the batch anchor walk exactly") {
     import spark.implicits._
     val deb = StreamingOps.debounceStream(
