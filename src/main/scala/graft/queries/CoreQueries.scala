@@ -1802,6 +1802,40 @@ object CoreQueries {
         .filter(col("state").isNotNull)
         .select(col("event_id"), col("user_id"), col("state"),
           unix_micros(col("valid_from")).as("state_since_us"))
+    }),
+
+    "q103_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime value — q73's revenue-weighted sibling: cohort =
+      // each user's first active day, cell = the cohort's purchase
+      // revenue in week-offset N, plus the CUMULATIVE revenue per cohort
+      // user (the LTV curve every growth dashboard plots). Exact integer
+      // cents; the cumulative window runs per cohort over the
+      // aggregated (cohort × week) table — a bounded frame, never the
+      // user stream. Same user-keyed join shape as q73 (both sides
+      // data-sized at scale, partitioning reused from the cohort
+      // aggregate).
+      val e = events(s, dir)
+      val cohorts = e.select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      val sizes = cohorts
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+      val rev = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          expr("CAST(FLOOR(value * 100) AS BIGINT)").as("cents"))
+        .join(cohorts, "user_id")
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+          floor(datediff(col("d"), col("cohort_day")) / 7).cast("long").as("week_offset"),
+          col("cents"))
+        .groupBy("cohort", "week_offset")
+        .agg(sum("cents").as("revenue_cents"))
+      val w = Window.partitionBy("cohort").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(sizes, "cohort")
+        .withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
+        .select(col("cohort"), col("week_offset"), col("n_users"),
+          col("revenue_cents"), col("cum_revenue_cents"),
+          expr("(1000 * cum_revenue_cents) DIV n_users").as("ltv_milli_cents"))
     })
   )
 
@@ -2940,6 +2974,28 @@ $steps
       FROM p JOIN LATERAL (
         SELECT s.state, s.ts AS vf FROM snap s
         WHERE s.user_id = p.user_id AND s.ts <= p.ts
-        ORDER BY s.ts DESC LIMIT 1) d ON true"""
+        ORDER BY s.ts DESC LIMIT 1) d ON true""",
+
+    "q103_cohort_ltv" -> """
+      WITH e AS (SELECT user_id, event_type,
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+                 FROM events),
+      cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+      sizes AS (SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort,
+                       CAST(COUNT(*) AS BIGINT) AS n_users
+                FROM cohorts GROUP BY 1),
+      rev AS (
+        SELECT STRFTIME(c.cohort_day, '%Y-%m-%d') AS cohort,
+               CAST((e.d - c.cohort_day) // 7 AS BIGINT) AS week_offset,
+               CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM e JOIN cohorts c USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2)
+      SELECT cohort, week_offset, n_users, revenue_cents,
+             CAST(SUM(revenue_cents) OVER (PARTITION BY cohort ORDER BY week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents,
+             CAST((1000 * SUM(revenue_cents) OVER (PARTITION BY cohort ORDER BY week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // n_users AS BIGINT) AS ltv_milli_cents
+      FROM rev JOIN sizes USING (cohort)"""
   )
 }
