@@ -395,6 +395,78 @@ object StreamingOps {
 
   case class Debounced(user_id: Long, event_type: String, event_id: Long, ts_us: Long)
 
+  case class PathEv(ts_us: Long, event_id: Long, event_type: String)
+  // must be public: the state Encoder's generated code instantiates it
+  case class PathState(startUs: Long, lastUs: Long, evs: Seq[PathEv])
+  case class SessionPath(user_id: Long, session_start_us: Long,
+      n_events: Long, path: String)
+
+  /** Gap-closed session PATHS — q99's streaming twin: when a user's
+    * silence exceeds `gapHours` of event time, the closed session emits
+    * its ordered event-type path (the free-form journey q99 counts
+    * batch-side). State per user is the OPEN session's event list,
+    * bounded by `maxEvents` (64 — far above any plausible session; a
+    * hyperactive key truncates its path with a '>…' marker instead of
+    * growing state without limit). Same state discipline as
+    * [[sessionize]]: in-session events merge in any arrival order, stray
+    * late events far before the open session emit alone, the event-time
+    * timeout flushes the open session once the watermark passes its
+    * gap. */
+  def sessionPathsStream(events: Dataset[Event], gapHours: Int = 12,
+      maxEvents: Int = 64): Dataset[SessionPath] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapHours * 3600L * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    def emit(userId: Long, s: PathState): SessionPath = {
+      val ordered = s.evs.sortBy(e => (e.ts_us, e.event_id))
+      val capped = ordered.take(maxEvents)
+      val path = capped.map(_.event_type).mkString(">") +
+        (if (ordered.size > maxEvents) ">…" else "")
+      SessionPath(userId, ordered.head.ts_us, ordered.size.toLong, path)
+    }
+
+    def update(userId: Long, evts: Iterator[Event],
+        state: GroupState[PathState]): Iterator[SessionPath] = {
+      val out = scala.collection.mutable.ArrayBuffer[SessionPath]()
+      var cur = state.getOption
+      evts.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        val ev = PathEv(t, e.event_id, e.event_type)
+        cur match {
+          case Some(s) if t - s.lastUs > gapUs =>
+            out += emit(userId, s)
+            cur = Some(PathState(t, t, Vector(ev)))
+          case Some(s) if t < s.startUs - gapUs =>
+            // stray late event far before the open session: its own session
+            out += SessionPath(userId, t, 1L, e.event_type)
+          case Some(s) =>
+            cur = Some(PathState(math.min(s.startUs, t), math.max(s.lastUs, t),
+              (s.evs :+ ev).take(maxEvents + 1)))
+          case None =>
+            cur = Some(PathState(t, t, Vector(ev)))
+        }
+      }
+      cur match {
+        case Some(s) if state.hasTimedOut =>
+          out += emit(userId, s)
+          state.remove()
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+        case None => if (state.hasTimedOut) state.remove()
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Per-(user, event_type) event-time DEBOUNCE — q98's streaming twin: an
     * event is emitted only when ≥ `tolHours` of EVENT time has passed
     * since the last emitted event of the same key (the greedy anchor

@@ -65,6 +65,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() >= batch.count() - 8 * 5)
   }
 
+  test("streaming session paths: every emission is a true batch path, closed sessions all emit") {
+    import spark.implicits._
+    val deb = StreamingOps.sessionPathsStream(
+      StreamingOps.eventStream(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamingOps.Event], gapHours = 12)
+    val q = deb.writeStream.outputMode("append")
+      .format("memory").queryName("session_paths")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("session_paths")
+      .select("user_id", "session_start_us", "path").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.nonEmpty, "no sessions emitted")
+    // batch reference: q99's sessionization before its top-k cut
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val batch = graft.queries.QueryDsl.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk",
+        when(col("ts_us") - lag("ts_us", 1).over(wu) > 12L * 3600 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("session_start_us"),
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))).as("evs"),
+        max("ts_us").as("last_us"))
+      .select(col("user_id"), col("session_start_us"), col("last_us"),
+        expr("array_join(transform(evs, e -> e.event_type), '>')").as("path"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val batchSet = batch.map(b => (b._1, b._2, b._4)).toSet
+    assert(got.subsetOf(batchSet), "every emitted path must be a true batch session")
+    // sessions whose gap closed under the final watermark must have emitted
+    val maxTs = graft.queries.QueryDsl.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoff = maxTs - 10L * 60 * 1000000 - 12L * 3600 * 1000000
+    val due = batch.filter(_._3 < cutoff).map(b => (b._1, b._2, b._4)).toSet
+    assert(due.subsetOf(got), "a session closed under the watermark must emit its path")
+  }
+
   test("streaming debounce over one batch equals the batch anchor walk exactly") {
     import spark.implicits._
     val deb = StreamingOps.debounceStream(
