@@ -1836,6 +1836,40 @@ object CoreQueries {
         .select(col("cohort"), col("week_offset"), col("n_users"),
           col("revenue_cents"), col("cum_revenue_cents"),
           expr("(1000 * cum_revenue_cents) DIV n_users").as("ltv_milli_cents"))
+    }),
+
+    "q104_path_conversion" -> ((s, dir) => {
+      // path-to-conversion analysis — q99's "so what" query: for each
+      // pre-purchase journey PREFIX (the events before the session's
+      // first purchase; the whole path when none), what fraction of
+      // sessions converted? Grouping on the full path would be circular
+      // (a path containing 'purchase' converts by definition); the
+      // prefix is the actionable unit — "view>click starts convert at
+      // X‰". Same single user-keyed sessionization shuffle as q99, then
+      // a path-keyed count and the bounded top-20 cut.
+      val wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("brk",
+          when(col("ts_us") - lag("ts_us", 1).over(wu) > 12L * 3600 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(expr("transform(evs, e -> e.event_type)").as("types"))
+        .withColumn("p", expr("array_position(types, 'purchase')"))
+        .select(
+          expr("array_join(CASE WHEN p > 0 THEN slice(types, 1, CAST(p AS INT) - 1) " +
+            "ELSE types END, '>')").as("prefix"),
+          (col("p") > 0).cast("long").as("converted"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_sessions"), sum("converted").as("n_converted"))
+        .withColumn("cvr_milli", expr("(1000 * n_converted) DIV n_sessions"))
+        .orderBy(desc("n_sessions"), asc("prefix"))
+        .limit(20)
     })
   )
 
@@ -2996,6 +3030,37 @@ $steps
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents,
              CAST((1000 * SUM(revenue_cents) OVER (PARTITION BY cohort ORDER BY week_offset
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // n_users AS BIGINT) AS ltv_milli_cents
-      FROM rev JOIN sizes USING (cohort)"""
+      FROM rev JOIN sizes USING (cohort)""",
+
+    // q99's session CTEs; LIST_POSITION is 1-based-or-NULL where Spark's
+    // array_position is 1-based-or-0 — hence the COALESCE
+    "q104_path_conversion" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      b AS (
+        SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > 43200000000 THEN 1 ELSE 0 END AS brk
+        FROM e),
+      s AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM b),
+      sess AS (
+        SELECT LIST(event_type ORDER BY ts_us, event_id) AS types
+        FROM s GROUP BY user_id, sid),
+      pp AS (
+        SELECT types, COALESCE(LIST_POSITION(types, 'purchase'), 0) AS p FROM sess),
+      g AS (
+        SELECT COALESCE(CASE WHEN p > 0 THEN ARRAY_TO_STRING(types[1:p-1], '>')
+                             ELSE ARRAY_TO_STRING(types, '>') END, '') AS prefix,
+               CASE WHEN p > 0 THEN 1 ELSE 0 END AS converted
+        FROM pp)
+      SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             CAST((1000 * SUM(converted)) // COUNT(*) AS BIGINT) AS cvr_milli
+      FROM g GROUP BY prefix
+      ORDER BY n_sessions DESC, prefix ASC
+      LIMIT 20"""
   )
 }
