@@ -856,6 +856,30 @@ object DedupQueries {
       // exactly like q80's iteration.
       graft.operators.GraphOps.kcore(
         exactJaccardPairs(s, dir).select("doc_a", "doc_b"), k = 2, rounds = 8)
+    }),
+
+    "d24_detector_consensus" -> ((s, dir) => {
+      // detector AGREEMENT audit — production dedup stacks run several
+      // detectors and act on where they disagree: exact Jaccard ≥ 0.5
+      // flags SET-similar pairs, SimHash hamming ≤ 3 flags
+      // ANGULAR-similar ones. 'simhash_only' is the angular
+      // false-positive class (similar token distribution, different
+      // sets), 'jaccard_only' the true near-dups the 60-bit projection
+      // misses — the two numbers that tune a detector stack. One full
+      // outer join of the two verified pair tables (both id-keyed,
+      // both ≪ corpus; the shared shingle/simhash intermediates are
+      // reused, not rebuilt). Sentinel -1 marks a metric the flagging
+      // detector did not compute for that pair.
+      val jp = exactJaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("jaccard_milli"))
+      val sp = defs("d04_simhash")(s, dir)
+      jp.join(sp, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          when(col("jaccard_milli").isNotNull && col("hamming").isNotNull, "both")
+            .when(col("jaccard_milli").isNotNull, "jaccard_only")
+            .otherwise("simhash_only").as("verdict"),
+          coalesce(col("jaccard_milli"), lit(-1L)).as("jaccard_milli"),
+          coalesce(col("hamming"), lit(-1)).as("hamming"))
     })
   )
 
@@ -1384,6 +1408,53 @@ $steps
       SELECT e.v AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
       FROM e JOIN a8 x ON e.v = x.v JOIN a8 y ON e.u = y.v
       GROUP BY e.v"""
-    }
+    },
+
+    // d08's exact-pair CTEs (tau 500) full-outer-joined to d04's replayed
+    // SimHash pair set — the same two verified detectors, same sentinels
+    "d24_detector_consensus" -> """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      shl AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      jp AS (
+        SELECT doc_a, doc_b, jaccard_milli FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 (1000 * LEN(LIST_INTERSECT(a.s, b.s)))
+                 // (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) AS jaccard_milli
+          FROM shl a JOIN shl b ON a.doc_id < b.doc_id)
+        WHERE jaccard_milli >= 500),
+      th AS (
+        SELECT doc_id, CAST('0x' || SUBSTRING(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''),
+      bits AS (
+        SELECT th.doc_id, b.j,
+               CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+        FROM th, (SELECT UNNEST(RANGE(60)) AS j) b
+        GROUP BY th.doc_id, b.j),
+      sims AS (
+        SELECT d.doc_id, CAST(COALESCE(SUM(bit), 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+        GROUP BY d.doc_id),
+      sp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+      SELECT COALESCE(jp.doc_a, sp.doc_a) AS doc_a,
+             COALESCE(jp.doc_b, sp.doc_b) AS doc_b,
+             CASE WHEN jp.jaccard_milli IS NOT NULL AND sp.hamming IS NOT NULL THEN 'both'
+                  WHEN jp.jaccard_milli IS NOT NULL THEN 'jaccard_only'
+                  ELSE 'simhash_only' END AS verdict,
+             CAST(COALESCE(jp.jaccard_milli, -1) AS BIGINT) AS jaccard_milli,
+             CAST(COALESCE(sp.hamming, -1) AS INT) AS hamming
+      FROM jp FULL OUTER JOIN sp
+        ON jp.doc_a = sp.doc_a AND jp.doc_b = sp.doc_b"""
   )
 }
