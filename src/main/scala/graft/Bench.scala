@@ -6,11 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main. Emits ONE compact machine-parseable JSON line as the
-  * LAST stdout line — the driver keeps only a bounded tail of the run's
-  * stdout, so the line uses short query ids ("q01", "d14") and
-  * millisecond-precision values to fit the window whole; full names and
-  * full-precision timings go to `bench_details.json` in the working
-  * directory.
+  * LAST stdout line — the driver keeps only the last ~2000 chars of the
+  * run's stdout (stderr interleaved), so the line is FIXED-SIZE: totals,
+  * a fixed headline panel (one representative per family, short ids),
+  * and a pointer to `bench_details.json`, which carries every inventory
+  * entry with full names and full precision (committed per round).
   *
   * Two tiers:
   *   - the full inventory at SPARK_GRAFT_SF_DIR (two passes, min per query:
@@ -28,14 +28,6 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-
-  /** Compact-line precision: 2 decimals (10 ms). At the sf0.1 overhead
-    * floor (~0.3 s/query) that is ~3% — well inside the run-to-run noise
-    * envelope (±15%, BUILD_NOTES) — and it buys one char per inventory
-    * entry, so the spec-required line keeps headroom for inventory growth
-    * inside the driver's 2000-char stdout tail (full 3-decimal timings
-    * stay in bench_details.json). */
-  private def fmt2(v: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(v))
 
   /** "q01_pricing_summary" -> "q01" — unique across the inventory (asserted
     * below), and the id scheme CORRECTNESS/COVERAGE already key on. */
@@ -137,7 +129,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's 2000-char stdout tail interleaves
+    // stderr (sbt prefixes it "[error] ..."), and late WARN spam (e.g.
+    // "RDD was locally checkpointed" during unpersist) buried the
+    // machine-readable line entirely in BENCH_r09
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/session warmup so the first timed query doesn't absorb
     // executor-pool startup, file-index listing, or first-job codegen costs
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -292,36 +288,43 @@ object Bench {
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_details.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The driver keeps the LAST 2000 stdout chars (measured: BENCH_r08
-    // captured exactly 2000, and the r8 single line at ~2050+ chars was
-    // FRONT-truncated past the opening brace — parsed:null). So the
-    // supplement tiers go on their OWN line first, and THE machine-readable
-    // line stays last and well under the window (2-decimal entries ≈ 11
-    // chars each: 147 entries ≈ 1620 + envelope ≈ 95 + the trailing sbt
-    // "[success]" line ≈ 73 — headroom for ~15 more queries before the
-    // require below trips): the spec-required fields always parse, and
-    // the supplement's tail stays visible in the window as a bonus.
-    val supplement =
-      s"""{"supplement":"bench","heavy_10x":${jsonMap(heavy.map { case (k, v) => shortId(k) -> v })}""" +
-      s""","lineage_plans_per_sec":${jsonMap(lineage)}}"""
-    println(supplement)
-    // precision adapts to inventory size: 2-decimal entries while they
-    // fit, else 1-decimal (still ≥ run-to-run noise at the sf0.1 floor) —
-    // so inventory growth can never silently push the line past the
-    // driver's 2000-char window again (full precision is in
-    // bench_details.json regardless); the require stays as the backstop
-    def buildLine(f: Double => String): String =
+    // ENCODING REDESIGN (r10, the r9 verdict's high item): the per-query
+    // full-inventory map on stdout is a failed design — the driver keeps
+    // only the LAST 2000 stdout chars (stderr interleaved), and every
+    // BENCH_r1..r9 ended parsed:null (front truncation, or r9's own
+    // overflow backstop). The full inventory STOPS going on stdout:
+    //   - ALL entries, full names, 3-decimal precision, plus heavy/lineage
+    //     tiers → bench_details.json (committed per round);
+    //   - stdout gets ONE short final line (≲800 chars): spec-required
+    //     fields (metric/value/unit/queries/sf) with `queries` holding a
+    //     FIXED headline panel — one representative per family — plus
+    //     n_queries and a details pointer. Inventory growth can never
+    //     widen this line again: the panel is fixed, not inventory-sized.
+    // The line prints AFTER spark.stop(): nothing Spark can log after it,
+    // so only sbt's own ~75-char "[success]" trailer follows inside the
+    // driver's window.
+    val headlinePanel = Seq(
+      "q01_pricing_summary", "q03_shipping_priority", "q06_revenue_forecast",
+      "q07_window_topk", "q08_running_sum", "q38_asof_join", "q80_textrank",
+      "q88_bm25_search", "d01_dedup_exact", "d03_minhash_lsh",
+      "d08_jaccard_exact_join", "d11_dedup_pipeline", "d21_cc_alternating",
+      "s01_knn_brute", "s05_kmeans_ivf", "s11_knn_graph_ivf",
+      "t08_doc_top_terms", "t20_bpe_learn", "m03_feature_extract",
+      "p01_training_mix", "z01_lineage_extraction")
+    val byName = results.toMap
+    val headline = headlinePanel.filter(byName.contains).map(n => shortId(n) -> byName(n))
+    val heavyTotal = heavy.map(_._2).filter(_ >= 0).sum
+    val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-        s""","queries":${results.map { case (k, v) => "\"" + shortId(k) + "\":" + f(v) }
-          .mkString("{", ",", "}")}""" +
-        s""","sf":"$sfDir"}"""
-    val line2 = buildLine(fmt2)
-    val line = if (line2.length <= 1900) line2
-      else buildLine(v => String.format(Locale.ROOT, "%.1f", Double.box(v)))
-    require(line.length <= 1900,
-      s"compact bench line grew to ${line.length} chars — it will be " +
-        "front-truncated in the driver's 2000-char stdout tail; shrink it")
-    println(line)
+        s""","queries":${jsonMap(headline)}""" +
+        s""","sf":"$sfDir","n_queries":${results.size}""" +
+        s""","heavy_10x_total":${fmt(heavyTotal)}""" +
+        s""","lineage_plans_per_sec":${jsonMap(lineage)}""" +
+        s""","details":"bench_details.json"}"""
+    require(line.length <= 1500,
+      s"bench line grew to ${line.length} chars — the headline panel is " +
+        "fixed-size, so this means a structural change; keep it short")
     spark.stop()
+    println(line)
   }
 }

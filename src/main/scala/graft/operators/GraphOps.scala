@@ -223,8 +223,16 @@ object GraphOps {
     * alive twice — unchecked, the lazy plan would grow 2^rounds). */
   def kcore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
-    val und = pairs.toDF("v", "u")
-      .union(pairs.toDF("u", "v").select("v", "u"))
+    // canonicalize like connectedComponentsAlternating: drop self-loops,
+    // orient each pair (least, greatest), dedupe — duplicate rows, both
+    // orientations of one pair, or self-loops would otherwise silently
+    // inflate degrees and yield a wrong core (r9 advice)
+    val in = pairs.toDF("x", "y")
+    val canon = in.filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("v"), greatest(col("x"), col("y")).as("u"))
+      .distinct()
+    val und = canon
+      .union(canon.select(col("u").as("v"), col("v").as("u")))
       .localCheckpoint()
     var alive = und.select("v").distinct().localCheckpoint()
     for (_ <- 1 to rounds) {

@@ -1603,7 +1603,9 @@ object CoreQueries {
       val o = tbl(s, dir, "orders")
         .select(col("o_orderkey"),
           expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val total = o.agg(sum("cents")).head.getLong(0)
+      // sum() of an empty table is null — read through coalesce so the
+      // require below reports emptiness instead of an NPE (r9 advice)
+      val total = o.agg(coalesce(sum("cents"), lit(0L))).head.getLong(0)
       // cum·m must stay inside Long: at ~1e9 orders × 1e6 cents × m=37
       // this is ~4e16 — two orders of magnitude of headroom; past that,
       // widen to DECIMAL(38,0) (the d20 bit-field discipline: guard the

@@ -397,7 +397,7 @@ object StreamingOps {
 
   case class PathEv(ts_us: Long, event_id: Long, event_type: String)
   // must be public: the state Encoder's generated code instantiates it
-  case class PathState(startUs: Long, lastUs: Long, evs: Seq[PathEv])
+  case class PathState(startUs: Long, lastUs: Long, evs: Seq[PathEv], n: Long)
   case class SessionPath(user_id: Long, session_start_us: Long,
       n_events: Long, path: String)
 
@@ -422,10 +422,22 @@ object StreamingOps {
 
     def emit(userId: Long, s: PathState): SessionPath = {
       val ordered = s.evs.sortBy(e => (e.ts_us, e.event_id))
-      val capped = ordered.take(maxEvents)
-      val path = capped.map(_.event_type).mkString(">") +
-        (if (ordered.size > maxEvents) ">…" else "")
-      SessionPath(userId, ordered.head.ts_us, ordered.size.toLong, path)
+      val path = ordered.map(_.event_type).mkString(">") +
+        (if (s.n > maxEvents) ">…" else "")
+      SessionPath(userId, s.startUs, s.n, path)
+    }
+
+    // overflow keeps the SMALLEST maxEvents events by (ts_us, event_id):
+    // keep-smallest-k is mergeable (smallest-k of the union, whatever the
+    // arrival interleaving), so the truncated path is arrival-order-
+    // invariant and n_events stays exact via the `n` counter (r9 advice —
+    // the old first-arrived cap both under-reported n_events and made the
+    // truncated path depend on cross-batch arrival order)
+    def add(s: PathState, ev: PathEv, t: Long): PathState = {
+      val kept =
+        if (s.evs.size < maxEvents) s.evs :+ ev
+        else (s.evs :+ ev).sortBy(e => (e.ts_us, e.event_id)).take(maxEvents)
+      PathState(math.min(s.startUs, t), math.max(s.lastUs, t), kept, s.n + 1)
     }
 
     def update(userId: Long, evts: Iterator[Event],
@@ -438,15 +450,14 @@ object StreamingOps {
         cur match {
           case Some(s) if t - s.lastUs > gapUs =>
             out += emit(userId, s)
-            cur = Some(PathState(t, t, Vector(ev)))
+            cur = Some(PathState(t, t, Vector(ev), 1L))
           case Some(s) if t < s.startUs - gapUs =>
             // stray late event far before the open session: its own session
             out += SessionPath(userId, t, 1L, e.event_type)
           case Some(s) =>
-            cur = Some(PathState(math.min(s.startUs, t), math.max(s.lastUs, t),
-              (s.evs :+ ev).take(maxEvents + 1)))
+            cur = Some(add(s, ev, t))
           case None =>
-            cur = Some(PathState(t, t, Vector(ev)))
+            cur = Some(PathState(t, t, Vector(ev), 1L))
         }
       }
       cur match {

@@ -133,6 +133,24 @@ class GlobalOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("q95 on an empty orders table reports emptiness, not an NPE") {
+    // sum() over zero rows is SQL null — the query must surface its own
+    // require message (total > 0), not a NullPointerException (r9 advice)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q95-empty")
+    try {
+      spark.range(0).selectExpr("id AS o_orderkey", "CAST(1.0 AS DECIMAL(12,2)) AS o_totalprice")
+        .write.mode("overwrite").parquet(tmp.resolve("orders.parquet").toString)
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q95_pps_sample")(spark, tmp.toString).collect()
+      }
+      assert(e.getMessage.contains("cumulative-weight"))
+    } finally {
+      import java.nio.file.Files
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
   test("q95 systematic PPS invariants: exactly m picks, multiplicity-weighted") {
     // Madow's systematic selection draws exactly m picks counting
     // multiplicity, and every pick's order really exists

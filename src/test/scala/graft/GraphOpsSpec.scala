@@ -135,6 +135,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(core(g, 3, 8) === Map.empty)
   }
 
+  test("kcore canonicalizes its input: dups, reversed orientations, self-loops don't inflate degrees") {
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // the same graph with every corruption the r9 advice flagged: a
+    // duplicated row, the reversed orientation of an existing pair, and
+    // self-loops — none may change the core
+    val dirty = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (2L, 3L),           // duplicate row
+      (3L, 1L), (2L, 1L), // reversed orientations
+      (4L, 4L), (1L, 1L)  // self-loops
+    ).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    assert(core(clean, 2, 8) === want)
+    assert(core(dirty, 2, 8) === want,
+      "duplicate / reversed / self-loop rows must not inflate the core")
+    // without canonicalization the self-looped pair {4,5} would fake
+    // degree 2 and survive a 2-core peel
+    val loops = Seq((4L, 5L), (4L, 4L), (5L, 5L)).toDF("doc_a", "doc_b")
+    assert(core(loops, 2, 4) === Map.empty)
+  }
+
   test("a long dangling path peels one node per round — fixed rounds must cover the depth") {
     // cycle {1,2,3} + path 3-10-11-...-15 (depth 5). With rounds=2 the
     // far end of the path is still alive (NOT the k-core); by rounds=5

@@ -145,6 +145,40 @@ class StreamingSpec extends AnyFunSuite {
       "the anchor must survive micro-batch boundaries with no timeout")
   }
 
+  test("session path overflow keeps the event-time-smallest events and an exact " +
+      "count, whatever the arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Int, id: Long, typ: String) = StreamingOps.Event(
+      id, new java.sql.Timestamp(t0.getTime + mins * 60000L), 1L, typ, 0.0)
+    // 6 in-session events (one per minute, types a..f) for a maxEvents=4
+    // cap, then a far-future event to close the session past the watermark
+    val session = (0 until 6).map(i => at(i, i + 1, ('a' + i).toChar.toString))
+    val closer = at(60 * 24 * 40, 99, "z")
+    def run(name: String, batches: Seq[Seq[StreamingOps.Event]]): (Long, String) = {
+      val ms = MemoryStream[StreamingOps.Event]
+      val q = StreamingOps.sessionPathsStream(ms.toDS(), gapHours = 12, maxEvents = 4)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.processAllAvailable(); q.stop()
+      val r = spark.table(name).filter(col("n_events") > 1)
+        .select("n_events", "path").head()
+      (r.getLong(0), r.getString(1))
+    }
+    // arrival order 1: event-time order; order 2: the LAST four events
+    // arrive first, the first two trickle in late (still inside the gap)
+    val inOrder = run("paths_ovf1", Seq(session, Seq(closer)))
+    val scrambled = run("paths_ovf2",
+      Seq(session.drop(2), session.take(2).reverse, Seq(closer)))
+    // n_events is the TRUE count (6, not the cap), and the truncated path
+    // is the event-time-smallest 4 — identically in both arrival orders
+    assert(inOrder === ((6L, "a>b>c>d>…")))
+    assert(scrambled === inOrder,
+      "overflow truncation must be arrival-order-invariant")
+  }
+
   test("streaming dropDuplicates matches the batch distinct over the same keys") {
     val dd = StreamingOps.dedupStream(StreamingOps.eventStream(spark, sf))
     val q = dd.writeStream.outputMode("append")
