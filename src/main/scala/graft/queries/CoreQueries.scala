@@ -1872,6 +1872,47 @@ object CoreQueries {
         .withColumn("cvr_milli", expr("(1000 * n_converted) DIV n_sessions"))
         .orderBy(desc("n_sessions"), asc("prefix"))
         .limit(20)
+    }),
+
+    "q105_countmin" -> ((s, dir) => {
+      // Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
+      // FREQUENCY sibling of q78/q81's KMV distinct sketches: d=4 hash
+      // rows × w=64 counters estimate every key's count from one bounded
+      // 256-cell table. Each cell is a COUNT, so partial aggregation IS
+      // the sketch merge — the build is ONE map-side-combined groupBy to
+      // 256 cells whatever the partition layout, and two executors'
+      // sketches combine by cell-wise addition (the mergeability that
+      // makes the sketch a 100 TB tool: the frequency table of a corpus
+      // is 2 KB of counters, not a corpus-sized groupBy). Hashes are
+      // md5-derived (the t07 trick), so the sketch replays bit-for-bit
+      // in the oracle. The report is the accuracy audit a deployment
+      // runs before trusting est alone: every above-mean key with its
+      // exact count, CMS estimate, and overcount (est >= exact always —
+      // counters only over-count; with ~keys/w ≈ 3-30 keys per cell the
+      // collisions are real, not a degenerate no-collision sketch).
+      // Scale shape: exact counts are one key-partitioned aggregate
+      // (they exist here to MEASURE the sketch, not to serve it); the
+      // 256-cell table broadcasts to the probe side.
+      val w = 64
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      def h(i: Int) = expr(
+        s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
+      val hashes = array((0 to 3).map(h): _*)
+      val cells = li.select(posexplode(hashes)).toDF("i", "c")
+        .groupBy("i", "c").agg(count(lit(1)).as("cnt"))
+      val exact = li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        .localCheckpoint() // consumed twice: the n/nk literals + the probe
+      // bounded driver artifacts (the q88/t24 pattern): inlined literals,
+      // never a constant-key join (BUILD_NOTES BNLJ rule)
+      val Array(n, nk) = exact.agg(sum("exact_cnt"), count(lit(1)))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      exact.filter(col("exact_cnt") * nk >= n) // above the corpus mean
+        .select(col("k"), col("exact_cnt"), posexplode(hashes))
+        .toDF("k", "exact_cnt", "i", "c")
+        .join(broadcast(cells), Seq("i", "c"))
+        .groupBy("k", "exact_cnt").agg(min("cnt").as("cms_est"))
+        .select(col("k").as("part_key"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
     })
   )
 
@@ -3063,6 +3104,30 @@ $steps
              CAST((1000 * SUM(converted)) // COUNT(*) AS BIGINT) AS cvr_milli
       FROM g GROUP BY prefix
       ORDER BY n_sessions DESC, prefix ASC
-      LIMIT 20"""
+      LIMIT 20""",
+
+    "q105_countmin" -> """
+      WITH li AS (SELECT l_partkey AS k FROM lineitem),
+      hs AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i),
+      cells AS (
+        SELECT i,
+               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS c,
+               COUNT(*) AS cnt
+        FROM li CROSS JOIN hs
+        GROUP BY 1, 2),
+      exact AS (SELECT k, COUNT(*) AS exact_cnt FROM li GROUP BY 1),
+      tot AS (SELECT (SELECT COUNT(*) FROM li) AS n,
+                     (SELECT COUNT(*) FROM exact) AS nk),
+      heavy AS (SELECT k, exact_cnt FROM exact, tot WHERE exact_cnt * nk >= n),
+      est AS (
+        SELECT h.k, h.exact_cnt, MIN(cells.cnt) AS cms_est
+        FROM heavy h CROSS JOIN hs
+        JOIN cells ON cells.i = hs.i
+         AND cells.c = CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(hs.i, ':', CAST(h.k AS VARCHAR))), 1, 8)) AS BIGINT) % 64
+        GROUP BY 1, 2)
+      SELECT k AS part_key, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+             CAST(cms_est AS BIGINT) AS cms_est,
+             CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+      FROM est"""
   )
 }

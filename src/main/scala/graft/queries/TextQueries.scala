@@ -721,6 +721,63 @@ object TextQueries {
         .select(col("q_doc"), col("q_chunk"), posexplode(col("top")))
         .select(col("q_doc"), col("q_chunk"), (col("pos") + 1).cast("int").as("rank"),
           col("col.doc_id"), col("col.chunk_id"), (col("col.neg") * -1).as("score"))
+    }),
+
+    "p03_incremental_ingest" -> ((s, dir) => {
+      // the CONTINUOUS-ingestion pipeline — p01 curates a frozen corpus,
+      // p02 builds its index; p03 is what runs every day after: an
+      // arrival batch lands (here the t07 md5-bucket >= 80 fold, ~20% of
+      // docs — base is the other 80%) and each new document is routed
+      // exact-dup filter → near-dup filter vs the BASE corpus → chunked
+      // and sharded into the serving index. Stage semantics are the
+      // proven ones restated: d12's digest filter (production keeps a
+      // Bloom filter of base digests broadcast at every executor; the
+      // exact digest anti-join below IS that filter with zero false
+      // positives, so the chain stays hash-replayable), d10's >= 3
+      // shared-3-shingle disqualification rule — here against the base
+      // posting list, shuffle keyed by shingle and carrying only
+      // (shingle, doc_id) — and t25's 64/48 chunk grid routed to 16
+      // index shards by chunk-md5 (s14's upsert shape, doc-local via
+      // higher-order array ops: no explode, no extra shuffle). Output is
+      // the per-arrival ingestion ledger: verdict + how many chunks and
+      // distinct shards the upsert touches (0 for rejected docs).
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100)
+        .withColumn("k", md5(lower(col("text"))))
+      val base = d.filter(col("bucket") < 80)
+      val arrivals = d.filter(col("bucket") >= 80)
+      val sh3 = expr("array_distinct(transform(sequence(1, size(tk) - 2), " +
+        "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))")
+      val baseSh = base.filter(size(col("tk")) >= 3)
+        .select(col("doc_id").as("base_id"), explode(sh3).as("sh"))
+      val nearIds = arrivals.filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(sh3).as("sh"))
+        .join(baseSh, "sh")
+        .groupBy("doc_id", "base_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= 3)
+        .select("doc_id").distinct()
+        .withColumn("near", lit(true))
+      val exactIds = arrivals.join(base.select("k").distinct(), Seq("k"), "left_semi")
+        .select("doc_id").withColumn("exact", lit(true))
+      arrivals
+        .join(exactIds, Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(col("exact"), "exact_dup")
+            .when(col("near"), "near_dup")
+            .otherwise("ingested"))
+        .withColumn("nc", expr("1 + (greatest(size(tk) - 64, 0) + 47) DIV 48"))
+        .select(col("doc_id"), col("verdict"),
+          when(col("verdict") === "ingested", col("nc").cast("long"))
+            .otherwise(0L).as("n_chunks"),
+          when(col("verdict") === "ingested", expr(
+            "CAST(size(array_distinct(transform(sequence(0, nc - 1), c -> " +
+              "CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), ':', " +
+              "CAST(c AS STRING))), 1, 4), 16, 10) AS BIGINT) % 16))) AS BIGINT)"))
+            .otherwise(0L).as("n_shards"))
     })
   )
 
@@ -1302,6 +1359,49 @@ object TextQueries {
         FROM s)
       SELECT q_doc, CAST(q_chunk AS INT) AS q_chunk, CAST(rank AS INT) AS rank,
              doc_id, CAST(chunk_id AS INT) AS chunk_id, score
-      FROM r WHERE rank <= 5"""
+      FROM r WHERE rank <= 5""",
+
+    "p03_incremental_ingest" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk,
+               CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket,
+               md5(LOWER(text)) AS k
+        FROM documents),
+      base AS (SELECT * FROM d WHERE bucket < 80),
+      arr AS (SELECT * FROM d WHERE bucket >= 80),
+      bsh AS (
+        SELECT DISTINCT doc_id AS base_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        FROM base WHERE LEN(tk) >= 3),
+      ash AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        FROM arr WHERE LEN(tk) >= 3),
+      near AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT ash.doc_id, bsh.base_id, COUNT(*) AS hits
+          FROM ash JOIN bsh USING (sh)
+          GROUP BY 1, 2)
+        WHERE hits >= 3),
+      ex AS (SELECT DISTINCT a.doc_id FROM arr a JOIN base b ON a.k = b.k),
+      v AS (
+        SELECT a.doc_id, a.tk,
+               CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'ingested' END AS verdict,
+               1 + (GREATEST(LEN(a.tk) - 64, 0) + 47) // 48 AS nc
+        FROM arr a
+        LEFT JOIN ex ON ex.doc_id = a.doc_id
+        LEFT JOIN near ON near.doc_id = a.doc_id)
+      SELECT doc_id, verdict,
+             CAST(CASE WHEN verdict = 'ingested' THEN nc ELSE 0 END AS BIGINT) AS n_chunks,
+             CAST(CASE WHEN verdict = 'ingested' THEN LEN(LIST_DISTINCT(
+               LIST_TRANSFORM(GENERATE_SERIES(0, CAST(nc AS INT) - 1),
+                 c -> CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(doc_id, ':', c)), 1, 4)) AS BIGINT) % 16)))
+               ELSE 0 END AS BIGINT) AS n_shards
+      FROM v"""
   )
 }

@@ -1,0 +1,132 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant specs for q105 (Count-Min sketch) and p03 (incremental
+  * ingestion pipeline) beyond their DuckDB oracles: the sketch's
+  * one-sided-error + mergeability guarantees, and the pipeline's routing
+  * semantics on a crafted corpus with known duplicate structure. */
+class SketchIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("sketch-ingest-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q105: CMS never undercounts, and collisions are real at w=64") {
+    val rows = SparkEntry.queries("q105_countmin")(spark, sf)
+      .select("part_key", "exact_cnt", "cms_est", "overcount").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted key ${r.getLong(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+    // ~200 keys into 64 buckets per hash row: at least one reported key
+    // must collide on ALL 4 rows — a zero-overcount-everywhere result
+    // would mean the sketch is degenerate (w too wide to test anything)
+    assert(rows.exists(_.getLong(3) > 0),
+      "no key overcounted — the sketch fixture has no collisions to audit")
+  }
+
+  test("q105: the cell table is mergeable — two half-corpus sketches sum to the full sketch") {
+    import graft.queries.QueryDsl.tbl
+    val w = 64
+    def h(i: Int) = expr(
+      s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
+    val li = tbl(spark, sf, "lineitem").select(col("l_partkey").as("k"), col("l_orderkey"))
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      df.select(posexplode(array((0 to 3).map(h): _*))).toDF("i", "c")
+        .groupBy("i", "c").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = cells(li)
+    val left = cells(li.filter(col("l_orderkey") % 2 === 0))
+    val right = cells(li.filter(col("l_orderkey") % 2 === 1))
+    val merged = (left.keySet ++ right.keySet).map(k =>
+      k -> (left.getOrElse(k, 0L) + right.getOrElse(k, 0L))).toMap
+    assert(merged === full,
+      "cell-wise sum of two disjoint half-corpus sketches must equal the full sketch")
+  }
+
+  /** p03's arrival fold is md5(doc_id)-bucketed (t07's split): solve for
+    * ids on each side of the fold so the crafted corpus can place docs
+    * deliberately. */
+  private def bucket(id: Long): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    java.lang.Long.parseLong(hex, 16) % 100
+  }
+
+  test("p03: crafted corpus routes exact-dup / near-dup / fresh arrivals correctly") {
+    val baseIds = (0L to 200L).filter(bucket(_) < 80)
+    val arrIds = (0L to 200L).filter(bucket(_) >= 80)
+    assert(baseIds.size >= 2 && arrIds.size >= 4)
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val freshTokens = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // base
+      (baseIds(0), baseText),
+      (baseIds(1), "one two three four five six seven"),
+      // arrivals
+      (arrIds(0), baseText.toUpperCase), // exact dup modulo case-normalization
+      (arrIds(1), "alpha beta gamma delta epsilon different tail here"), // >= 3 shared shingles
+      (arrIds(2), freshTokens), // fresh, 200 tokens -> 4 chunks
+      (arrIds(3), freshTokens)  // intra-batch twin of arrIds(2): dedup is vs BASE only
+    )
+    val tmp = java.nio.file.Files.createTempDirectory("graft-p03-spec")
+    try {
+      import spark.implicits._
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("crafted"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+      val out = SparkEntry.queries("p03_incremental_ingest")(spark, tmp.toString)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(out.keySet === arrIds.take(4).toSet, "one ledger row per arrival, none for base")
+      assert(out(arrIds(0))._1 === "exact_dup")
+      assert(out(arrIds(1))._1 === "near_dup")
+      assert(out(arrIds(2))._1 === "ingested")
+      // dedup is vs the BASE corpus only — intra-batch twins both ingest
+      // (collapsing them is d01/d02's batch-dedup job, staged before p03)
+      assert(out(arrIds(3))._1 === "ingested")
+      // 200 tokens -> 1 + ceil(136/48) = 4 chunks; shards within [1, 4]
+      val (_, nChunks, nShards) = out(arrIds(2))
+      assert(nChunks === 4L)
+      assert(nShards >= 1L && nShards <= 4L)
+      // rejected docs touch the index zero times
+      assert(out(arrIds(0))._2 === 0L && out(arrIds(0))._3 === 0L)
+      assert(out(arrIds(1))._2 === 0L && out(arrIds(1))._3 === 0L)
+    } finally {
+      import java.nio.file.Files
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
+  test("p03: on the real corpus every arrival gets exactly one verdict and " +
+      "chunk math holds for every ingested doc") {
+    import graft.queries.QueryDsl.tbl
+    val out = SparkEntry.queries("p03_incremental_ingest")(spark, sf)
+    val nArrivals = tbl(spark, sf, "documents")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100 >= 80).count()
+    assert(out.count() === nArrivals)
+    val bad = out.filter(!col("verdict").isin("exact_dup", "near_dup", "ingested"))
+    assert(bad.count() === 0)
+    val ing = out.filter(col("verdict") === "ingested")
+    assert(ing.filter(col("n_chunks") < 1 || col("n_shards") < 1 ||
+      col("n_shards") > least(col("n_chunks"), lit(16L))).count() === 0)
+    assert(out.filter(col("verdict") =!= "ingested")
+      .filter(col("n_chunks") =!= 0 || col("n_shards") =!= 0).count() === 0)
+  }
+}
