@@ -117,7 +117,10 @@ object Bench {
     // Σ df_prefix², which grows with the corpus exactly like d08's full
     // inverted index; a regression in the prefix cut would be invisible
     // at the sf0.1 floor
-    "d22_prefix_filter_join")
+    "d22_prefix_filter_join",
+    // r10: the incremental-ingest pipeline — its base-vs-arrival shingle
+    // posting join grows with the corpus like d10's decontamination probe
+    "p03_incremental_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
