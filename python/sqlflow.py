@@ -140,6 +140,14 @@ def export_data_lineage_into(graph_sink: str, contracted: bool = False,
     _jvm_api().exportSQLFlowInto(graph_sink, contracted, _options_string(options))
 
 
+def impacted_by(name: str, column: str = "", contracted: bool = False) -> List[str]:
+    """Schema-change impact analysis over the catalog lineage graph: the
+    views / tracked queries / write targets that transitively consume
+    table-or-view ``name`` (narrowed to one source ``column`` when given).
+    Impact propagates through view chains; results are sorted idents."""
+    return list(_jvm_api().impactedBy(name, column, contracted))
+
+
 def register_sql_functions(spark: SparkSession = None) -> None:
     """Expose the engine's native SQL functions (``zorder_key``,
     ``winnow_fingerprints``, ``vec_cosine``, ``token_shingle_hashes``,

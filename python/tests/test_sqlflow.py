@@ -27,6 +27,7 @@ from sqlflow import (
     auto_tracking,
     auto_tracking_with,
     export_data_lineage_into,
+    impacted_by,
     save_data_lineage,
     to_data_lineage_string,
 )
@@ -242,6 +243,26 @@ class SQLFlowTests(ReusedSQLTestCase):
         self.assertNotIn('"Project_', contracted)
         self.assertIn('"stage_one"', contracted)
         self.assertIn('"stage_two"', contracted)
+
+    def test_impacted_by(self):
+        self.spark.range(10).selectExpr("id AS k", "id * 2 AS v") \
+            .createOrReplaceTempView("impact_base")
+        self.spark.sql("SELECT k, sum(v) AS sv FROM impact_base GROUP BY k") \
+            .createOrReplaceTempView("impact_mid")
+        self.spark.sql("SELECT k FROM impact_mid WHERE sv > 3") \
+            .createOrReplaceTempView("impact_leaf")
+        try:
+            hits = impacted_by("impact_base")
+            self.assertIn("impact_mid", hits)
+            # impact continues through the middle view
+            self.assertIn("impact_leaf", hits)
+            self.assertNotIn("impact_base", hits)
+            # column-level: v feeds sv only; k feeds the whole chain
+            self.assertIn("impact_mid", impacted_by("impact_base", column="k"))
+            self.assertEqual([], impacted_by("no_such_view"))
+        finally:
+            for v in ("impact_base", "impact_mid", "impact_leaf"):
+                self.spark.catalog.dropTempView(v)
 
     def test_register_sql_functions(self):
         """Native Catalyst functions reachable from pyspark SQL — no

@@ -1874,45 +1874,47 @@ object CoreQueries {
         .limit(20)
     }),
 
-    "q105_countmin" -> ((s, dir) => {
-      // Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
-      // FREQUENCY sibling of q78/q81's KMV distinct sketches: d=4 hash
-      // rows × w=64 counters estimate every key's count from one bounded
-      // 256-cell table. Each cell is a COUNT, so partial aggregation IS
-      // the sketch merge — the build is ONE map-side-combined groupBy to
-      // 256 cells whatever the partition layout, and two executors'
-      // sketches combine by cell-wise addition (the mergeability that
-      // makes the sketch a 100 TB tool: the frequency table of a corpus
-      // is 2 KB of counters, not a corpus-sized groupBy). Hashes are
-      // md5-derived (the t07 trick), so the sketch replays bit-for-bit
-      // in the oracle. The report is the accuracy audit a deployment
-      // runs before trusting est alone: every above-mean key with its
-      // exact count, CMS estimate, and overcount (est >= exact always —
-      // counters only over-count; with ~keys/w ≈ 3-30 keys per cell the
-      // collisions are real, not a degenerate no-collision sketch).
-      // Scale shape: exact counts are one key-partitioned aggregate
-      // (they exist here to MEASURE the sketch, not to serve it); the
-      // 256-cell table broadcasts to the probe side.
+    "q105_count_sketch" -> ((s, dir) => {
+      // Count Sketch (Charikar, Chen & Farach-Colton 2002) — the SIGNED
+      // sibling of q86's Count-Min: each occurrence adds g_i(k) ∈ {±1}
+      // to cell (i, h_i(k)) across d=5 hash rows × w=64 buckets, and the
+      // estimate is the MEDIAN over rows of g_i(k)·cell. Where Count-Min
+      // only over-counts (+εN_1 one-sided), the signed median is
+      // UNBIASED with error scaling in N_2 (the L2 norm) — collisions
+      // cancel instead of stacking, which is why Count Sketch variants
+      // power heavy-hitter detection under adversarial skew. Cells are
+      // signed SUMS, so partial aggregation IS the sketch merge (two
+      // executors' sketches combine cell-wise; spec proves half + half =
+      // full) and the build is ONE map-side-combined groupBy to 320
+      // cells at any corpus size. Both hash families are md5-derived
+      // (the t07 trick), so the whole sketch replays bit-for-bit in the
+      // oracle. Report: the top-20 keys by exact count with their median
+      // estimate and SIGNED error (the exact counts exist to MEASURE the
+      // sketch; at 100 TB the 320 longs stand alone). d is odd so the
+      // median is a stored value — exact integer, no midpoint average.
       val w = 64
+      val dRows = 5
       val li = tbl(s, dir, "lineitem").select(col("l_partkey").as("k"))
-      def h(i: Int) = expr(
+      def b(i: Int) = expr(
         s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
-      val hashes = array((0 to 3).map(h): _*)
-      val cells = li.select(posexplode(hashes)).toDF("i", "c")
-        .groupBy("i", "c").agg(count(lit(1)).as("cnt"))
-      val exact = li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
-        .localCheckpoint() // consumed twice: the n/nk literals + the probe
-      // bounded driver artifacts (the q88/t24 pattern): inlined literals,
-      // never a constant-key join (BUILD_NOTES BNLJ rule)
-      val Array(n, nk) = exact.agg(sum("exact_cnt"), count(lit(1)))
-        .head.toSeq.map(_.asInstanceOf[Long]).toArray
-      exact.filter(col("exact_cnt") * nk >= n) // above the corpus mean
-        .select(col("k"), col("exact_cnt"), posexplode(hashes))
-        .toDF("k", "exact_cnt", "i", "c")
-        .join(broadcast(cells), Seq("i", "c"))
-        .groupBy("k", "exact_cnt").agg(min("cnt").as("cms_est"))
-        .select(col("k").as("part_key"), col("exact_cnt"), col("cms_est"),
-          (col("cms_est") - col("exact_cnt")).as("overcount"))
+      def g(i: Int) = expr(
+        s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
+      val rows = array((0 until dRows).map(i =>
+        struct(b(i).as("b"), g(i).as("g"))): _*)
+      val cells = li.select(posexplode(rows))
+        .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
+        .groupBy("i", "b").agg(sum("g").as("cell"))
+      li.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        .select(col("k"), col("exact_cnt"), posexplode(rows))
+        .select(col("k"), col("exact_cnt"), col("pos").as("i"),
+          col("col.b").as("b"), col("col.g").as("g"))
+        .join(broadcast(cells), Seq("i", "b"))
+        .withColumn("sest", col("g") * col("cell"))
+        .groupBy("k", "exact_cnt")
+        .agg(expr("element_at(array_sort(collect_list(sest)), 3)").as("cs_est"))
+        .orderBy(desc("exact_cnt"), asc("k")).limit(20)
+        .select(col("k").as("part_key"), col("exact_cnt"), col("cs_est"),
+          (col("cs_est") - col("exact_cnt")).as("err"))
     })
   )
 
@@ -3106,28 +3108,30 @@ $steps
       ORDER BY n_sessions DESC, prefix ASC
       LIMIT 20""",
 
-    "q105_countmin" -> """
+    "q105_count_sketch" -> """
       WITH li AS (SELECT l_partkey AS k FROM lineitem),
-      hs AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i),
-      cells AS (
+      hs AS (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS i),
+      occ AS (
         SELECT i,
-               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS c,
-               COUNT(*) AS cnt
-        FROM li CROSS JOIN hs
-        GROUP BY 1, 2),
+               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
+               1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('g', i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 2) AS g
+        FROM li CROSS JOIN hs),
+      cells AS (SELECT i, b, CAST(SUM(g) AS BIGINT) AS cell FROM occ GROUP BY 1, 2),
       exact AS (SELECT k, COUNT(*) AS exact_cnt FROM li GROUP BY 1),
-      tot AS (SELECT (SELECT COUNT(*) FROM li) AS n,
-                     (SELECT COUNT(*) FROM exact) AS nk),
-      heavy AS (SELECT k, exact_cnt FROM exact, tot WHERE exact_cnt * nk >= n),
+      probes AS (
+        SELECT e.k, e.exact_cnt, hs.i,
+               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(hs.i, ':', CAST(e.k AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
+               1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('g', hs.i, ':', CAST(e.k AS VARCHAR))), 1, 8)) AS BIGINT) % 2) AS g
+        FROM exact e CROSS JOIN hs),
       est AS (
-        SELECT h.k, h.exact_cnt, MIN(cells.cnt) AS cms_est
-        FROM heavy h CROSS JOIN hs
-        JOIN cells ON cells.i = hs.i
-         AND cells.c = CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(hs.i, ':', CAST(h.k AS VARCHAR))), 1, 8)) AS BIGINT) % 64
+        SELECT p.k, p.exact_cnt, LIST_SORT(LIST(p.g * c.cell))[3] AS cs_est
+        FROM probes p JOIN cells c ON c.i = p.i AND c.b = p.b
         GROUP BY 1, 2)
       SELECT k AS part_key, CAST(exact_cnt AS BIGINT) AS exact_cnt,
-             CAST(cms_est AS BIGINT) AS cms_est,
-             CAST(cms_est - exact_cnt AS BIGINT) AS overcount
-      FROM est"""
+             CAST(cs_est AS BIGINT) AS cs_est,
+             CAST(cs_est - exact_cnt AS BIGINT) AS err
+      FROM est
+      ORDER BY exact_cnt DESC, k ASC
+      LIMIT 20"""
   )
 }

@@ -880,6 +880,36 @@ object DedupQueries {
             .otherwise("simhash_only").as("verdict"),
           coalesce(col("jaccard_milli"), lit(-1L)).as("jaccard_milli"),
           coalesce(col("hamming"), lit(-1)).as("hamming"))
+    }),
+
+    "d25_dup_telemetry" -> ((s, dir) => {
+      // dedup OBSERVABILITY — the per-(source, lang) readout a curation
+      // dashboard tracks run over run: what fraction of each corpus slice
+      // is exact-duplicated (d02's normalized digest with corpus-wide
+      // multiplicity > 1) and near-duplicated (membership in the verified
+      // exact-Jaccard >= 0.5 pair table shared with d08/d09/d11/d24 — the
+      // persisted intermediate is REUSED, not rebuilt). Scale shape: one
+      // digest-keyed shuffle (carrying digests, never text) for exact
+      // multiplicity, one id-keyed left join against the pair-member id
+      // set (≪ corpus), then a low-cardinality (source, lang) rollup that
+      // partial-aggregates map-side. The milli rates are the numbers that
+      // page an on-call when a crawler starts re-fetching a domain.
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          md5(lower(col("text"))).as("k"))
+      val nearIds = exactJaccardPairs(s, dir)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .withColumn("is_near", lit(1L))
+      d.withColumn("mult",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("k")))
+        .join(nearIds, Seq("doc_id"), "left")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mult") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"))
+        .withColumn("exact_milli", expr("(1000 * n_exact_dup) DIV n_docs"))
+        .withColumn("near_milli", expr("(1000 * n_near_dup) DIV n_docs"))
     })
   )
 
@@ -1455,6 +1485,37 @@ $steps
              CAST(COALESCE(jp.jaccard_milli, -1) AS BIGINT) AS jaccard_milli,
              CAST(COALESCE(sp.hamming, -1) AS INT) AS hamming
       FROM jp FULL OUTER JOIN sp
-        ON jp.doc_a = sp.doc_a AND jp.doc_b = sp.doc_b"""
+        ON jp.doc_a = sp.doc_a AND jp.doc_b = sp.doc_b""",
+
+    "d25_dup_telemetry" -> """
+      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      shl AS (SELECT doc_id,
+                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
+                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
+                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
+                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    END AS s
+             FROM tk),
+      jp AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 (1000 * LEN(LIST_INTERSECT(a.s, b.s)))
+                 // (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) AS jaccard_milli
+          FROM shl a JOIN shl b ON a.doc_id < b.doc_id)
+        WHERE jaccard_milli >= 500),
+      near AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_a AS doc_id FROM jp UNION ALL SELECT doc_b FROM jp)),
+      d AS (
+        SELECT doc_id, source, lang,
+               COUNT(*) OVER (PARTITION BY md5(LOWER(text))) AS mult
+        FROM documents)
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+             CAST(SUM(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+             CAST((1000 * SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS exact_milli,
+             CAST((1000 * SUM(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS near_milli
+      FROM d LEFT JOIN near ON d.doc_id = near.doc_id
+      GROUP BY source, lang"""
   )
 }

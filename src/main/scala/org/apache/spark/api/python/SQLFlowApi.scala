@@ -78,6 +78,16 @@ object SQLFlowApi {
       toGraphFormat(graphFormat, parsed))
   }
 
+  /** Impact analysis over the catalog graph (see SQLFlow.impactedBy):
+    * affected view / query / write-target idents, sorted. `column` empty
+    * means node-level. Returns a java.util.List for py4j round-tripping. */
+  def impactedBy(name: String, column: String = "",
+      contracted: Boolean = false): java.util.List[String] = {
+    import scala.jdk.CollectionConverters._
+    val col = Option(column).map(_.trim).filter(_.nonEmpty)
+    SQLFlow.impactedBy(activeSession, name, col, contracted).asJava
+  }
+
   /** Reference parity for `exportSQLFlowInto("neo4jaura", ...)`: this build
     * has no network egress, so the Neo4j-shaped export emits the equivalent
     * Cypher statement stream (constraints + MERGEs) to a file instead of a

@@ -171,6 +171,58 @@ object SQLFlow {
     graphFormat.toGraphString(nodes, edges)
   }
 
+  /** Impact analysis over the catalog-wide flow graph — the question a
+    * schema-change review asks before altering `name` (a table or view
+    * ident): which views / tracked queries / write targets transitively
+    * consume it? Pass `column` to narrow the walk to one source column:
+    * the walk then follows only edges leaving that column's slot (plus
+    * node-level edges, which make no column claim and must stay
+    * conservative), through intermediate plan nodes' per-column slots.
+    * Unlike the cypher sink's dst walk, impact propagates THROUGH views —
+    * a view over a view over the table is impacted too. Returns affected
+    * node idents, distinct and sorted; same 128-depth guard as every
+    * other traversal (reference SQLFlow.scala:804-822). */
+  def impactedBy(spark: SparkSession, name: String, column: Option[String] = None,
+      contracted: Boolean = false): Seq[String] = {
+    val (nodes, edges) = catalogGraph(spark, contracted)
+    val nodeById = nodes.map(n => n.uniqueId -> n).toMap
+    val starts = nodes.filter(_.ident == name)
+    // slot = (nodeId, Some(colIdx)) or (nodeId, None) = node-level
+    type Slot = (String, Option[Int])
+    val startSlots: Seq[Slot] = column match {
+      case None => starts.map(n => (n.uniqueId, None))
+      case Some(c) => starts.flatMap { n =>
+        val i = n.attributes.indexOf(c)
+        if (i >= 0) Some((n.uniqueId, Some(i))) else None
+      }
+    }
+    val bySrc = edges.groupBy(_.fromId)
+    val visited = mutable.HashSet[Slot](startSlots: _*)
+    val impacted = mutable.SortedSet[String]()
+    var frontier: Seq[Slot] = startSlots
+    var depth = 0
+    while (frontier.nonEmpty && depth < 128) {
+      frontier = frontier.flatMap { case (id, idx) =>
+        bySrc.getOrElse(id, Nil).collect {
+          // a node-level start (or slot) follows every outgoing edge; a
+          // column slot follows its own column's edges plus node-level
+          // edges (fromIdx None): those make no column claim
+          case e if idx.isEmpty || e.fromIdx.isEmpty || e.fromIdx == idx =>
+            (e.toId, e.toIdx)
+        }
+      }.distinct.filterNot(visited.contains)
+      frontier.foreach { s =>
+        visited += s
+        nodeById.get(s._1).foreach { n =>
+          if (n.tpe != FlowNodeType.Plan && n.tpe != FlowNodeType.LeafPlan &&
+            !starts.exists(_.uniqueId == n.uniqueId)) impacted += n.ident
+        }
+      }
+      depth += 1
+    }
+    impacted.toSeq
+  }
+
   /** The lineage graph as (nodes, edges) DataFrames — SQL-queryable. */
   def lineageDatasets(spark: SparkSession, contracted: Boolean = false)
       : (Dataset[_], Dataset[_]) = {

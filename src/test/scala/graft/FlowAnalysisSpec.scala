@@ -172,6 +172,36 @@ class FlowAnalysisSpec extends AnyFunSuite {
     spark.catalog.dropTempView("nation_agg")
   }
 
+  test("impactedBy: schema-change impact propagates THROUGH view chains, " +
+      "and the column-level walk follows only the touched column") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("imp_src")
+    spark.sql("SELECT n_regionkey, count(*) AS n FROM imp_src GROUP BY n_regionkey")
+      .createOrReplaceTempView("imp_agg")
+    spark.sql("SELECT n_regionkey FROM imp_agg WHERE n > 1")
+      .createOrReplaceTempView("imp_top")
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("imp_other")
+    try {
+      val all = SQLFlow.impactedBy(spark, "imp_src")
+      assert(all.contains("imp_agg"), all.mkString(","))
+      assert(all.contains("imp_top"), "impact must continue through imp_agg")
+      assert(!all.contains("imp_other"), "unrelated view must not be impacted")
+      assert(!all.contains("imp_src"), "the start node is not its own impact")
+      // column-level: imp_agg consumes only n_regionkey — altering n_name
+      // impacts nothing, altering n_regionkey impacts the whole chain
+      val byKey = SQLFlow.impactedBy(spark, "imp_src", Some("n_regionkey"))
+      assert(byKey.contains("imp_agg") && byKey.contains("imp_top"), byKey.mkString(","))
+      val byName = SQLFlow.impactedBy(spark, "imp_src", Some("n_name"))
+      assert(!byName.contains("imp_agg") && !byName.contains("imp_top"),
+        s"n_name feeds nothing downstream, got: ${byName.mkString(",")}")
+      // unknown ident / unknown column -> empty, not an error
+      assert(SQLFlow.impactedBy(spark, "no_such_view").isEmpty)
+      assert(SQLFlow.impactedBy(spark, "imp_src", Some("no_such_col")).isEmpty)
+    } finally {
+      Seq("imp_src", "imp_agg", "imp_top", "imp_other")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
+
   test("track() chains DataFrames through catalog lineage like @auto_tracking") {
     import org.apache.spark.sql.graft.implicits._
     // first stage must be non-trivial: bare scans are blacklisted from

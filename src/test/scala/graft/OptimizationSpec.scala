@@ -391,8 +391,12 @@ class OptimizationSpec extends AnyFunSuite {
     //  - p02_retrieval_index: s01's bounded-broadcast pattern — the build
     //    side is the query-chunk set (doc_id < 2, witness below), the
     //    corpus chunks stay map-side.
+    //  - s16_matryoshka_rerank: s01's bounded-broadcast pattern twice —
+    //    both the coarse pass and the rerank broadcast the vec_id < 10
+    //    query set; the corpus side stays map-side in phase 1 and is
+    //    20 rows/query (bounded top-k output) in phase 2.
     val exempt = Set("q22_cross_join", "s01_knn_brute", "s09_knn_mmr", "s12_knn_sq8",
-      "q81_kmv_set_ops", "p02_retrieval_index")
+      "q81_kmv_set_ops", "p02_retrieval_index", "s16_matryoshka_rerank")
     def nestedLoops(p: SparkPlan): Seq[SparkPlan] = p.collect {
       case j: BroadcastNestedLoopJoinExec => j
       case j: CartesianProductExec => j
@@ -410,7 +414,8 @@ class OptimizationSpec extends AnyFunSuite {
     // s01/s09 must keep the vec_id < 10 query filter on some side of the
     // plan (the bound that makes the broadcast side ~10 rows)
     Seq(("s01_knn_brute", "vec_id", 10), ("s09_knn_mmr", "vec_id", 10),
-      ("s12_knn_sq8", "vec_id", 10), ("p02_retrieval_index", "doc_id", 2))
+      ("s12_knn_sq8", "vec_id", 10), ("p02_retrieval_index", "doc_id", 2),
+      ("s16_matryoshka_rerank", "vec_id", 10))
       .foreach { case (name, colName, bound) =>
         val plan = PlanIntrospection.physicalPlan(SparkEntry.queries(name)(spark, sf))
         val bounded = plan.exists(_.expressions.exists(_.exists {

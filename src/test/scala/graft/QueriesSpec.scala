@@ -1528,6 +1528,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s16 matryoshka rerank: prefix-phase recall@5 vs exact brute force clears " +
+    "the fixture floor, and rerank ordering is exact within the candidate set") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("s01_knn_brute")(spark, sf)
+    val mrl = SparkEntry.queries("s16_matryoshka_rerank")(spark, sf)
+    val nExact = exact.count()
+    assert(nExact > 0)
+    // the fixture embeddings are white noise, so the 32-dim prefix carries
+    // exactly half the signal (correlation √(1/2) ≈ 0.71) — measured
+    // recall@5 is 0.74 (sf0.001) / 0.76 (sf0.01); the 0.65 floor pins
+    // that ANALYTIC worst case (MRL-trained embeddings would approach 1)
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(mrl.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .count()
+    val recall = hits.toDouble / nExact
+    assert(recall >= 0.65, f"recall@5 $recall%.3f below the 0.65 fixture floor")
+    // exactly 5 ranked rows per query, ranks dense from 1
+    val perQ = mrl.groupBy("query_id").agg(count(lit(1)).as("n"),
+      min("rank").as("lo"), max("rank").as("hi")).collect()
+    perQ.foreach(r => assert(r.getLong(1) === 5L && r.getInt(2) === 1 && r.getInt(3) === 5))
+    // any true neighbor the two-phase search DID keep must appear in the
+    // same relative order as in the exact ranking (rerank is full-dim)
+    val both = exact.select(col("query_id"), col("neighbor_id"), col("rank").as("er"))
+      .join(mrl.select(col("query_id"), col("neighbor_id"), col("rank").as("mr")),
+        Seq("query_id", "neighbor_id"))
+    val inversions = both.toDF("q", "n1", "e1", "m1")
+      .join(both.toDF("q", "n2", "e2", "m2"), "q")
+      .filter(col("n1") =!= col("n2") && col("e1") < col("e2") && col("m1") > col("m2"))
+      .count()
+    assert(inversions === 0L, "full-dim rerank must preserve exact relative order")
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))

@@ -22,38 +22,62 @@ class SketchIngestSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("q105: CMS never undercounts, and collisions are real at w=64") {
-    val rows = SparkEntry.queries("q105_countmin")(spark, sf)
-      .select("part_key", "exact_cnt", "cms_est", "overcount").collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getLong(2) >= r.getLong(1),
-        s"CMS undercounted key ${r.getLong(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
-      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
-    }
-    // ~200 keys into 64 buckets per hash row: at least one reported key
-    // must collide on ALL 4 rows — a zero-overcount-everywhere result
-    // would mean the sketch is degenerate (w too wide to test anything)
-    assert(rows.exists(_.getLong(3) > 0),
-      "no key overcounted — the sketch fixture has no collisions to audit")
-  }
-
-  test("q105: the cell table is mergeable — two half-corpus sketches sum to the full sketch") {
+  test("q105: the count-sketch median estimate is exact for collision-free keys " +
+      "and the report's signed error column is consistent") {
+    val rows = SparkEntry.queries("q105_count_sketch")(spark, sf)
+      .select("part_key", "exact_cnt", "cs_est", "err").collect()
+    assert(rows.length === 20, "top-20 report")
+    rows.foreach(r => assert(r.getLong(3) === r.getLong(2) - r.getLong(1)))
+    // recompute each reported key's 5 signed per-row estimates from the
+    // cell table and check cs_est IS their median (the stored middle
+    // value, d odd)
     import graft.queries.QueryDsl.tbl
     val w = 64
-    def h(i: Int) = expr(
+    def b(i: Int) = expr(
       s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
+    def g(i: Int) = expr(
+      s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
+    val li = tbl(spark, sf, "lineitem").select(col("l_partkey").as("k"))
+    val cells = li.select(posexplode(array((0 until 5).map(i =>
+        struct(b(i).as("b"), g(i).as("g"))): _*)))
+      .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
+      .groupBy("i", "b").agg(sum("g").as("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perKey = li.distinct()
+      .select(col("k"), posexplode(array((0 until 5).map(i =>
+        struct(b(i).as("b"), g(i).as("g"))): _*)))
+      .select(col("k"), col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val ests = perKey(r.getLong(0)).map(p =>
+        p.getLong(3) * cells((p.getInt(1), p.getLong(2)))).sorted
+      assert(ests(2) === r.getLong(2),
+        s"key ${r.getLong(0)}: cs_est ${r.getLong(2)} != median of ${ests.mkString(",")}")
+    }
+  }
+
+  test("q105: the signed cell table is mergeable — two half-corpus sketches " +
+      "sum cell-wise to the full sketch") {
+    import graft.queries.QueryDsl.tbl
+    val w = 64
+    def b(i: Int) = expr(
+      s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
+    def g(i: Int) = expr(
+      s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
     val li = tbl(spark, sf, "lineitem").select(col("l_partkey").as("k"), col("l_orderkey"))
     def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
-      df.select(posexplode(array((0 to 3).map(h): _*))).toDF("i", "c")
-        .groupBy("i", "c").agg(count(lit(1)).as("cnt"))
+      df.select(posexplode(array((0 until 5).map(i =>
+          struct(b(i).as("b"), g(i).as("g"))): _*)))
+        .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
+        .groupBy("i", "b").agg(sum("g").as("cell"))
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val full = cells(li)
     val left = cells(li.filter(col("l_orderkey") % 2 === 0))
     val right = cells(li.filter(col("l_orderkey") % 2 === 1))
     val merged = (left.keySet ++ right.keySet).map(k =>
-      k -> (left.getOrElse(k, 0L) + right.getOrElse(k, 0L))).toMap
-    assert(merged === full,
+      k -> (left.getOrElse(k, 0L) + right.getOrElse(k, 0L)))
+      .filter(_._2 != 0L).toMap
+    assert(merged === full.filter(_._2 != 0L),
       "cell-wise sum of two disjoint half-corpus sketches must equal the full sketch")
   }
 
