@@ -544,9 +544,14 @@ object SimilarityQueries {
       // candidates come from the shared trained IVF assignment instead of
       // all pairs. Every vector probes its 3·IvfNprobe nearest pivot
       // buckets (the s08 "widen the probe set" lever — a graph build
-      // wants recall, and the probe count stays a CONSTANT so total
-      // candidate work is n · nprobe · bucket ≈ n^1.5 under the √-scaled
-      // nlist, not n²), and each scored edge is emitted in BOTH
+      // wants recall). Honest complexity: nprobeFor scales nprobe WITH
+      // nlist (a constant probed FRACTION, nprobe/nlist ≈ 1/8), so
+      // candidate work is (3/8)·n² — the price of holding recall on
+      // unstructured vectors, cut 8/3-fold vs all-pairs and embarrass-
+      // ingly parallel. On real corpora with cluster structure a
+      // CONSTANT nprobe holds recall and the same code runs at
+      // n·nprobe·√(2n) ≈ n^1.5; the fixture is white noise, the
+      // adversarial case. Each scored edge is emitted in BOTH
       // directions before the top-k: cosine is bit-symmetric, so (a, b)
       // is a candidate when EITHER endpoint probes the other's bucket —
       // symmetric candidates square the per-pair miss rate for zero
@@ -565,13 +570,25 @@ object SimilarityQueries {
       // itself is hash-checked.
       val pivots = ivfPivots(s, dir)
       val assigned = ivfAssigned(s, dir)
+      import org.apache.spark.sql.graft.functions.{vec_dot, vec_norm}
+      // norms precomputed ONCE per vector on each side: the candidate
+      // scorer then runs vec_dot / (q_nrm · nrm), which is BIT-IDENTICAL
+      // to vec_cosine (same accumulation order, same sqrt(na)·sqrt(nb)
+      // denominator — the VecOps.dot contract) at a third of the flops.
+      // Candidates ≈ probe-fraction · n² ≫ n vectors, so the per-pair
+      // norm re-accumulation was the dominant wasted work in this, the
+      // heaviest scoring loop of the heavy bench tier.
       val probes = tbl(s, dir, "embeddings")
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          vec_norm(col("embedding")).as("q_nrm"),
           explode(topPivotIds(pivots, col("embedding"), 3 * IvfNprobe)).as("pivot_id"))
-      val fwd = assigned.join(probes, "pivot_id")
+      val denom = col("q_nrm") * col("nrm")
+      val fwd = assigned.withColumn("nrm", vec_norm(col("embedding")))
+        .join(probes, "pivot_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(col("q_emb"), col("embedding")).as("score"))
+          when(denom === 0.0, 0.0)
+            .otherwise(vec_dot(col("q_emb"), col("embedding")) / denom).as("score"))
       // (q, n) is unique within fwd (a vector lives in exactly one
       // bucket), so dups come only from mutual probes, and those are
       // bit-identical rows (cosine is symmetric). A distinct() here

@@ -191,6 +191,39 @@ object VecOps {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
+
+  /** Dot product, same ascending double accumulation as [[cosine]]'s `dot`
+    * term — so `dot(a,b) / (norm(a) * norm(b))` is BIT-IDENTICAL to
+    * `cosine(a,b)` (identical loop order, identical `sqrt(na)*sqrt(nb)`
+    * denominator), which is what lets hot paths precompute norms once per
+    * vector instead of re-accumulating both norms for every candidate
+    * pair (3× fewer flops per pair; candidates ≫ vectors). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    require(a.numElements() == b.numElements(),
+      s"vector dimensions differ: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      d += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    d
+  }
+
+  /** L2 norm, accumulated exactly like [[cosine]]'s `na` term (see
+    * [[dot]] for the bit-identity contract). */
+  def norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    math.sqrt(na)
+  }
 }
 
 case class FloatVecCosine(left: Expression, right: Expression)
@@ -207,6 +240,40 @@ case class FloatVecCosine(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd dot product — see [[VecOps.dot]] for the cosine bit-identity
+  * contract that makes `vec_dot / (vec_norm · vec_norm)` a drop-in for
+  * `vec_cosine` on hot candidate-scoring paths. */
+case class FloatVecDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(
+      ExprChecks.isFloatArray(left.dataType) && ExprChecks.isFloatArray(right.dataType),
+      "ARRAY<FLOAT> on both sides", left.dataType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd L2 norm (see [[VecOps.norm]]). */
+case class FloatVecNorm(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(ExprChecks.isFloatArray(child.dataType),
+      "ARRAY<FLOAT>", child.dataType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"org.apache.spark.sql.graft.VecOps.norm($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Sign-random-projection (SRP) sketch of a float vector: bit p of the
@@ -1296,6 +1363,13 @@ object functions {
   def vec_cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecCosine(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def vec_dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def vec_norm(a: Column): Column =
+    ExpressionUtils.column(FloatVecNorm(ExpressionUtils.expression(a)))
 
   def int8_quantize(c: Column, scales: Array[Float]): Column =
     ExpressionUtils.column(Int8Quantize(ExpressionUtils.expression(c), scales))

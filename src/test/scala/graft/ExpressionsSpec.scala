@@ -100,6 +100,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("vec_dot / (vec_norm * vec_norm) is BIT-identical to vec_cosine " +
+      "(the precomputed-norm hot-path contract) on random vectors") {
+    import org.apache.spark.sql.graft.functions.{vec_dot, vec_norm}
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(500)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val denom = vec_norm($"a") * vec_norm($"b")
+    val viaNorms = when(denom === 0.0, 0.0).otherwise(vec_dot($"a", $"b") / denom)
+    // exact equality, not a tolerance: the whole point is that rank order
+    // can never diverge between the two formulations
+    val bad = df.filter(viaNorms =!= vec_cosine($"a", $"b")).count()
+    assert(bad === 0L)
+    // zero-vector guard matches vec_cosine's
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val zd = vec_norm($"a") * vec_norm($"b")
+    assert(z.select(when(zd === 0.0, 0.0)
+      .otherwise(vec_dot($"a", $"b") / zd)).head.getDouble(0) === 0.0)
+  }
+
   test("normalize_text: equivalent to the lower/strip/collapse/trim regex pipeline") {
     val samples = Seq(
       "Hello, World!  This  is--a TEST 123.",
