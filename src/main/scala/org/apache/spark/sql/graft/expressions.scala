@@ -1471,6 +1471,8 @@ object functions {
       "simhash64" -> (exprs => SimHash64(exprs.head)),
       "simhash_md5" -> (exprs => SimHashMd5(exprs.head)),
       "vec_cosine" -> (exprs => FloatVecCosine(exprs(0), exprs(1))),
+      "vec_dot" -> (exprs => FloatVecDot(exprs(0), exprs(1))),
+      "vec_norm" -> (exprs => FloatVecNorm(exprs.head)),
       // int8_quantize is NOT SQL-registered: its scale table is a trained
       // reference object (the NearestPivots/BloomCountHits precedent)
       "int8_vec_dot" -> (exprs => Int8VecDot(exprs(0), exprs(1))),
