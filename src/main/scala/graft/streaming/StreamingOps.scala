@@ -180,6 +180,31 @@ object StreamingOps {
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming Count Sketch cells — q105's streaming twin and the
+    * TURNSTILE member of the sketch family: cells are SIGNED sums of
+    * g_i(k) ∈ {±1} (md5-derived, cell-for-cell identical to q105), so
+    * beyond commuting like CMS's counters the fold accepts RETRACTIONS —
+    * a delete is just `delta = -1`, and the cell matrix always equals the
+    * batch sketch of the NET multiset, a property none of the other three
+    * sketches has (CMS counters corrupt under deletes that race ahead of
+    * their inserts; KMV/HLL can't unsee a key at all). State: d·w longs
+    * in complete mode forever. `updates` needs (k: BIGINT, delta:
+    * BIGINT). Query the output with q105's median-of-rows estimator —
+    * build on the stream, estimate in batch. */
+  def countSketchCellsStream(updates: DataFrame, d: Int = 5, w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1 rows and w >= 2 buckets, got d=$d w=$w")
+    def b(i: Int) = expr(
+      s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
+    def g(i: Int) = expr(
+      s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
+    updates
+      .select(col("delta"), posexplode(array((0 until d).map(i =>
+        struct(b(i).as("b"), g(i).as("g"))): _*)))
+      .select(col("pos").as("i"), col("col.b").as("b"),
+        (col("delta") * col("col.g")).as("sg"))
+      .groupBy("i", "b").agg(sum("sg").as("cell"))
+  }
+
   /** Streaming HyperLogLog registers — q85's streaming twin, completing
     * the sketch-family trilogy: KMV folds by bounded-top-k, CMS by
     * addition, HLL by MAX — a commutative AND idempotent fold, so beyond

