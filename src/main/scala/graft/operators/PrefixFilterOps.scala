@@ -82,29 +82,31 @@ object PrefixFilterOps {
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.sz") * tauDen >= col("a.sz") * tauNum &&
           col("a.sz") * tauDen >= col("b.sz") * tauNum)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      // consumed three times below (id extraction + the two-step
-      // verification join head) — one materialization, same rationale as
-      // the prefix checkpoint above
-      .localCheckpoint()
-    // verification reads posting lists of CANDIDATE members only — on a
-    // deduplicated-ish corpus most documents have no candidate partner,
-    // so the semi-join cuts the verification join inputs from |corpus|
-    // postings to |candidate docs| postings (measured on the 10× bench
-    // tier: the full-posting double join dominated the whole operator)
-    val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val vposting = posting.join(candIds, Seq("id"), "left_semi").localCheckpoint()
+    // VERIFICATION = the canonical AllPairs/PPJoin verify step: co-locate
+    // each surviving candidate pair's two hash SETS and count the true
+    // intersection in one codegen'd array_intersect per pair. The earlier
+    // formulation verified through the inverted index instead (cand ⋈
+    // posting ⋈ posting + groupBy) — per candidate that expands to
+    // |set_a| skinny rows through a shuffled aggregation, and on the 10×
+    // bench tier (1.8M candidates × ~100-element sets ⇒ 180M rows) it was
+    // 33 s of the operator's 44 s. Two id-keyed joins carrying one array
+    // per row replace it (measured 4×+ faster end to end). The array
+    // payload on a keyed shuffle is the same deliberate, bounded
+    // exemption class as d18/s10's pairwise kernels: each set travels
+    // once per candidate pair it survived INTO — prefix filtering has
+    // already cut that to the theorem-admitted pairs, and the per-row
+    // payload is one document's fixed set, never a corpus-sized artifact.
+    val setsById = sets.select(col(idCol).as("id"), col(setCol).as("hs"))
     cand
-      .join(vposting.as("pa"), col("id_a") === col("pa.id"))
-      .join(vposting.as("pb"),
-        col("id_b") === col("pb.id") && col("pa.h") === col("pb.h"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("ni"))
+      .join(setsById.withColumnsRenamed(Map("id" -> "id_a", "hs" -> "hs_a")), "id_a")
+      .join(setsById.withColumnsRenamed(Map("id" -> "id_b", "hs" -> "hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("ni"),
+        (size(col("hs_a")) + size(col("hs_b"))).as("szsum"))
       .withColumn("jaccard_milli",
-        expr("(1000 * ni) DIV (sz_a + sz_b - ni)"))
+        expr("(1000 * ni) DIV (szsum - ni)"))
       .filter(col("jaccard_milli") >= milliTau)
       .select(col("id_a"), col("id_b"), col("jaccard_milli"))
   }

@@ -332,11 +332,18 @@ class OptimizationSpec extends AnyFunSuite {
     //    each row's payload is replicated exactly B = √(2·tasks) times
     //    and per-task state is 2·(n/B) rows, vs the r7 broadcast form
     //    that shipped the WHOLE corpus to every executor.
+    //  - d22_prefix_filter_join: the AllPairs/PPJoin VERIFY step
+    //    co-locates each candidate pair's two hash sets for one
+    //    array_intersect per pair (r10 — replacing the inverted-index
+    //    verify whose 180M-row join dominated the heavy tier). Bounded
+    //    like d18/s10's pairwise kernels: a set travels once per
+    //    theorem-admitted candidate pair, never corpus-broadcast.
     val exempt: Map[String, Set[String]] =
       Map("d15_semdedup" -> Set("embedding", "emb_a", "emb_b"),
         "s11_knn_graph_ivf" -> Set("embedding", "q_emb"),
         "s10_knn_graph" -> Set("embedding_a", "embedding_b"),
-        "d18_weighted_overlap" -> Set("tfv_a", "tfv_b"))
+        "d18_weighted_overlap" -> Set("tfv_a", "tfv_b"),
+        "d22_prefix_filter_join" -> Set("hs", "hs_a", "hs_b", "sh"))
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1 == "z01_lineage_extraction") // driver-side analysis, no cluster plan
       .flatMap { case (name, fn) =>
