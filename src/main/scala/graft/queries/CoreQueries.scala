@@ -1894,7 +1894,11 @@ object CoreQueries {
       // median is a stored value — exact integer, no midpoint average.
       val w = 64
       val dRows = 5
-      val li = tbl(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      // spread: the sf fixture's lineitem is one row group -> one scan
+      // split; 10 md5s/row over 600k rows would otherwise run on a
+      // single core (the QueryDsl.spread rationale — a no-op when the
+      // scan already yields >= parallelism splits)
+      val li = spread(tbl(s, dir, "lineitem").select(col("l_partkey").as("k")))
       def b(i: Int) = expr(
         s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
       def g(i: Int) = expr(
@@ -1915,6 +1919,64 @@ object CoreQueries {
         .orderBy(desc("exact_cnt"), asc("k")).limit(20)
         .select(col("k").as("part_key"), col("exact_cnt"), col("cs_est"),
           (col("cs_est") - col("exact_cnt")).as("err"))
+    }),
+
+    "q106_zonemap_pruning" -> ((s, dir) => {
+      // zone-map (min/max statistics) pruning audit — the file-skipping
+      // arithmetic that decides whether a 100 TB table needs re-
+      // clustering: bucket the table into 4096-row "files" under TWO
+      // physical layouts (arrival order = by orderkey, vs date-clustered
+      // = sorted by ship date), record each bucket's (min, max) ship
+      // date, and evaluate four date-range predicates against the zone
+      // maps. A bucket is PRUNED when its range cannot contain a match
+      // (max < lo or min >= hi) — exactly parquet row-group / Iceberg
+      // file skipping. The punchline row pair per predicate: arrival
+      // order prunes ~nothing (uniform dates per bucket), the clustered
+      // layout prunes all but the touched date range — the measured
+      // argument for sort-on-write. Layout ranks come from
+      // GlobalOrderOps' two-phase global order (one range shuffle each,
+      // never a single-task window); zone maps are a bucket-keyed
+      // partial aggregate; matched-row truth is one map-side pass with
+      // the predicate set exploded per row. All-integer/timestamp
+      // arithmetic end to end.
+      import graft.operators.GlobalOrderOps
+      val rpb = 4096
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      def zonesOf(name: String, keys: Seq[Column]): DataFrame =
+        GlobalOrderOps.withGlobalOrder(li, keys, rankCol = "rk")
+          .withColumn("bucket", expr(s"(rk - 1) DIV $rpb"))
+          .groupBy("bucket")
+          .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"),
+            count(lit(1)).as("n"))
+          .withColumn("layout", lit(name))
+      val zones = zonesOf("arrival", Seq(col("l_orderkey"), col("l_linenumber")))
+        .unionAll(zonesOf("date_clustered",
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
+      val preds = array(
+        struct(lit(1).as("pid"), lit("1996-01-01").as("lo"), lit("1996-02-01").as("hi")),
+        struct(lit(2).as("pid"), lit("1998-06-01").as("lo"), lit("1998-09-01").as("hi")),
+        struct(lit(3).as("pid"), lit("2001-01-01").as("lo"), lit("2002-01-01").as("hi")),
+        struct(lit(4).as("pid"), lit("1995-01-01").as("lo"), lit("2002-01-01").as("hi")))
+      val pruned = col("mx") < col("lo") || col("mn") >= col("hi")
+      val pz = zones.select(col("layout"), col("mn"), col("mx"), col("n"),
+          explode(preds).as("p"))
+        .select(col("layout"), col("mn"), col("mx"), col("n"), col("p.pid").as("pid"),
+          col("p.lo").cast("timestamp").as("lo"), col("p.hi").cast("timestamp").as("hi"))
+        .groupBy("layout", "pid")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(pruned, 1L).otherwise(0L)).as("n_pruned"),
+          sum(when(pruned, 0L).otherwise(col("n"))).as("rows_scanned"),
+          sum(col("n")).as("total_rows"))
+      val matched = li.select(col("l_shipdate"), explode(preds).as("p"))
+        .filter(col("l_shipdate") >= col("p.lo").cast("timestamp") &&
+          col("l_shipdate") < col("p.hi").cast("timestamp"))
+        .groupBy(col("p.pid").as("pid")).agg(count(lit(1)).as("rows_matched"))
+      pz.join(broadcast(matched), Seq("pid"), "left")
+        .select(col("layout"), col("pid").as("pred_id"), col("n_buckets"),
+          col("n_pruned"), col("rows_scanned"),
+          coalesce(col("rows_matched"), lit(0L)).as("rows_matched"),
+          expr("(1000 * rows_scanned) DIV total_rows").as("scan_milli"))
     })
   )
 
@@ -3132,6 +3194,41 @@ $steps
              CAST(cs_est - exact_cnt AS BIGINT) AS err
       FROM est
       ORDER BY exact_cnt DESC, k ASC
-      LIMIT 20"""
+      LIMIT 20""",
+
+    "q106_zonemap_pruning" -> """
+      WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem),
+      a AS (SELECT l_shipdate,
+                   ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rk FROM li),
+      dcl AS (SELECT l_shipdate,
+                   ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk FROM li),
+      zones AS (
+        SELECT 'arrival' AS layout, (rk - 1) // 4096 AS bucket,
+               MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx, COUNT(*) AS n
+        FROM a GROUP BY 2
+        UNION ALL
+        SELECT 'date_clustered', (rk - 1) // 4096,
+               MIN(l_shipdate), MAX(l_shipdate), COUNT(*)
+        FROM dcl GROUP BY 2),
+      preds AS (SELECT * FROM (VALUES
+        (1, TIMESTAMP '1996-01-01', TIMESTAMP '1996-02-01'),
+        (2, TIMESTAMP '1998-06-01', TIMESTAMP '1998-09-01'),
+        (3, TIMESTAMP '2001-01-01', TIMESTAMP '2002-01-01'),
+        (4, TIMESTAMP '1995-01-01', TIMESTAMP '2002-01-01')) AS t(pid, lo, hi)),
+      pz AS (
+        SELECT layout, pid, COUNT(*) AS n_buckets,
+               CAST(SUM(CASE WHEN mx < lo OR mn >= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+               CAST(SUM(CASE WHEN mx < lo OR mn >= hi THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+               CAST(SUM(n) AS BIGINT) AS total_rows
+        FROM zones CROSS JOIN preds GROUP BY 1, 2),
+      m AS (
+        SELECT pid, COUNT(*) AS rows_matched
+        FROM li CROSS JOIN preds
+        WHERE l_shipdate >= lo AND l_shipdate < hi
+        GROUP BY 1)
+      SELECT pz.layout, pz.pid AS pred_id, pz.n_buckets, pz.n_pruned, pz.rows_scanned,
+             CAST(COALESCE(m.rows_matched, 0) AS BIGINT) AS rows_matched,
+             CAST((1000 * pz.rows_scanned) // pz.total_rows AS BIGINT) AS scan_milli
+      FROM pz LEFT JOIN m ON m.pid = pz.pid"""
   )
 }

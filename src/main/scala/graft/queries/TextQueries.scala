@@ -723,6 +723,41 @@ object TextQueries {
           col("col.doc_id"), col("col.chunk_id"), (col("col.neg") * -1).as("score"))
     }),
 
+    "t26_contamination_severity" -> ((s, dir) => {
+      // the EVAL-side companion of d10's decontamination: d10 flags which
+      // TRAIN docs to drop; this audits how EXPOSED each benchmark (eval)
+      // document already is — the readout that decides whether an eval
+      // set must be retired rather than the corpus cleaned. For every
+      // eval doc (p01's doc_id % 97 fold): the maximum number of distinct
+      // 3-shingles it shares with any single train doc, bucketed into
+      // severity levels (>=10 critical / >=3 high / >=1 low / clean —
+      // the d10 disqualification threshold is 3, so 'high' is exactly
+      // "would have tripped d10"). Scale shape: one shingle-keyed
+      // posting join (ids only ride the shuffle — the eval side is
+      // benchmark-sized), a (eval, train) pair count, and a max per eval
+      // doc; eval docs with no overlap at all survive via the left join.
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val isEval = col("doc_id") % 97 === 0
+      val sh3 = expr("array_distinct(transform(sequence(1, size(tk) - 2), " +
+        "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))")
+      val trainSh = d.filter(!isEval).filter(size(col("tk")) >= 3)
+        .select(col("doc_id").as("train_id"), explode(sh3).as("sh"))
+      val overlap = d.filter(isEval).filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(sh3).as("sh"))
+        .join(trainSh, "sh")
+        .groupBy("doc_id", "train_id").agg(count(lit(1)).as("hits"))
+        .groupBy("doc_id").agg(max("hits").as("max_overlap"))
+      d.filter(isEval).select("doc_id")
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("max_overlap", coalesce(col("max_overlap"), lit(0L)))
+        .withColumn("severity", expr("""
+          CASE WHEN max_overlap >= 10 THEN 'critical'
+               WHEN max_overlap >= 3 THEN 'high'
+               WHEN max_overlap >= 1 THEN 'low'
+               ELSE 'clean' END"""))
+    }),
+
     "p03_incremental_ingest" -> ((s, dir) => {
       // the CONTINUOUS-ingestion pipeline — p01 curates a frozen corpus,
       // p02 builds its index; p03 is what runs every day after: an
@@ -1360,6 +1395,33 @@ object TextQueries {
       SELECT q_doc, CAST(q_chunk AS INT) AS q_chunk, CAST(rank AS INT) AS rank,
              doc_id, CAST(chunk_id AS INT) AS chunk_id, score
       FROM r WHERE rank <= 5""",
+
+    "t26_contamination_severity" -> """
+      WITH d AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      tsh AS (
+        SELECT DISTINCT doc_id AS train_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        FROM d WHERE doc_id % 97 <> 0 AND LEN(tk) >= 3),
+      esh AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        FROM d WHERE doc_id % 97 = 0 AND LEN(tk) >= 3),
+      ov AS (
+        SELECT doc_id, MAX(hits) AS max_overlap FROM (
+          SELECT esh.doc_id, tsh.train_id, COUNT(*) AS hits
+          FROM esh JOIN tsh USING (sh)
+          GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT e.doc_id,
+             CAST(COALESCE(ov.max_overlap, 0) AS BIGINT) AS max_overlap,
+             CASE WHEN COALESCE(ov.max_overlap, 0) >= 10 THEN 'critical'
+                  WHEN COALESCE(ov.max_overlap, 0) >= 3 THEN 'high'
+                  WHEN COALESCE(ov.max_overlap, 0) >= 1 THEN 'low'
+                  ELSE 'clean' END AS severity
+      FROM (SELECT doc_id FROM d WHERE doc_id % 97 = 0) e
+      LEFT JOIN ov ON ov.doc_id = e.doc_id""",
 
     "p03_incremental_ingest" -> """
       WITH d AS (

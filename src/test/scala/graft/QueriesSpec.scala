@@ -1560,6 +1560,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(inversions === 0L, "full-dim rerank must preserve exact relative order")
   }
 
+  test("q106 zone-map pruning is SOUND (never prunes a matching row) and " +
+      "clustering never scans more than arrival order") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q106_zonemap_pruning")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.size === 8, "2 layouts x 4 predicates")
+    rows.foreach { case ((layout, pid), (nb, np, scanned, matched, milli)) =>
+      // soundness: every matching row lives in a surviving bucket
+      assert(scanned >= matched, s"$layout/$pid pruned a matching row")
+      assert(np <= nb && milli >= 0 && milli <= 1000)
+    }
+    (1 to 4).foreach { pid =>
+      val (_, _, aScan, aMatch, _) = rows(("arrival", pid))
+      val (_, _, cScan, cMatch, _) = rows(("date_clustered", pid))
+      assert(aMatch === cMatch, "matched-row truth is layout-independent")
+      assert(cScan <= aScan, s"pred $pid: clustering must not scan MORE")
+    }
+    // the full-range predicate (pid 4) prunes nothing in either layout
+    assert(rows(("arrival", 4))._2 === 0L && rows(("date_clustered", 4))._2 === 0L)
+    // and the narrow predicate (pid 1) shows the clustering payoff on this
+    // fixture: the clustered layout scans strictly less than arrival
+    assert(rows(("date_clustered", 1))._3 < rows(("arrival", 1))._3,
+      "date clustering should prune the narrow-range scan on this fixture")
+  }
+
+  test("t26 contamination severity: one row per eval doc, levels consistent " +
+      "with max_overlap, and the 'high' cut matches d10's threshold") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t26_contamination_severity")(spark, sf)
+    val nEval = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 97 === 0).count()
+    assert(out.count() === nEval)
+    val bad = out.filter(!(
+      (col("max_overlap") >= 10 && col("severity") === "critical") ||
+      (col("max_overlap") >= 3 && col("max_overlap") < 10 && col("severity") === "high") ||
+      (col("max_overlap") >= 1 && col("max_overlap") < 3 && col("severity") === "low") ||
+      (col("max_overlap") === 0 && col("severity") === "clean"))).count()
+    assert(bad === 0L)
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
