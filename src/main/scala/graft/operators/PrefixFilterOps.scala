@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
   *   - candidate generation shuffles prefix postings (a τ-fraction of the
   *     full posting list) keyed by element — the Σ df_prefix² work is the
   *     algorithm's known cost, minimized by the rarest-first order;
-  *   - verification is an equi-join of the candidate list against the two
-  *     posting lists (candidates × avg-set-size rows), partial-aggregated
-  *     before the count lands;
+  *   - verification co-locates each candidate pair's two hash sets (two
+  *     id-keyed joins, one fixed-size set per row — the canonical PPJoin
+  *     verify) and counts the true intersection in one codegen'd
+  *     array_intersect per pair;
   *   - skew: a degenerate heavy hitter inflates one prefix bucket only if
   *     it appears in a prefix at all — rarest-first ordering makes that
   *     the LAST element to enter any prefix.
