@@ -282,14 +282,25 @@ object Bench {
       Seq("plain" -> rate(contracted = false), "contracted" -> rate(contracted = true))
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // full-precision, full-name details for humans and local diffing
+    // a failed query (-1 sentinel) is excluded from the totals, so it must
+    // be SURFACED, not silently dropped — otherwise a breakage reads as a
+    // speedup on the machine-parseable line (the old per-query map showed
+    // -1 inline; the fixed-size line needs an explicit failure field)
+    val failedIds = (results ++ heavy).collect { case (k, v) if v < 0 => shortId(k) }.distinct
+    // full-precision, full-name details for humans and local diffing.
+    // Focused (SPARK_GRAFT_ONLY) runs write a SEPARATE file: the committed
+    // bench_details.json must only ever hold full-inventory runs — a
+    // focused stub overwriting it would corrupt round-over-round compares
+    val detailsFile =
+      if (only.isEmpty) "bench_details.json" else "bench_details_focused.json"
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
+         |"failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":${results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"heavy_10x":${heavy.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"lineage_plans_per_sec":${lineage.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}
          |""".stripMargin
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_details.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailsFile),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // ENCODING REDESIGN (r10, the r9 verdict's high item): the per-query
     // full-inventory map on stdout is a failed design — the driver keeps
@@ -321,9 +332,12 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":${jsonMap(headline)}""" +
         s""","sf":"$sfDir","n_queries":${results.size}""" +
+        // failures are excluded from `value`, so they must be visible
+        // here; normally [] — a populated list IS the red flag
+        s""","failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","heavy_10x_total":${fmt(heavyTotal)}""" +
         s""","lineage_plans_per_sec":${jsonMap(lineage)}""" +
-        s""","details":"bench_details.json"}"""
+        s""","details":"$detailsFile"}"""
     require(line.length <= 1500,
       s"bench line grew to ${line.length} chars — the headline panel is " +
         "fixed-size, so this means a structural change; keep it short")

@@ -1610,7 +1610,12 @@ object CoreQueries {
       // this is ~4e16 — two orders of magnitude of headroom; past that,
       // widen to DECIMAL(38,0) (the d20 bit-field discipline: guard the
       // packing, don't let it silently wrap).
-      require(total > 0 && total <= Long.MaxValue / m,
+      // two distinct failure modes, two distinct diagnoses: an empty (or
+      // all-zero) orders table is an input problem, not an overflow
+      require(total > 0,
+        s"cumulative-weight total is $total: orders is empty or all-zero " +
+          "— nothing to sample")
+      require(total <= Long.MaxValue / m,
         s"cumulative-weight overflow: total=$total * m=$m exceeds Long")
       GlobalOrderOps.withGlobalOrder(o, Seq(col("o_orderkey")),
           rankCol = "rk", runningSums = Seq("cents" -> "cum"))
@@ -1893,7 +1898,7 @@ object CoreQueries {
       // sketch; at 100 TB the 320 longs stand alone). d is odd so the
       // median is a stored value — exact integer, no midpoint average.
       val w = 64
-      val dRows = 5
+      val dRows = CsRows
       // spread: the sf fixture's lineitem is one row group -> one scan
       // split; 10 md5s/row over 600k rows would otherwise run on a
       // single core (the QueryDsl.spread rationale — a no-op when the
@@ -1915,7 +1920,11 @@ object CoreQueries {
         .join(broadcast(cells), Seq("i", "b"))
         .withColumn("sest", col("g") * col("cell"))
         .groupBy("k", "exact_cnt")
-        .agg(expr("element_at(array_sort(collect_list(sest)), 3)").as("cs_est"))
+        // median = the stored middle of dRows sorted estimates; the index
+        // derives from CsRows so the Spark side and the oracle cannot
+        // drift if the row count is ever tuned (r10 review)
+        .agg(expr(s"element_at(array_sort(collect_list(sest)), ${(CsRows + 1) / 2})")
+          .as("cs_est"))
         .orderBy(desc("exact_cnt"), asc("k")).limit(20)
         .select(col("k").as("part_key"), col("exact_cnt"), col("cs_est"),
           (col("cs_est") - col("exact_cnt")).as("err"))
@@ -1979,6 +1988,13 @@ object CoreQueries {
           expr("(1000 * rows_scanned) DIV total_rows").as("scan_milli"))
     })
   )
+
+  /** q105's Count-Sketch row count — shared by the Spark query and its
+    * interpolated oracle so the median index (the stored middle value,
+    * (CsRows+1)/2) can never drift between the two engines. Must stay
+    * ODD: an even count would need a midpoint average, which is no
+    * longer a stored integer. */
+  private val CsRows: Int = 5
 
   /** q85's estimator numerator α_64·m²·2^51·(one double) — computed ONCE
     * here and interpolated into the oracle SQL as the same literal, so
@@ -3170,9 +3186,9 @@ $steps
       ORDER BY n_sessions DESC, prefix ASC
       LIMIT 20""",
 
-    "q105_count_sketch" -> """
+    "q105_count_sketch" -> s"""
       WITH li AS (SELECT l_partkey AS k FROM lineitem),
-      hs AS (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS i),
+      hs AS (SELECT UNNEST(GENERATE_SERIES(0, ${CsRows - 1})) AS i),
       occ AS (
         SELECT i,
                CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
@@ -3186,7 +3202,7 @@ $steps
                1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('g', hs.i, ':', CAST(e.k AS VARCHAR))), 1, 8)) AS BIGINT) % 2) AS g
         FROM exact e CROSS JOIN hs),
       est AS (
-        SELECT p.k, p.exact_cnt, LIST_SORT(LIST(p.g * c.cell))[3] AS cs_est
+        SELECT p.k, p.exact_cnt, LIST_SORT(LIST(p.g * c.cell))[${(CsRows + 1) / 2}] AS cs_est
         FROM probes p JOIN cells c ON c.i = p.i AND c.b = p.b
         GROUP BY 1, 2)
       SELECT k AS part_key, CAST(exact_cnt AS BIGINT) AS exact_cnt,

@@ -18,6 +18,16 @@ object TextQueries {
   /** Whitespace tokens with empties dropped (parity with oracle list_filter). */
   private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
+  /** Distinct 3-token shingles of a `tk` token-array column — THE
+    * decontamination unit shared by p01 (eval holdout), t26 (severity
+    * audit) and p03 (ingest filter): the three queries' cross-claims
+    * ("would have tripped d10", "d10's rule restated") hold only while
+    * they shingle identically, so the expression lives once. Callers
+    * must guard size(tk) >= 3 (sequence(1, 0) runs DESCENDING — the t21
+    * slice rule). */
+  private def sh3OfTk = expr("array_distinct(transform(sequence(1, size(tk) - 2), " +
+    "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))")
+
   private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   val defs: Map[String, Q] = Map(
@@ -541,8 +551,7 @@ object TextQueries {
         .withColumn("tk", toks(col("text")))
         .withColumn("n_tokens", size(col("tk")))
       val isEval = col("doc_id") % 97 === 0
-      val sh3 = expr("array_distinct(transform(sequence(1, size(tk) - 2), " +
-        "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))")
+      val sh3 = sh3OfTk
       // stage 1 — rule gate, map-side (the t13 shape); eval docs are
       // benchmark data, never corpus
       val q = d.filter(!isEval)
@@ -739,8 +748,7 @@ object TextQueries {
       val d = tbl(s, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
       val isEval = col("doc_id") % 97 === 0
-      val sh3 = expr("array_distinct(transform(sequence(1, size(tk) - 2), " +
-        "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))")
+      val sh3 = sh3OfTk
       val trainSh = d.filter(!isEval).filter(size(col("tk")) >= 3)
         .select(col("doc_id").as("train_id"), explode(sh3).as("sh"))
       val overlap = d.filter(isEval).filter(size(col("tk")) >= 3)
@@ -784,8 +792,7 @@ object TextQueries {
         .withColumn("k", md5(lower(col("text"))))
       val base = d.filter(col("bucket") < 80)
       val arrivals = d.filter(col("bucket") >= 80)
-      val sh3 = expr("array_distinct(transform(sequence(1, size(tk) - 2), " +
-        "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))")
+      val sh3 = sh3OfTk
       val baseSh = base.filter(size(col("tk")) >= 3)
         .select(col("doc_id").as("base_id"), explode(sh3).as("sh"))
       val nearIds = arrivals.filter(size(col("tk")) >= 3)

@@ -143,7 +143,9 @@ class GlobalOrderSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException] {
         SparkEntry.queries("q95_pps_sample")(spark, tmp.toString).collect()
       }
-      assert(e.getMessage.contains("cumulative-weight"))
+      // the message must diagnose EMPTINESS, not claim a Long overflow
+      // that never happened (r10 review)
+      assert(e.getMessage.contains("empty or all-zero"))
     } finally {
       import java.nio.file.Files
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())

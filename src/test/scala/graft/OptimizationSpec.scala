@@ -401,7 +401,8 @@ class OptimizationSpec extends AnyFunSuite {
     //  - s16_matryoshka_rerank: s01's bounded-broadcast pattern twice —
     //    both the coarse pass and the rerank broadcast the vec_id < 10
     //    query set; the corpus side stays map-side in phase 1 and is
-    //    20 rows/query (bounded top-k output) in phase 2.
+    //    50 rows/query (the coarse top-50 bounded top-k output) in
+    //    phase 2.
     val exempt = Set("q22_cross_join", "s01_knn_brute", "s09_knn_mmr", "s12_knn_sq8",
       "q81_kmv_set_ops", "p02_retrieval_index", "s16_matryoshka_rerank")
     def nestedLoops(p: SparkPlan): Seq[SparkPlan] = p.collect {

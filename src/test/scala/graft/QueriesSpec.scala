@@ -1601,6 +1601,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("d25 telemetry: slices partition the corpus, rates are consistent " +
+      "milli-fractions, and dup counts never exceed slice sizes") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d25_dup_telemetry")(spark, sf)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val agg = out.agg(sum("n_docs"), sum("n_exact_dup"), sum("n_near_dup")).head
+    assert(agg.getLong(0) === nDocs, "slices must partition the corpus exactly")
+    val bad = out.filter(
+      col("n_exact_dup") > col("n_docs") || col("n_near_dup") > col("n_docs") ||
+        col("exact_milli") =!= expr("(1000 * n_exact_dup) DIV n_docs") ||
+        col("near_milli") =!= expr("(1000 * n_near_dup) DIV n_docs")).count()
+    assert(bad === 0L)
+    // cross-check the corpus-wide exact-dup total against d02's digest
+    // groupBy (the rule d25 restates per slice)
+    val dupDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(md5(lower(col("text")))).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(coalesce(sum("c"), lit(0L))).head.getLong(0)
+    assert(agg.getLong(1) === dupDocs,
+      "sum of per-slice exact dups must equal the corpus-wide digest rule")
+  }
+
   test("lineage analysis succeeds on every query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (nodes, edges) = SQLFlow.datasetGraph(fn(spark, sf))
