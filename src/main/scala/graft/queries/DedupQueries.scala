@@ -910,6 +910,55 @@ object DedupQueries {
           sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"))
         .withColumn("exact_milli", expr("(1000 * n_exact_dup) DIV n_docs"))
         .withColumn("near_milli", expr("(1000 * n_near_dup) DIV n_docs"))
+    }),
+
+    "d26_minhash_estimator_audit" -> ((s, dir) => {
+      // MinHash ESTIMATOR metrology — the audit that justifies d03's
+      // band design before anyone trusts it: for every doc pair sharing
+      // at least one 3-shingle, compare the 32-permutation signature
+      // estimate (matching positions / 32 — unbiased: P(min_p(A) =
+      // min_p(B)) = J exactly) against the true Jaccard, aggregated
+      // into a per-decile calibration table (n_pairs, mean exact vs
+      // mean estimate, all floor-milli integers). Permutations are
+      // md5-derived over the shingle STRINGS (its own domain — the
+      // audit measures the estimator, not d03's xxhash64 plumbing), so
+      // the whole pipeline replays bit-for-bit in the oracle. Scale
+      // note: the shared-shingle pair space is quadratic in cluster
+      // size BY DESIGN (like s10's exact baseline, this is the
+      // measurement, not the production path — production audits run
+      // this on a sampled corpus slice); signatures cost one map-side
+      // 32-hash fan-out per posting row and one (doc, perm)-keyed min.
+      val P = 32
+      val tk = filter(split(col("text"), " "), t => t =!= "")
+      val sh = tbl(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk")).filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(tk) - 2), " +
+            "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))"))
+          .as("sh"))
+        .localCheckpoint() // consumed 3x: sizes, pairs (both sides), signatures
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = sh.toDF("doc_a", "sh").join(sh.toDF("doc_b", "sh"), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+        .join(broadcast(sizes.toDF("doc_a", "sza")), "doc_a")
+        .join(broadcast(sizes.toDF("doc_b", "szb")), "doc_b")
+        .withColumn("jaccard_milli", expr("(1000 * ni) DIV (sza + szb - ni)"))
+        .select("doc_a", "doc_b", "jaccard_milli")
+      val sig = sh.select(col("doc_id"), posexplode(array((0 until P).map(p =>
+          expr(s"CAST(CONV(SUBSTRING(MD5(CONCAT('$p:', sh)), 1, 14), 16, 10) AS BIGINT)")): _*)))
+        .toDF("doc_id", "p", "hp")
+        .groupBy("doc_id", "p").agg(min("hp").as("mh"))
+      pairs
+        .join(sig.toDF("doc_a", "p", "mha"), "doc_a")
+        .join(sig.toDF("doc_b", "p", "mhb"), Seq("doc_b", "p"))
+        .groupBy("doc_a", "doc_b", "jaccard_milli")
+        .agg(sum(when(col("mha") === col("mhb"), 1L).otherwise(0L)).as("nm"))
+        .withColumn("est_milli", expr(s"(1000 * nm) DIV $P"))
+        .groupBy(expr("CAST(jaccard_milli DIV 100 AS INT)").as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("SUM(jaccard_milli) DIV COUNT(1)").as("mean_exact_milli"),
+          expr("SUM(est_milli) DIV COUNT(1)").as("mean_est_milli"))
     })
   )
 
@@ -1516,6 +1565,42 @@ $steps
              CAST((1000 * SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS exact_milli,
              CAST((1000 * SUM(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS near_milli
       FROM d LEFT JOIN near ON d.doc_id = near.doc_id
-      GROUP BY source, lang"""
+      GROUP BY source, lang""",
+
+    "d26_minhash_estimator_audit" -> """
+      WITH d AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      shl AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        FROM d WHERE LEN(tk) >= 3),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shl GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+        FROM shl a JOIN shl b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pj AS (
+        SELECT doc_a, doc_b,
+               (1000 * ni) // (sa.sz + sb.sz - ni) AS jaccard_milli
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b),
+      perms AS (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS p),
+      sig AS MATERIALIZED (
+        SELECT doc_id, p,
+               MIN(CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(p, ':', sh)), 1, 14)) AS BIGINT)) AS mh
+        FROM shl CROSS JOIN perms GROUP BY 1, 2),
+      est AS (
+        SELECT pj.doc_a, pj.doc_b, pj.jaccard_milli,
+               (1000 * SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)) // 32 AS est_milli
+        FROM pj
+        JOIN sig sa ON sa.doc_id = pj.doc_a
+        JOIN sig sb ON sb.doc_id = pj.doc_b AND sb.p = sa.p
+        GROUP BY 1, 2, 3)
+      SELECT CAST(jaccard_milli // 100 AS INT) AS decile,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(jaccard_milli) // COUNT(*) AS BIGINT) AS mean_exact_milli,
+             CAST(SUM(est_milli) // COUNT(*) AS BIGINT) AS mean_est_milli
+      FROM est GROUP BY 1"""
   )
 }

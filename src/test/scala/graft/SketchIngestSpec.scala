@@ -81,6 +81,44 @@ class SketchIngestSpec extends AnyFunSuite {
       "cell-wise sum of two disjoint half-corpus sketches must equal the full sketch")
   }
 
+  test("d26: the minhash estimate is unbiased within the fixture's statistical " +
+      "envelope, and identical shingle sets estimate exactly 1000") {
+    val rows = SparkEntry.queries("d26_minhash_estimator_audit")(spark, sf)
+      .select("decile", "n_pairs", "mean_exact_milli", "mean_est_milli").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, n, ex, est) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= 0 && est <= 1000 && ex >= 0 && ex <= 1000)
+      assert(d >= 0 && d <= 10)
+      // unbiasedness: P(position match) = J exactly, so per-decile means
+      // track within the sampling envelope (sigma/pair <= 88 milli at 32
+      // perms; the 100-milli bound is ~3 sigma for the >= 20-pair cells)
+      if (n >= 20) assert(math.abs(est - ex) <= 100,
+        s"decile $d: mean est $est vs exact $ex over $n pairs")
+    }
+    // identical shingle sets -> identical signatures -> estimate 1000,
+    // deterministically (a crafted twin pair placed in its own corpus)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d26-spec")
+    try {
+      import spark.implicits._
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "one two three four five six"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("crafted"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+      val out = SparkEntry.queries("d26_minhash_estimator_audit")(spark, tmp.toString)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      // the twin pair is the only shared-shingle pair: decile 10, est 1000
+      assert(out === Map(10 -> ((1L, 1000L))), out.toString)
+    } finally {
+      import java.nio.file.Files
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
   /** p03's arrival fold is md5(doc_id)-bucketed (t07's split): solve for
     * ids on each side of the fold so the crafted corpus can place docs
     * deliberately. */
