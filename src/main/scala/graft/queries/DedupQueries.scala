@@ -930,7 +930,10 @@ object DedupQueries {
       // 32-hash fan-out per posting row and one (doc, perm)-keyed min.
       val P = 32
       val tk = filter(split(col("text"), " "), t => t =!= "")
-      val sh = tbl(s, dir, "documents")
+      // spread: the single-row-group fixture scan would otherwise run the
+      // 32-hash signature fan-out on one core (QueryDsl.spread — a no-op
+      // once scans yield >= parallelism splits)
+      val sh = spread(tbl(s, dir, "documents"))
         .select(col("doc_id"), tk.as("tk")).filter(size(col("tk")) >= 3)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(1, size(tk) - 2), " +
@@ -945,15 +948,24 @@ object DedupQueries {
         .join(broadcast(sizes.toDF("doc_b", "szb")), "doc_b")
         .withColumn("jaccard_milli", expr("(1000 * ni) DIV (sza + szb - ni)"))
         .select("doc_a", "doc_b", "jaccard_milli")
+      // signatures in the standard MinHash layout — ONE fixed 32-long
+      // array per doc (the d03 signature-table shape), so the estimate
+      // is a map-side zip_with per pair instead of a 32x-fanned
+      // (doc, perm)-keyed join (measured 3x+ on the sf0.1 tier, where
+      // the near-dup clusters make the pair space large). The fixed
+      // 256 B array on the two id-keyed joins is the d22-verify payload
+      // class: one bounded sketch per row, never a corpus-sized artifact.
       val sig = sh.select(col("doc_id"), posexplode(array((0 until P).map(p =>
           expr(s"CAST(CONV(SUBSTRING(MD5(CONCAT('$p:', sh)), 1, 14), 16, 10) AS BIGINT)")): _*)))
         .toDF("doc_id", "p", "hp")
         .groupBy("doc_id", "p").agg(min("hp").as("mh"))
+        .groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(p, mh))), x -> x.mh)").as("sig"))
       pairs
-        .join(sig.toDF("doc_a", "p", "mha"), "doc_a")
-        .join(sig.toDF("doc_b", "p", "mhb"), Seq("doc_b", "p"))
-        .groupBy("doc_a", "doc_b", "jaccard_milli")
-        .agg(sum(when(col("mha") === col("mhb"), 1L).otherwise(0L)).as("nm"))
+        .join(sig.toDF("doc_a", "siga"), "doc_a")
+        .join(sig.toDF("doc_b", "sigb"), "doc_b")
+        .withColumn("nm",
+          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b))"))
         .withColumn("est_milli", expr(s"(1000 * nm) DIV $P"))
         .groupBy(expr("CAST(jaccard_milli DIV 100 AS INT)").as("decile"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -343,7 +343,11 @@ class OptimizationSpec extends AnyFunSuite {
         "s11_knn_graph_ivf" -> Set("embedding", "q_emb"),
         "s10_knn_graph" -> Set("embedding_a", "embedding_b"),
         "d18_weighted_overlap" -> Set("tfv_a", "tfv_b"),
-        "d22_prefix_filter_join" -> Set("hs", "hs_a", "hs_b", "sh"))
+        "d22_prefix_filter_join" -> Set("hs", "hs_a", "hs_b", "sh"),
+        //  - d26_minhash_estimator_audit: fixed 32-long signature arrays
+        //    on the pair-verify joins — one bounded sketch per row (the
+        //    d22 class), the standard MinHash signature-table layout
+        "d26_minhash_estimator_audit" -> Set("sig", "siga", "sigb"))
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1 == "z01_lineage_extraction") // driver-side analysis, no cluster plan
       .flatMap { case (name, fn) =>
