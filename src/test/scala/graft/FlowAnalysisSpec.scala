@@ -202,6 +202,35 @@ class FlowAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("impactedBy: a diamond of views (one source, two branches, one merge) " +
+      "reports each downstream node once and terminates") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("dia_src")
+    spark.sql("SELECT n_nationkey, n_regionkey FROM dia_src WHERE n_regionkey < 3")
+      .createOrReplaceTempView("dia_left")
+    spark.sql("SELECT n_nationkey, n_name FROM dia_src")
+      .createOrReplaceTempView("dia_right")
+    spark.sql("""SELECT l.n_nationkey, r.n_name FROM dia_left l
+                 JOIN dia_right r ON l.n_nationkey = r.n_nationkey""")
+      .createOrReplaceTempView("dia_merge")
+    try {
+      val hits = SQLFlow.impactedBy(spark, "dia_src")
+      // each impacted node exactly once, despite two paths into dia_merge
+      assert(hits === hits.distinct, s"duplicates in ${hits.mkString(",")}")
+      assert(Set("dia_left", "dia_right", "dia_merge").subsetOf(hits.toSet),
+        hits.mkString(","))
+      // column narrowing through the diamond: n_name flows only down the
+      // right branch but still reaches the merge
+      val byName = SQLFlow.impactedBy(spark, "dia_src", Some("n_name"))
+      assert(byName.contains("dia_right") && byName.contains("dia_merge"),
+        byName.mkString(","))
+      assert(!byName.contains("dia_left"),
+        s"n_name does not feed dia_left: ${byName.mkString(",")}")
+    } finally {
+      Seq("dia_src", "dia_left", "dia_right", "dia_merge")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
+
   test("track() chains DataFrames through catalog lineage like @auto_tracking") {
     import org.apache.spark.sql.graft.implicits._
     // first stage must be non-trivial: bare scans are blacklisted from
