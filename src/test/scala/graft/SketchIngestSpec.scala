@@ -132,18 +132,24 @@ class SketchIngestSpec extends AnyFunSuite {
   test("p03: crafted corpus routes exact-dup / near-dup / fresh arrivals correctly") {
     val baseIds = (0L to 200L).filter(bucket(_) < 80)
     val arrIds = (0L to 200L).filter(bucket(_) >= 80)
-    assert(baseIds.size >= 2 && arrIds.size >= 4)
+    assert(baseIds.size >= 3 && arrIds.size >= 6)
     val baseText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val freshTokens = (1 to 200).map(i => s"w$i").mkString(" ")
     val docs = Seq(
       // base
       (baseIds(0), baseText),
       (baseIds(1), "one two three four five six seven"),
+      (baseIds(2), "tiny pair"), // a SHORT base doc (< 3 tokens, no shingles)
       // arrivals
       (arrIds(0), baseText.toUpperCase), // exact dup modulo case-normalization
       (arrIds(1), "alpha beta gamma delta epsilon different tail here"), // >= 3 shared shingles
       (arrIds(2), freshTokens), // fresh, 200 tokens -> 4 chunks
-      (arrIds(3), freshTokens)  // intra-batch twin of arrIds(2): dedup is vs BASE only
+      (arrIds(3), freshTokens), // intra-batch twin of arrIds(2): dedup is vs BASE only
+      // short docs (< 3 tokens) bypass the shingle stage entirely but the
+      // digest stage still sees them: the twin is exact_dup, the other
+      // ingests with one chunk
+      (arrIds(4), "TINY pair"),
+      (arrIds(5), "novel short")
     )
     val tmp = java.nio.file.Files.createTempDirectory("graft-p03-spec")
     try {
@@ -154,7 +160,7 @@ class SketchIngestSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
       val out = SparkEntry.queries("p03_incremental_ingest")(spark, tmp.toString)
         .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
-      assert(out.keySet === arrIds.take(4).toSet, "one ledger row per arrival, none for base")
+      assert(out.keySet === arrIds.take(6).toSet, "one ledger row per arrival, none for base")
       assert(out(arrIds(0))._1 === "exact_dup")
       assert(out(arrIds(1))._1 === "near_dup")
       assert(out(arrIds(2))._1 === "ingested")
@@ -168,6 +174,10 @@ class SketchIngestSpec extends AnyFunSuite {
       // rejected docs touch the index zero times
       assert(out(arrIds(0))._2 === 0L && out(arrIds(0))._3 === 0L)
       assert(out(arrIds(1))._2 === 0L && out(arrIds(1))._3 === 0L)
+      // short docs: the digest stage still catches the case-folded twin of
+      // the < 3-token base doc; the novel short doc ingests as one chunk
+      assert(out(arrIds(4))._1 === "exact_dup")
+      assert(out(arrIds(5)) === (("ingested", 1L, 1L)))
     } finally {
       import java.nio.file.Files
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
