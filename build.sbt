@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of a `sbt "runMain graft.Bench"` run as
+// the machine-readable bench JSON (BENCH_r*.json `parsed`). Two sbt
+// behaviors have kept that line from ever being last: the default
+// LoggedOutput strategy prefixes every forked stdout line with "[info] ",
+// and sbt prints a "[success] Total time ..." trailer after the task.
+// Pass forked output through verbatim and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

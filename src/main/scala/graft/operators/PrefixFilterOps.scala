@@ -60,7 +60,11 @@ object PrefixFilterOps {
   /** All unordered pairs (id_a < id_b) of `sets` with Jaccard ≥ tauNum /
     * tauDen, computed exactly via prefix filtering. `sets` must have an
     * integral id column `idCol` and a column `setCol` of ARRAY<LONG>
-    * DISTINCT element hashes. Returns (id_a, id_b, jaccard_milli) where
+    * element hashes; the SET semantics are self-enforced — elements pass
+    * through one map-side `array_distinct` at entry, so a duplicate-
+    * bearing input cannot skew |a∩b| vs the size terms (the precondition
+    * used to be documentation-only — r10 advice). Returns
+    * (id_a, id_b, jaccard_milli) where
     * jaccard_milli = (1000·|a∩b|) DIV |a∪b| — integer floor-milli, so the
     * τ cut (milli ≥ 1000·tauNum DIV tauDen) is exact for any rational τ
     * whose 1000·num/den is integral (e.g. 3/5 → 600). */
@@ -71,8 +75,12 @@ object PrefixFilterOps {
       s"tau=$tauNum/$tauDen has no exact milli threshold — the output cut " +
         "would disagree with the candidate rule at boundary pairs")
     val milliTau = 1000L * tauNum / tauDen
-    val posting = sets.select(col(idCol).as("id"),
-      size(col(setCol)).as("sz"), explode(col(setCol)).as("h"))
+    // enforce SET semantics once at entry: every downstream size/
+    // intersection count assumes distinct elements
+    val distinctSets = sets.select(col(idCol).as("id"),
+      array_distinct(col(setCol)).as("hs_set"))
+    val posting = distinctSets.select(col("id"),
+      size(col("hs_set")).as("sz"), explode(col("hs_set")).as("h"))
     // materialize the prefix posting list ONCE (the shared-subtree
     // localCheckpoint pattern): both sides of the candidate self-join
     // consume it, and without the checkpoint Catalyst rebuilds the
@@ -99,7 +107,7 @@ object PrefixFilterOps {
     // once per candidate pair it survived INTO — prefix filtering has
     // already cut that to the theorem-admitted pairs, and the per-row
     // payload is one document's fixed set, never a corpus-sized artifact.
-    val setsById = sets.select(col(idCol).as("id"), col(setCol).as("hs"))
+    val setsById = distinctSets.select(col("id"), col("hs_set").as("hs"))
     cand
       .join(setsById.withColumnsRenamed(Map("id" -> "id_a", "hs" -> "hs_a")), "id_a")
       .join(setsById.withColumnsRenamed(Map("id" -> "id_b", "hs" -> "hs_b")), "id_b")

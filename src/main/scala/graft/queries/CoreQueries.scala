@@ -1222,12 +1222,19 @@ object CoreQueries {
       // per-row bucket = 56-bit md5(row|key) mod w (independent hash per
       // row via the row-index prefix). Estimate = MIN over the 4 counters
       // — always ≥ the true count (every occurrence lands in all 4 cells),
-      // within +εN (ε = e/w) with prob 1−e^-d. The probe side joins the
-      // 256-row sketch BROADCAST, and the final heavy-hitter cut is a
-      // TakeOrdered top-20 (O(k) state, no full sort). Exact counts ride
-      // along as the error envelope — at 100 TB the sketch stands alone
-      // (256 longs vs a per-key count shuffle) and candidates come from a
-      // bounded tracker (t18's bounded top-k), not a distinct scan.
+      // within +εN (ε = e/w) with prob 1−e^-d.
+      //
+      // PRODUCTION SHAPE (r9 verdict item 6): the probe path has NO
+      // per-key full groupBy. The 256-cell matrix is driver-sized by
+      // construction, so it is collected once and inlined as plan
+      // LITERALS (the q88 stats pattern); each occurrence then scores
+      // itself map-side (4 array lookups + least), and the heavy-hitter
+      // candidates come from ONE bounded top-k aggregate (t18's O(k)
+      // tracker state, negated-field trick for desc order) — never a
+      // distinct scan. Exact counts are computed ONLY for the 20
+      // surviving candidates (semi-join cut, then a 20-key aggregate) as
+      // the error envelope; at 100 TB the sketch + tracker stand alone.
+      import org.apache.spark.sql.graft.functions.top_k_struct_distinct
       val d = 4
       val w = 64
       def bucket(r: Column, key: Column): Column =
@@ -1238,15 +1245,27 @@ object CoreQueries {
         .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("r"))
         .withColumn("b", bucket(col("r"), col("user_id")))
         .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
-      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-      exact
-        .select(col("user_id"), col("n_exact"),
-          explode(sequence(lit(0), lit(d - 1))).as("r"))
-        .withColumn("b", bucket(col("r"), col("user_id")))
-        .join(broadcast(sketch), Seq("r", "b"))
-        .groupBy("user_id", "n_exact").agg(min("cnt").as("est_n"))
+      // d·w = 256 longs — bounded by construction, the one artifact a
+      // 100 TB run ships to the driver
+      val cells = sketch.collect()
+        .map(r0 => (r0.getInt(0), r0.getLong(1)) -> r0.getLong(2)).toMap
+      def rowArr(r: Int): Column =
+        array((0 until w).map(b => lit(cells.getOrElse((r, b.toLong), 0L))): _*)
+      val est = (0 until d).map { r =>
+        element_at(rowArr(r), (bucket(lit(r), col("user_id")) + 1).cast("int"))
+      }.reduce(least(_, _))
+      val cand = ev.select(col("user_id"), est.as("est_n"))
+        .agg(top_k_struct_distinct(
+          struct((-col("est_n")).as("neg"), col("user_id")), 20).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.user_id").as("user_id"), (-col("t.neg")).as("est_n"))
+      val exact = ev
+        .join(broadcast(cand.select("user_id")), Seq("user_id"), "left_semi")
+        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      cand.join(broadcast(exact), Seq("user_id"))
         .withColumn("over_n", col("est_n") - col("n_exact"))
-        .orderBy(desc("est_n"), asc("user_id")).limit(20)
+        .orderBy(desc("est_n"), asc("user_id"))
+        .select("user_id", "n_exact", "est_n", "over_n")
     }),
 
     "q87_hist_quantiles" -> ((s, dir) => {
@@ -1897,19 +1916,17 @@ object CoreQueries {
       // estimate and SIGNED error (the exact counts exist to MEASURE the
       // sketch; at 100 TB the 320 longs stand alone). d is odd so the
       // median is a stored value — exact integer, no midpoint average.
-      val w = 64
-      val dRows = CsRows
+      // hash family + d/w constants live in [[CountSketch]] — the ONE
+      // definition shared with the streaming twin and the spec (r10
+      // advice: the three copies were drift-prone)
+      val dRows = CountSketch.Rows
       // spread: the sf fixture's lineitem is one row group -> one scan
       // split; 10 md5s/row over 600k rows would otherwise run on a
       // single core (the QueryDsl.spread rationale — a no-op when the
       // scan already yields >= parallelism splits)
       val li = spread(tbl(s, dir, "lineitem").select(col("l_partkey").as("k")))
-      def b(i: Int) = expr(
-        s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
-      def g(i: Int) = expr(
-        s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
       val rows = array((0 until dRows).map(i =>
-        struct(b(i).as("b"), g(i).as("g"))): _*)
+        struct(CountSketch.bucket(i).as("b"), CountSketch.sign(i).as("g"))): _*)
       val cells = li.select(posexplode(rows))
         .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
         .groupBy("i", "b").agg(sum("g").as("cell"))
@@ -1921,9 +1938,9 @@ object CoreQueries {
         .withColumn("sest", col("g") * col("cell"))
         .groupBy("k", "exact_cnt")
         // median = the stored middle of dRows sorted estimates; the index
-        // derives from CsRows so the Spark side and the oracle cannot
-        // drift if the row count is ever tuned (r10 review)
-        .agg(expr(s"element_at(array_sort(collect_list(sest)), ${(CsRows + 1) / 2})")
+        // derives from CountSketch.Rows so the Spark side and the oracle
+        // cannot drift if the row count is ever tuned (r10 review)
+        .agg(expr(s"element_at(array_sort(collect_list(sest)), ${CountSketch.MedianIdx})")
           .as("cs_est"))
         .orderBy(desc("exact_cnt"), asc("k")).limit(20)
         .select(col("k").as("part_key"), col("exact_cnt"), col("cs_est"),
@@ -1989,12 +2006,11 @@ object CoreQueries {
     })
   )
 
-  /** q105's Count-Sketch row count — shared by the Spark query and its
-    * interpolated oracle so the median index (the stored middle value,
-    * (CsRows+1)/2) can never drift between the two engines. Must stay
-    * ODD: an even count would need a midpoint average, which is no
-    * longer a stored integer. */
-  private val CsRows: Int = 5
+  /** q105's Count-Sketch row count — an alias of the ONE shared
+    * definition in [[CountSketch]] (also consumed by the streaming twin
+    * and SketchIngestSpec), interpolated into the oracle SQL so the
+    * median index can never drift between the two engines. */
+  private val CsRows: Int = CountSketch.Rows
 
   /** q85's estimator numerator α_64·m²·2^51·(one double) — computed ONCE
     * here and interpolated into the oracle SQL as the same literal, so
@@ -3191,18 +3207,18 @@ $steps
       hs AS (SELECT UNNEST(GENERATE_SERIES(0, ${CsRows - 1})) AS i),
       occ AS (
         SELECT i,
-               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
+               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % ${CountSketch.Width} AS b,
                1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('g', i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 2) AS g
         FROM li CROSS JOIN hs),
       cells AS (SELECT i, b, CAST(SUM(g) AS BIGINT) AS cell FROM occ GROUP BY 1, 2),
       exact AS (SELECT k, COUNT(*) AS exact_cnt FROM li GROUP BY 1),
       probes AS (
         SELECT e.k, e.exact_cnt, hs.i,
-               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(hs.i, ':', CAST(e.k AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
+               CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(hs.i, ':', CAST(e.k AS VARCHAR))), 1, 8)) AS BIGINT) % ${CountSketch.Width} AS b,
                1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('g', hs.i, ':', CAST(e.k AS VARCHAR))), 1, 8)) AS BIGINT) % 2) AS g
         FROM exact e CROSS JOIN hs),
       est AS (
-        SELECT p.k, p.exact_cnt, LIST_SORT(LIST(p.g * c.cell))[${(CsRows + 1) / 2}] AS cs_est
+        SELECT p.k, p.exact_cnt, LIST_SORT(LIST(p.g * c.cell))[${CountSketch.MedianIdx}] AS cs_est
         FROM probes p JOIN cells c ON c.i = p.i AND c.b = p.b
         GROUP BY 1, 2)
       SELECT k AS part_key, CAST(exact_cnt AS BIGINT) AS exact_cnt,

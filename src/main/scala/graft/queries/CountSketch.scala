@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** The ONE definition of the Count-Sketch hash family (Charikar, Chen &
+  * Farach-Colton 2002) shared by every consumer that must stay
+  * cell-for-cell interchangeable: q105's batch build + probe, the
+  * streaming twin [[graft.streaming.StreamingOps.countSketchCellsStream]]
+  * (whose cells must equal the batch sketch of the net multiset), the
+  * SketchIngestSpec median recomputation, and — via interpolation of the
+  * constants — q105's DuckDB oracle. Before this object the b/g
+  * expressions and the d/w defaults were copy-paste-maintained in three
+  * places (r10 advice); a tweak to any one of them silently broke the
+  * build-on-stream/query-in-batch contract.
+  *
+  * Contract: both hash families read a column literally named `k`
+  * (BIGINT-castable). h_i(k) is the first 32 md5 bits of "i:k" mod w;
+  * g_i(k) ∈ {±1} is the parity of the first 32 md5 bits of "gi:k". Both
+  * are md5-derived (the t07 trick) so the whole sketch replays
+  * bit-for-bit in the oracle.
+  */
+object CountSketch {
+
+  /** d — number of hash rows. Must stay ODD: the median estimator reads
+    * the stored middle of d sorted per-row estimates ([[MedianIdx]]); an
+    * even count would need a midpoint average, which is no longer a
+    * stored integer. */
+  val Rows: Int = 5
+
+  /** w — buckets per hash row. d·w longs is the sketch's entire state. */
+  val Width: Int = 64
+
+  /** 1-based index of the stored median among [[Rows]] sorted per-row
+    * estimates — interpolated into both engines so the median can never
+    * drift if [[Rows]] is tuned. */
+  val MedianIdx: Int = (Rows + 1) / 2
+
+  /** h_i(k): the bucket of key column `k` in hash row i. */
+  def bucket(i: Int, w: Int = Width): Column = expr(
+    s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
+
+  /** g_i(k) ∈ {±1}: the sign of key column `k` in hash row i. */
+  def sign(i: Int): Column = expr(
+    s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
+}

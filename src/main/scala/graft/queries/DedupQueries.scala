@@ -46,6 +46,19 @@ object DedupQueries {
   private def sharedDf(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     shared.computeIfAbsent((s, key), _ => build.persist())
 
+  /** Force-build (and persist) the dedup family's core shared
+    * intermediates — shingle sets, MinHash signatures, and the
+    * exact-Jaccard pair table — so a bench pass can time the build ONCE
+    * as its own line and every family entry then measures MARGINAL cost
+    * uniformly. Before this, whichever family member happened to run
+    * first paid the build, and round-over-round heavy compares of the
+    * others were apples-to-oranges (r9 verdict: d08 3.5 s → 0.12 s was
+    * cache placement, not a 29× speedup). */
+  def prewarmShared(s: SparkSession, dir: String): Unit = {
+    sigTable(s, dir).count()          // builds + pins shingles, then sigs
+    exactJaccardPairs(s, dir).count() // builds + pins the pair table
+  }
+
   /** Unpersist and forget every shared intermediate. The next consumer
     * rebuilds (and re-persists) from scratch. */
   def releaseShared(): Unit = {
@@ -1022,15 +1035,26 @@ object DedupQueries {
   // fixture. (A pair at jaccard just above a threshold could in principle
   // be missed on a different corpus — the oracle certifies this fixture,
   // the spec certifies the invariant.)
-  private val exactJaccardOracle = """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+  /** Shared DuckDB-oracle CTE scaffolding: the whitespace token split and
+    * the 3-token shingle SET (CHR(1) sentinel for empty docs, whole-doc
+    * shingle under 3 tokens) — the oracle replay of the Spark side's
+    * TokenShingleHashes preprocessing. ONE definition interpolated by
+    * every d-family oracle (13 copies before r11): the p01/t26/p03
+    * cross-claims depend on all consumers shingling identically, so the
+    * scaffolding must be impossible to drift per-entry. */
+  private val OracleTkCte =
+    "tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents)"
+  private val OracleShingleCtes = s"""$OracleTkCte,
       sh AS (SELECT doc_id,
                     CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
                          WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
                          ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
                                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
                     END AS s
-             FROM tk),
+             FROM tk)"""
+
+  private val exactJaccardOracle = s"""
+      WITH ${OracleShingleCtes},
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                LEN(LIST_INTERSECT(a.s, b.s)) AS ni,
@@ -1045,15 +1069,8 @@ object DedupQueries {
     * incoming doc (max jaccard, ties to the lowest seen id). Shared by
     * d12 (bloom prefilter) and d19 (persisted band index) — two prune
     * strategies, one exact answer. */
-  private val incrementalBestMatchOracle = """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+  private val incrementalBestMatchOracle = s"""
+      WITH ${OracleShingleCtes},
       pairs AS (
         SELECT i.doc_id AS doc_id, s2.doc_id AS dup_of,
                (1000 * LEN(LIST_INTERSECT(i.s, s2.s)))
@@ -1203,15 +1220,8 @@ object DedupQueries {
 
     // shingle construction mirrors the d08 oracle (string domain equals the
     // 64-bit hash domain up to ~2^-64 collisions)
-    "d10_decontaminate" -> """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+    "d10_decontaminate" -> s"""
+      WITH ${OracleShingleCtes},
       ev AS (SELECT doc_id AS eval_id, UNNEST(s) AS e FROM sh WHERE doc_id < 20),
       co AS (SELECT doc_id, UNNEST(s) AS e FROM sh WHERE doc_id >= 20)
       SELECT co.doc_id,
@@ -1249,15 +1259,8 @@ object DedupQueries {
     // distinct; <3-token docs contribute one whole-text shingle; empty docs
     // one sentinel. Jaccard over 64-bit shingle hashes equals Jaccard over
     // the string shingles (collisions are ~2^-64).
-    "d08_jaccard_exact_join" -> """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+    "d08_jaccard_exact_join" -> s"""
+      WITH ${OracleShingleCtes},
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                LEN(LIST_INTERSECT(a.s, b.s)) AS ni,
@@ -1269,16 +1272,9 @@ object DedupQueries {
 
     // the full pipeline oracle: d09's recursive-CTE components, extended to
     // the whole corpus (singletons = own id), then keep-best per component
-    "d11_dedup_pipeline" -> """
+    "d11_dedup_pipeline" -> s"""
       WITH RECURSIVE
-      tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+      ${OracleShingleCtes},
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1338,15 +1334,8 @@ object DedupQueries {
 
 
     // brute-force containment oracle: |A∩B| over the smaller set's size
-    "d14_containment" -> """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk)
+    "d14_containment" -> s"""
+      WITH ${OracleShingleCtes}
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              (1000 * LEN(LIST_INTERSECT(a.s, b.s))) // LEAST(LEN(a.s), LEN(b.s)) AS containment_milli
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1354,16 +1343,9 @@ object DedupQueries {
 
     // cluster-atomic split: d09's recursive components extended to the whole
     // corpus, bucketed by md5 of the component representative
-    "d13_leakage_free_split" -> """
+    "d13_leakage_free_split" -> s"""
       WITH RECURSIVE
-      tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+      ${OracleShingleCtes},
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1391,16 +1373,9 @@ object DedupQueries {
 
     // connected components via recursive reachability: component = MIN doc
     // id reachable from each node over the (symmetrized) near-dup pairs
-    "d09_dup_components" -> """
+    "d09_dup_components" -> s"""
       WITH RECURSIVE
-      tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+      ${OracleShingleCtes},
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1418,16 +1393,9 @@ object DedupQueries {
 
     // d09's reachability oracle + per-component size: the alternating
     // algorithm must land on exactly the same min-id labels
-    "d21_cc_alternating" -> """
+    "d21_cc_alternating" -> s"""
       WITH RECURSIVE
-      tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+      ${OracleShingleCtes},
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1446,15 +1414,8 @@ object DedupQueries {
 
     // brute-force replay: prefix filtering is exact, so the all-pairs
     // Jaccard at tau = 0.6 IS the spec (d08's shingling CTEs, tau 600)
-    "d22_prefix_filter_join" -> """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+    "d22_prefix_filter_join" -> s"""
+      WITH ${OracleShingleCtes},
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                LEN(LIST_INTERSECT(a.s, b.s)) AS ni,
@@ -1479,14 +1440,7 @@ object DedupQueries {
            |        GROUP BY e.v HAVING COUNT(*) >= 2)""".stripMargin
       }.mkString(",\n")
       s"""
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
-      sh AS (SELECT doc_id,
-                    CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
-                         WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
-                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 2),
-                                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-                    END AS s
-             FROM tk),
+      WITH ${OracleShingleCtes},
       pairs AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1503,8 +1457,8 @@ $steps
 
     // d08's exact-pair CTEs (tau 500) full-outer-joined to d04's replayed
     // SimHash pair set — the same two verified detectors, same sentinels
-    "d24_detector_consensus" -> """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+    "d24_detector_consensus" -> s"""
+      WITH ${OracleTkCte},
       shl AS (SELECT doc_id,
                     CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
                          WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]
@@ -1548,8 +1502,8 @@ $steps
       FROM jp FULL OUTER JOIN sp
         ON jp.doc_a = sp.doc_a AND jp.doc_b = sp.doc_b""",
 
-    "d25_dup_telemetry" -> """
-      WITH tk AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+    "d25_dup_telemetry" -> s"""
+      WITH ${OracleTkCte},
       shl AS (SELECT doc_id,
                     CASE WHEN LEN(tk) = 0 THEN [CHR(1)]
                          WHEN LEN(tk) < 3 THEN [ARRAY_TO_STRING(tk, ' ')]

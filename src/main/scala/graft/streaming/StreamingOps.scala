@@ -191,15 +191,16 @@ object StreamingOps {
     * in complete mode forever. `updates` needs (k: BIGINT, delta:
     * BIGINT). Query the output with q105's median-of-rows estimator —
     * build on the stream, estimate in batch. */
-  def countSketchCellsStream(updates: DataFrame, d: Int = 5, w: Int = 64): DataFrame = {
+  def countSketchCellsStream(updates: DataFrame,
+      d: Int = graft.queries.CountSketch.Rows,
+      w: Int = graft.queries.CountSketch.Width): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1 rows and w >= 2 buckets, got d=$d w=$w")
-    def b(i: Int) = expr(
-      s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
-    def g(i: Int) = expr(
-      s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
+    // hash family from the ONE shared definition (r10 advice): the cells
+    // here must stay cell-for-cell identical to q105's batch build
+    import graft.queries.CountSketch
     updates
       .select(col("delta"), posexplode(array((0 until d).map(i =>
-        struct(b(i).as("b"), g(i).as("g"))): _*)))
+        struct(CountSketch.bucket(i, w).as("b"), CountSketch.sign(i).as("g"))): _*)))
       .select(col("pos").as("i"), col("col.b").as("b"),
         (col("delta") * col("col.g")).as("sg"))
       .groupBy("i", "b").agg(sum("sg").as("cell"))

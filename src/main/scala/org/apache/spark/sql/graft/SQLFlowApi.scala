@@ -181,18 +181,25 @@ object SQLFlow {
     * Unlike the cypher sink's dst walk, impact propagates THROUGH views —
     * a view over a view over the table is impacted too. Returns affected
     * node idents, distinct and sorted; same 128-depth guard as every
-    * other traversal (reference SQLFlow.scala:804-822). */
+    * other traversal (reference SQLFlow.scala:804-822). Name and column
+    * match with the session resolver (case-insensitive by default), so
+    * only a genuinely unknown ident returns the empty list. */
   def impactedBy(spark: SparkSession, name: String, column: Option[String] = None,
       contracted: Boolean = false): Seq[String] = {
     val (nodes, edges) = catalogGraph(spark, contracted)
     val nodeById = nodes.map(n => n.uniqueId -> n).toMap
-    val starts = nodes.filter(_.ident == name)
+    // resolve name/column with the session's resolver (case-insensitive
+    // unless spark.sql.caseSensitive): a case-mismatched but valid ident
+    // must not silently read as "no downstream impact" — this API exists
+    // for schema-change safety (r10 advice)
+    val resolver = spark.sessionState.conf.resolver
+    val starts = nodes.filter(n => resolver(n.ident, name))
     // slot = (nodeId, Some(colIdx)) or (nodeId, None) = node-level
     type Slot = (String, Option[Int])
     val startSlots: Seq[Slot] = column match {
       case None => starts.map(n => (n.uniqueId, None))
       case Some(c) => starts.flatMap { n =>
-        val i = n.attributes.indexOf(c)
+        val i = n.attributes.indexWhere(a => resolver(a, c))
         if (i >= 0) Some((n.uniqueId, Some(i))) else None
       }
     }

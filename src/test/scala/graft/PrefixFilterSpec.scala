@@ -104,4 +104,20 @@ class PrefixFilterSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("milli"))
   }
+
+  test("duplicate-bearing element arrays are deduped at entry, not silently skewed") {
+    // bypass setsDf's dedup: feed raw arrays WITH duplicates and assert the
+    // result equals the brute force over the underlying SETS — the entry
+    // array_distinct enforces the documented precondition (r10 advice)
+    val raw = Seq(
+      1L -> Seq(1L, 1L, 2L, 3L, 4L, 4L, 4L),  // set {1,2,3,4}
+      2L -> Seq(2L, 2L, 3L, 4L, 5L),          // set {2,3,4,5}: J = 3/5
+      3L -> Seq(7L, 7L, 7L, 7L, 7L, 7L, 8L),  // set {7,8}
+      4L -> Seq(7L, 8L, 8L))                   // set {7,8}: J = 1
+    val got = PrefixFilterOps.jaccardSelfJoin(
+        raw.toDF("id", "sh"), "id", "sh", 3, 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute(raw, 600))
+    assert(got === Set((1L, 2L, 600L), (3L, 4L, 1000L)))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Invariant specs for q105 (Count-Min sketch) and p03 (incremental
+/** Invariant specs for q105 (Count Sketch) and p03 (incremental
   * ingestion pipeline) beyond their DuckDB oracles: the sketch's
   * one-sided-error + mergeability guarantees, and the pipeline's routing
   * semantics on a crafted corpus with known duplicate structure. */
@@ -32,26 +32,25 @@ class SketchIngestSpec extends AnyFunSuite {
     // cell table and check cs_est IS their median (the stored middle
     // value, d odd)
     import graft.queries.QueryDsl.tbl
-    val w = 64
-    def b(i: Int) = expr(
-      s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
-    def g(i: Int) = expr(
-      s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
+    // the recomputation uses the SAME shared hash-family definition as
+    // q105 and the streaming twin (graft.queries.CountSketch) — the spec
+    // pins the median-extraction arithmetic, not a third hash copy
+    import graft.queries.CountSketch
+    def hashRows = array((0 until CountSketch.Rows).map(i =>
+      struct(CountSketch.bucket(i).as("b"), CountSketch.sign(i).as("g"))): _*)
     val li = tbl(spark, sf, "lineitem").select(col("l_partkey").as("k"))
-    val cells = li.select(posexplode(array((0 until 5).map(i =>
-        struct(b(i).as("b"), g(i).as("g"))): _*)))
+    val cells = li.select(posexplode(hashRows))
       .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
       .groupBy("i", "b").agg(sum("g").as("cell"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val perKey = li.distinct()
-      .select(col("k"), posexplode(array((0 until 5).map(i =>
-        struct(b(i).as("b"), g(i).as("g"))): _*)))
+      .select(col("k"), posexplode(hashRows))
       .select(col("k"), col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
       .collect().groupBy(_.getLong(0))
     rows.foreach { r =>
       val ests = perKey(r.getLong(0)).map(p =>
         p.getLong(3) * cells((p.getInt(1), p.getLong(2)))).sorted
-      assert(ests(2) === r.getLong(2),
+      assert(ests(CountSketch.MedianIdx - 1) === r.getLong(2),
         s"key ${r.getLong(0)}: cs_est ${r.getLong(2)} != median of ${ests.mkString(",")}")
     }
   }
@@ -59,15 +58,11 @@ class SketchIngestSpec extends AnyFunSuite {
   test("q105: the signed cell table is mergeable — two half-corpus sketches " +
       "sum cell-wise to the full sketch") {
     import graft.queries.QueryDsl.tbl
-    val w = 64
-    def b(i: Int) = expr(
-      s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
-    def g(i: Int) = expr(
-      s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
+    import graft.queries.CountSketch
     val li = tbl(spark, sf, "lineitem").select(col("l_partkey").as("k"), col("l_orderkey"))
     def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
-      df.select(posexplode(array((0 until 5).map(i =>
-          struct(b(i).as("b"), g(i).as("g"))): _*)))
+      df.select(posexplode(array((0 until CountSketch.Rows).map(i =>
+          struct(CountSketch.bucket(i).as("b"), CountSketch.sign(i).as("g"))): _*)))
         .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
         .groupBy("i", "b").agg(sum("g").as("cell"))
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
