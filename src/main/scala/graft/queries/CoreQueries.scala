@@ -3208,14 +3208,14 @@ $steps
       occ AS (
         SELECT i,
                CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % ${CountSketch.Width} AS b,
-               1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('g', i, ':', CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 2) AS g
+               1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(i, ':', CAST(k AS VARCHAR))), 9, 8)) AS BIGINT) % 2) AS g
         FROM li CROSS JOIN hs),
       cells AS (SELECT i, b, CAST(SUM(g) AS BIGINT) AS cell FROM occ GROUP BY 1, 2),
       exact AS (SELECT k, COUNT(*) AS exact_cnt FROM li GROUP BY 1),
       probes AS (
         SELECT e.k, e.exact_cnt, hs.i,
                CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(hs.i, ':', CAST(e.k AS VARCHAR))), 1, 8)) AS BIGINT) % ${CountSketch.Width} AS b,
-               1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('g', hs.i, ':', CAST(e.k AS VARCHAR))), 1, 8)) AS BIGINT) % 2) AS g
+               1 - 2 * (CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(hs.i, ':', CAST(e.k AS VARCHAR))), 9, 8)) AS BIGINT) % 2) AS g
         FROM exact e CROSS JOIN hs),
       est AS (
         SELECT p.k, p.exact_cnt, LIST_SORT(LIST(p.g * c.cell))[${CountSketch.MedianIdx}] AS cs_est

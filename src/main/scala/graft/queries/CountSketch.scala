@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions.expr
   * build-on-stream/query-in-batch contract.
   *
   * Contract: both hash families read a column literally named `k`
-  * (BIGINT-castable). h_i(k) is the first 32 md5 bits of "i:k" mod w;
-  * g_i(k) ∈ {±1} is the parity of the first 32 md5 bits of "gi:k". Both
-  * are md5-derived (the t07 trick) so the whole sketch replays
-  * bit-for-bit in the oracle.
+  * (BIGINT-castable) and share ONE md5 of "i:k" per hash row: h_i(k) is
+  * its first 32 bits mod w, g_i(k) ∈ {±1} the parity of its bits 33-64.
+  * Disjoint bit ranges of one digest are the standard way to draw the
+  * (h, g) pair — modeled independent, and it matters for throughput:
+  * b/g appear side by side in every consumer's projection, so
+  * whole-stage codegen's subexpression elimination computes the digest
+  * ONCE per (row, i) — the previous "i:k"/"gi:k" split forced 2·d md5s
+  * per input row, and the md5 pass dominated q105's build side. Still
+  * md5-derived (the t07 trick) so the whole sketch replays bit-for-bit
+  * in the oracle.
   */
 object CountSketch {
 
@@ -40,7 +46,9 @@ object CountSketch {
   def bucket(i: Int, w: Int = Width): Column = expr(
     s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
 
-  /** g_i(k) ∈ {±1}: the sign of key column `k` in hash row i. */
+  /** g_i(k) ∈ {±1}: the sign of key column `k` in hash row i — bits
+    * 33-64 of the SAME digest [[bucket]] reads bits 1-32 of (hex chars
+    * 9-16), so codegen shares the md5. */
   def sign(i: Int): Column = expr(
-    s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('g$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)")
+    s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 9, 8), 16, 10) AS BIGINT) % 2)")
 }
