@@ -1254,11 +1254,16 @@ object CoreQueries {
       val est = (0 until d).map { r =>
         element_at(rowArr(r), (bucket(lit(r), col("user_id")) + 1).cast("int"))
       }.reduce(least(_, _))
+      // localCheckpoint: BOTH the semi-join probe and the final join
+      // consume cand — without it Catalyst re-derives the tracker
+      // subtree per consumer and scans events twice (the d22 shared-
+      // subtree pattern; 20 rows materialized, lineage not on z-panel)
       val cand = ev.select(col("user_id"), est.as("est_n"))
         .agg(top_k_struct_distinct(
           struct((-col("est_n")).as("neg"), col("user_id")), 20).as("top"))
         .select(explode(col("top")).as("t"))
         .select(col("t.user_id").as("user_id"), (-col("t.neg")).as("est_n"))
+        .localCheckpoint()
       val exact = ev
         .join(broadcast(cand.select("user_id")), Seq("user_id"), "left_semi")
         .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
