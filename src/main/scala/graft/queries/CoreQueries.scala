@@ -445,16 +445,17 @@ object CoreQueries {
       // function of the key SET, as KMV requires.
       import org.apache.spark.sql.graft.functions.top_k_struct
       val k = 32
-      val h = conv(substring(md5(col("o_custkey").cast("string")), 1, 14), 16, 10).cast("long")
+      // hash + estimator from the ONE shared definition (SketchHash):
+      // the streaming twin's interchange contract depends on them
       tbl(s, dir, "orders")
-        .select(col("o_orderpriority").as("grp"), h.as("h"))
+        .select(col("o_orderpriority").as("grp"),
+          SketchHash.md5_56(col("o_custkey")).as("h"))
         .distinct()
         .groupBy("grp")
         .agg(top_k_struct(struct(col("h")), k).as("bottomk"),
           count(lit(1)).as("n_exact"))
         .withColumn("kth", expr(s"try_element_at(bottomk, $k).h"))
-        .withColumn("est_distinct", expr(
-          s"CASE WHEN n_exact >= $k THEN ${(k - 1).toLong}L * ${1L << 56}L DIV kth ELSE n_exact END"))
+        .withColumn("est_distinct", SketchHash.kmvEstimate(k, "kth", "n_exact"))
         .withColumn("err_milli", expr("(1000L * abs(est_distinct - n_exact)) DIV n_exact"))
         .select("grp", "n_exact", "kth", "est_distinct", "err_milli")
     }),
@@ -479,8 +480,7 @@ object CoreQueries {
       // consume it (without this the orders scan + distinct runs twice)
       val keys = tbl(s, dir, "orders")
         .select(col("o_orderpriority").as("grp"),
-          conv(substring(md5(col("o_custkey").cast("string")), 1, 14), 16, 10)
-            .cast("long").as("h"))
+          SketchHash.md5_56(col("o_custkey")).as("h"))
         .distinct()
         .localCheckpoint()
       val sk = keys.groupBy("grp")
@@ -1177,14 +1177,14 @@ object CoreQueries {
       // Spark and DuckDB (BUILD_NOTES float rule). Exact distincts ride
       // along as the error envelope (the part the sketch REPLACES at
       // 100 TB: 64 bytes per group vs a distinct shuffle of every key).
-      val mask = (1L << 50) - 1
-      val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10)
-        .cast("long")
+      // hash, register split, and rho from the ONE shared definition
+      // (SketchHash): the streaming twin's interchange contract depends
+      // on all three staying bit-identical
       val regs = events(s, dir)
-        .select(col("event_type").as("grp"), h.as("h"))
-        .select(col("grp"), shiftright(col("h"), 50).as("reg"),
-          expr(s"CASE WHEN (h & ${mask}L) = 0 THEN 51 " +
-            s"ELSE 51 - length(bin(h & ${mask}L)) END").as("rho"))
+        .select(col("event_type").as("grp"),
+          SketchHash.md5_56(col("user_id")).as("h"))
+        .select(col("grp"), SketchHash.hllReg(col("h")).as("reg"),
+          SketchHash.hllRho(col("h")).as("rho"))
         .groupBy("grp", "reg").agg(max("rho").as("rho"))
         .groupBy("grp")
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - rho AS INT))")).as("s_present"),
@@ -1237,9 +1237,9 @@ object CoreQueries {
       import org.apache.spark.sql.graft.functions.top_k_struct_distinct
       val d = 4
       val w = 64
-      def bucket(r: Column, key: Column): Column =
-        conv(substring(md5(concat_ws("|", r, key)), 1, 14), 16, 10)
-          .cast("long") % w
+      // bucket from the ONE shared definition (SketchHash): the streaming
+      // twin's cell-for-cell interchange contract depends on it
+      def bucket(r: Column, key: Column): Column = SketchHash.cmsBucket(r, key, w)
       val ev = events(s, dir).select("user_id")
       val sketch = ev
         .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("r"))

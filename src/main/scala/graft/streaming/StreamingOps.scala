@@ -143,18 +143,19 @@ object StreamingOps {
     * the set and the estimate collapses to the exact count). */
   def kmvDistinctStream(events: DataFrame, k: Int = 32): DataFrame = {
     import org.apache.spark.sql.graft.functions.top_k_struct_distinct
+    import graft.queries.SketchHash
     // the estimator computes (k-1)·2^56 in Long arithmetic: k-1 must stay
-    // below 2^7 or the product overflows 2^63 and the estimate goes negative
+    // below 2^7 or the product overflows 2^63 and the estimate goes
+    // negative (the shared kmvEstimate builder enforces the same bound)
     require(k >= 2 && k <= 128, s"kmv k must be in [2, 128], got $k")
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10).cast("long")
     events
-      .select(col("event_type").as("grp"), h.as("h"))
+      .select(col("event_type").as("grp"),
+        SketchHash.md5_56(col("user_id")).as("h"))
       .groupBy("grp")
       .agg(top_k_struct_distinct(struct(col("h")), k).as("bottomk"))
       .withColumn("n_kept", size(col("bottomk")))
       .withColumn("kth", expr(s"try_element_at(bottomk, $k).h"))
-      .withColumn("est_distinct", expr(
-        s"CASE WHEN n_kept >= $k THEN ${(k - 1).toLong}L * ${1L << 56}L DIV kth ELSE CAST(n_kept AS BIGINT) END"))
+      .withColumn("est_distinct", SketchHash.kmvEstimate(k, "kth", "n_kept"))
       .select("grp", "n_kept", "kth", "est_distinct")
   }
 
@@ -172,11 +173,12 @@ object StreamingOps {
     * batch-built one — build on the stream, query in batch. */
   def cmsFreqStream(events: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1 rows and w >= 2 buckets, got d=$d w=$w")
+    // bucket from the ONE shared definition (SketchHash): cells must stay
+    // cell-for-cell identical to q86's batch build
     events
       .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("r"))
       .withColumn("b",
-        conv(substring(md5(concat_ws("|", col("r"), col("user_id"))), 1, 14), 16, 10)
-          .cast("long") % w)
+        graft.queries.SketchHash.cmsBucket(col("r"), col("user_id"), w))
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
   }
 
@@ -218,13 +220,14 @@ object StreamingOps {
     * interchangeable with the batch build and q85's integer estimator
     * (incl. the linear-counting branch) reads either. */
   def hllDistinctStream(events: DataFrame): DataFrame = {
-    val mask = (1L << 50) - 1
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10).cast("long")
+    import graft.queries.SketchHash
+    // hash/register/rho from the ONE shared definition (SketchHash):
+    // registers must stay bit-identical to q85's batch build
     events
-      .select(col("event_type").as("grp"), h.as("h"))
-      .select(col("grp"), shiftright(col("h"), 50).as("reg"),
-        expr(s"CASE WHEN (h & ${mask}L) = 0 THEN 51 " +
-          s"ELSE 51 - length(bin(h & ${mask}L)) END").as("rho"))
+      .select(col("event_type").as("grp"),
+        SketchHash.md5_56(col("user_id")).as("h"))
+      .select(col("grp"), SketchHash.hllReg(col("h")).as("reg"),
+        SketchHash.hllRho(col("h")).as("rho"))
       .groupBy("grp", "reg").agg(max("rho").as("rho"))
   }
 
