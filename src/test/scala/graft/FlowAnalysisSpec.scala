@@ -196,6 +196,12 @@ class FlowAnalysisSpec extends AnyFunSuite {
       // unknown ident / unknown column -> empty, not an error
       assert(SQLFlow.impactedBy(spark, "no_such_view").isEmpty)
       assert(SQLFlow.impactedBy(spark, "imp_src", Some("no_such_col")).isEmpty)
+      // name/column resolve with the session resolver (case-insensitive
+      // by default): a case-mismatched but VALID ident must not read as
+      // "no downstream impact" (r10 advice — this API is schema-change
+      // safety, so a silent false negative is the worst failure mode)
+      assert(SQLFlow.impactedBy(spark, "IMP_SRC") === all)
+      assert(SQLFlow.impactedBy(spark, "Imp_Src", Some("N_REGIONKEY")) === byKey)
     } finally {
       Seq("imp_src", "imp_agg", "imp_top", "imp_other")
         .foreach(spark.catalog.dropTempView)
