@@ -223,19 +223,25 @@ object Bench {
           spark.catalog.clearCache()
           val ordered = HeavyNames.filter(SparkEntry.queries.contains)
             .filter(n => only.forall(_.exists(n.startsWith)))
-          // the dedup/pipeline families share persisted intermediates
-          // (shingle/signature/pair tables). Build them ONCE per pass as
-          // an explicitly timed "dshared_build" line, so every family
-          // entry below measures MARGINAL cost uniformly — before this,
+          // the dedup family shares persisted intermediates (shingle/
+          // signature/pair tables). Build them ONCE per pass as an
+          // explicitly timed "dshared_build" line, so every family entry
+          // below measures MARGINAL cost uniformly — before this,
           // whichever member ran first paid the build and round-over-
           // round compares of the rest were apples-to-oranges (r9
           // verdict item 3; d08 3.5 s → 0.12 s was cache placement).
+          // Scope comes from DedupQueries' own consumer sets, so a
+          // focused run of a non-consumer (p03, d16, s11…) never pays
+          // an unused build, and the pair table — the expensive
+          // artifact — builds only when a pair consumer is in scope.
+          import graft.queries.DedupQueries.{SharedPairConsumers, SharedShingleConsumers}
           val sharedBuild: Seq[(String, Double)] =
-            if (!ordered.exists(n => n.startsWith("d") || n.startsWith("p"))) Seq.empty
+            if (!ordered.exists(SharedShingleConsumers)) Seq.empty
             else {
+              val withPairs = ordered.exists(SharedPairConsumers)
               val t0 = System.nanoTime()
               val v =
-                try { graft.queries.DedupQueries.prewarmShared(spark, heavyDir)
+                try { graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs)
                       (System.nanoTime() - t0) / 1e9 }
                 catch { case e: Throwable =>
                   System.err.println(s"[bench] dshared_build FAILED: ${e.getMessage}")

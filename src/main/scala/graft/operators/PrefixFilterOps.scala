@@ -76,9 +76,15 @@ object PrefixFilterOps {
         "would disagree with the candidate rule at boundary pairs")
     val milliTau = 1000L * tauNum / tauDen
     // enforce SET semantics once at entry: every downstream size/
-    // intersection count assumes distinct elements
+    // intersection count assumes distinct elements. Materialized
+    // (localCheckpoint, the same shared-subtree pattern as `prefix`
+    // below) because THREE subtrees consume it — the posting build and
+    // both sides of the verification join — and without it Catalyst
+    // re-runs the full-corpus array_distinct pass per consumer, on the
+    // operator's measured dominant path (the verify join)
     val distinctSets = sets.select(col(idCol).as("id"),
       array_distinct(col(setCol)).as("hs_set"))
+      .localCheckpoint()
     val posting = distinctSets.select(col("id"),
       size(col("hs_set")).as("sz"), explode(col("hs_set")).as("h"))
     // materialize the prefix posting list ONCE (the shared-subtree

@@ -1254,20 +1254,18 @@ object CoreQueries {
       val est = (0 until d).map { r =>
         element_at(rowArr(r), (bucket(lit(r), col("user_id")) + 1).cast("int"))
       }.reduce(least(_, _))
-      // localCheckpoint: BOTH the semi-join probe and the final join
-      // consume cand — without it Catalyst re-derives the tracker
-      // subtree per consumer and scans events twice (the d22 shared-
-      // subtree pattern; 20 rows materialized, lineage not on z-panel)
       val cand = ev.select(col("user_id"), est.as("est_n"))
         .agg(top_k_struct_distinct(
           struct((-col("est_n")).as("neg"), col("user_id")), 20).as("top"))
         .select(explode(col("top")).as("t"))
         .select(col("t.user_id").as("user_id"), (-col("t.neg")).as("est_n"))
-        .localCheckpoint()
-      val exact = ev
-        .join(broadcast(cand.select("user_id")), Seq("user_id"), "left_semi")
-        .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-      cand.join(broadcast(exact), Seq("user_id"))
+      // the 20-row candidate table is consumed exactly ONCE, as the
+      // broadcast build side of a single inner join — the probe scan both
+      // filters to the survivors AND carries est_n, so the exact error
+      // envelope is one bounded groupBy with no second consumer to
+      // re-derive the tracker subtree for
+      ev.join(broadcast(cand), Seq("user_id"))
+        .groupBy("user_id", "est_n").agg(count(lit(1)).as("n_exact"))
         .withColumn("over_n", col("est_n") - col("n_exact"))
         .orderBy(desc("est_n"), asc("user_id"))
         .select("user_id", "n_exact", "est_n", "over_n")

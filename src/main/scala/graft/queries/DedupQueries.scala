@@ -54,10 +54,25 @@ object DedupQueries {
     * first paid the build, and round-over-round heavy compares of the
     * others were apples-to-oranges (r9 verdict: d08 3.5 s → 0.12 s was
     * cache placement, not a 29× speedup). */
-  def prewarmShared(s: SparkSession, dir: String): Unit = {
-    sigTable(s, dir).count()          // builds + pins shingles, then sigs
-    exactJaccardPairs(s, dir).count() // builds + pins the pair table
+  def prewarmShared(s: SparkSession, dir: String, withPairs: Boolean = true): Unit = {
+    sigTable(s, dir).count()            // builds + pins shingles, then sigs
+    if (withPairs) exactJaccardPairs(s, dir).count() // + the pair table
   }
+
+  /** Inventory entries that consume [[prewarmShared]]'s artifacts —
+    * maintained HERE, next to the builders, so the bench's prewarm scope
+    * cannot drift from the actual consumer set (p01/p03 build their own
+    * tables in TextQueries and must NOT trigger a prewarm; a focused
+    * `SPARK_GRAFT_ONLY=d16` run must not pay three unused pair-table
+    * builds either). Pair consumers transitively pin shingles too. */
+  val SharedPairConsumers: Set[String] = Set(
+    "d08_jaccard_exact_join", "d09_dup_components", "d11_dedup_pipeline",
+    "d13_leakage_free_split", "d21_cc_alternating", "d23_dup_kcore",
+    "d24_detector_consensus", "d25_dup_telemetry")
+  val SharedShingleConsumers: Set[String] = SharedPairConsumers ++ Set(
+    "d03_minhash_lsh", "d05_ngram_jaccard", "d10_decontaminate",
+    "d12_bloom_incremental", "d14_containment", "d19_incremental_lsh",
+    "d22_prefix_filter_join")
 
   /** Unpersist and forget every shared intermediate. The next consumer
     * rebuilds (and re-persists) from scratch. */

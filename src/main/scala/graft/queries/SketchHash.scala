@@ -24,11 +24,12 @@ object SketchHash {
   def md5_56(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 14), 16, 10).cast("long")
 
-  /** Count-Min cell bucket: 56-bit md5 of "row|key" mod w — an
-    * independent hash per counter row via the row-index prefix. */
+  /** Count-Min cell bucket: [[md5_56]] of "row|key" mod w — an
+    * independent hash per counter row via the row-index prefix, composed
+    * from the shared domain (concat_ws already yields a string, so the
+    * inner cast is a no-op the optimizer removes). */
   def cmsBucket(r: Column, key: Column, w: Int): Column =
-    conv(substring(md5(concat_ws("|", r, key)), 1, 14), 16, 10)
-      .cast("long") % w
+    md5_56(concat_ws("|", r, key)) % w
 
   /** Bar-Yossef KMV estimate (k−1)·2^56 DIV h_k as exact integer
     * arithmetic, collapsing to the exact count while the sketch still
