@@ -572,5 +572,20 @@ class FlowAnalysisSpec extends AnyFunSuite {
     // an output past the child's width is PRODUCED by the python fn —
     // no incoming leaf edge may claim it
     assert(!p.exists(_._2 == "py_extra"))
+    // the rule's other two branches — MapInArrow (same 5-arg shape) and
+    // FlatMapGroupsInPandas (grouping attrs + function) — share the
+    // positional pass-through and must pin identically
+    import org.apache.spark.sql.catalyst.plans.logical.{FlatMapGroupsInPandas, MapInArrow}
+    val arrow = provenance(TestPlanBridge.dfFromPlan(spark,
+      MapInArrow(Literal(1), out, childPlan, isBarrier = false, None)))
+    assert(arrow.contains(("nation.parquet:n_nationkey", "py_key")))
+    assert(arrow.contains(("nation.parquet:n_name", "py_name")))
+    assert(!arrow.exists(_._2 == "py_extra"))
+    val grouped = provenance(TestPlanBridge.dfFromPlan(spark,
+      FlatMapGroupsInPandas(Seq(childPlan.output.head), Literal(1),
+        out.take(2), childPlan)))
+    assert(grouped.contains(("nation.parquet:n_nationkey", "py_key")))
+    assert(grouped.contains(("nation.parquet:n_name", "py_name")))
+    assert(!grouped.contains(("nation.parquet:n_name", "py_key")))
   }
 }
