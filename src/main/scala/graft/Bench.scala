@@ -234,14 +234,18 @@ object Bench {
           // focused run of a non-consumer (p03, d16, s11…) never pays
           // an unused build, and the pair table — the expensive
           // artifact — builds only when a pair consumer is in scope.
-          import graft.queries.DedupQueries.{SharedPairConsumers, SharedShingleConsumers}
+          import graft.queries.DedupQueries.{SharedPairConsumers, SharedShingleConsumers, SharedSigConsumers}
           val sharedBuild: Seq[(String, Double)] =
             if (!ordered.exists(SharedShingleConsumers)) Seq.empty
             else {
               val withPairs = ordered.exists(SharedPairConsumers)
+              // signature table only when an LSH bander is in scope — a
+              // shingle-only focused run (e.g. d22) skips the unused
+              // 32-perm build (r11 advice)
+              val withSigs = ordered.exists(SharedSigConsumers)
               val t0 = System.nanoTime()
               val v =
-                try { graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs)
+                try { graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs, withSigs)
                       (System.nanoTime() - t0) / 1e9 }
                 catch { case e: Throwable =>
                   System.err.println(s"[bench] dshared_build FAILED: ${e.getMessage}")

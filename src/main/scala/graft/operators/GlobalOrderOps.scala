@@ -88,6 +88,13 @@ object GlobalOrderOps {
         Iterator((n, sums))
       }
       .collect()
+    // driver-sized BY CONSTRUCTION: exactly one (count, sums) row per
+    // partition — P entries, never data-proportional (the RDD-API sibling
+    // of QueryDsl.boundedCollect; CollectBoundSpec allowlists this site
+    // against that bound)
+    require(partStats.length == rdd.getNumPartitions,
+      s"partition stats collect: got ${partStats.length} rows for " +
+        s"${rdd.getNumPartitions} partitions")
 
     // Phase 4a: exclusive prefix offsets over the P partition stats.
     val rankOffsets = new Array[Long](partStats.length)

@@ -40,14 +40,19 @@ object GraphOps {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.filter(col("doc_a") < col("doc_b")).collect().foreach { e =>
+      graft.queries.QueryDsl.boundedCollect(
+        edges.filter(col("doc_a") < col("doc_b")),
+        maxDriverPairs, "union-find edges (guarded: nPairs <= maxDriverPairs)")
+        .foreach { e =>
         val (a, b) = (e.getLong(0), e.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         else { parent.getOrElseUpdate(a, ra); parent.getOrElseUpdate(b, rb) }
       }
-      val nodes = edges.select(col("doc_a").as("id")).distinct()
-        .collect().map(_.getLong(0))
+      val nodes = graft.queries.QueryDsl.boundedCollect(
+        edges.select(col("doc_a").as("id")).distinct(),
+        2L * maxDriverPairs, "union-find node ids (<= 2 per guarded pair)")
+        .map(_.getLong(0))
       edges.unpersist()
       val rows = nodes.map(n => (n, find(n))).toSeq
       import spark.implicits._

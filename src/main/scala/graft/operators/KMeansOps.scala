@@ -68,11 +68,13 @@ object KMeansOps {
     // — min_by is a partial-aggregated reduction (k rows per map task reach
     // the exchange), unlike a row_number window which would shuffle every
     // vector into k partitions and sort them
-    var centroids: Seq[(Int, Seq[Float])] = data
-      .select((col(idCol) % k).cast("int").as("cluster"), col(idCol), col(vecCol).as("c_vec"))
-      .groupBy("cluster")
-      .agg(min_by(col("c_vec"), col(idCol)).as("c_vec"))
-      .collect().toSeq.map(r => r.getInt(0) -> r.getSeq[Float](1))
+    var centroids: Seq[(Int, Seq[Float])] = graft.queries.QueryDsl.boundedCollect(
+      data
+        .select((col(idCol) % k).cast("int").as("cluster"), col(idCol), col(vecCol).as("c_vec"))
+        .groupBy("cluster")
+        .agg(min_by(col("c_vec"), col(idCol)).as("c_vec")),
+      k, "kmeans init centroids (grouped by id % k)")
+      .toSeq.map(r => r.getInt(0) -> r.getSeq[Float](1))
 
     for (_ <- 0 until iters) {
       // update: ONE partial-aggregated shuffle per iteration on
@@ -90,12 +92,14 @@ object KMeansOps {
       // 2^-24 ≈ 6e-8 absolute — finer than float ULP for components in
       // [0.5, 2) and noise relative to the data scale everywhere, so the
       // clustering itself is unaffected.
-      centroids = assignTo(centroids)
-        .select(col("cluster"), posexplode(col(vecCol)))
-        .groupBy("cluster", "pos")
-        .agg(sum(floor(col("col").cast("double") * (1L << 24)).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .collect().toSeq
+      centroids = graft.queries.QueryDsl.boundedCollect(
+        assignTo(centroids)
+          .select(col("cluster"), posexplode(col(vecCol)))
+          .groupBy("cluster", "pos")
+          .agg(sum(floor(col("col").cast("double") * (1L << 24)).cast("long")).as("s"),
+            count(lit(1)).as("n")),
+        k.toLong * centroids.head._2.length, "kmeans update (k x dim partial sums)")
+        .toSeq
         .groupBy(_.getInt(0))
         .map { case (c, rows) =>
           c -> rows.sortBy(_.getInt(1))

@@ -67,9 +67,19 @@ object PrefixFilterOps {
     * (id_a, id_b, jaccard_milli) where
     * jaccard_milli = (1000·|a∩b|) DIV |a∪b| — integer floor-milli, so the
     * τ cut (milli ≥ 1000·tauNum DIV tauDen) is exact for any rational τ
-    * whose 1000·num/den is integral (e.g. 3/5 → 600). */
+    * whose 1000·num/den is integral (e.g. 3/5 → 600).
+    *
+    * `assumeDistinct = true` lets a trusted caller whose arrays are
+    * distinct BY CONSTRUCTION (d22's shingle hashes: sorted + deduped
+    * inside the expression — ShingleOps.shingleHashes) skip the
+    * enforcement pass AND its full-corpus materialization (the entry
+    * localCheckpoint exists only to amortize the array_distinct across
+    * the three consuming subtrees; with no dedup pass the subtrees read
+    * the caller's — typically already cached — table directly). External
+    * callers keep the default enforcement: a duplicate-bearing input
+    * would silently skew |a∩b| against the size terms. (r11 advice) */
   def jaccardSelfJoin(sets: DataFrame, idCol: String, setCol: String,
-      tauNum: Int, tauDen: Int): DataFrame = {
+      tauNum: Int, tauDen: Int, assumeDistinct: Boolean = false): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
     require((1000L * tauNum) % tauDen == 0,
       s"tau=$tauNum/$tauDen has no exact milli threshold — the output cut " +
@@ -82,9 +92,11 @@ object PrefixFilterOps {
     // both sides of the verification join — and without it Catalyst
     // re-runs the full-corpus array_distinct pass per consumer, on the
     // operator's measured dominant path (the verify join)
-    val distinctSets = sets.select(col(idCol).as("id"),
-      array_distinct(col(setCol)).as("hs_set"))
-      .localCheckpoint()
+    val distinctSets =
+      if (assumeDistinct) sets.select(col(idCol).as("id"), col(setCol).as("hs_set"))
+      else sets.select(col(idCol).as("id"),
+        array_distinct(col(setCol)).as("hs_set"))
+        .localCheckpoint()
     val posting = distinctSets.select(col("id"),
       size(col("hs_set")).as("sz"), explode(col("hs_set")).as("h"))
     // materialize the prefix posting list ONCE (the shared-subtree

@@ -1234,6 +1234,19 @@ object CoreQueries {
       // distinct scan. Exact counts are computed ONLY for the 20
       // surviving candidates (semi-join cut, then a 20-key aggregate) as
       // the error envelope; at 100 TB the sketch + tracker stand alone.
+      //
+      // EAGER-BUILD SEMANTICS (r11 advice, deliberate): constructing this
+      // DataFrame runs the sketch-build job immediately — the collect is
+      // the price of inlining the 256 cells as plan literals, which is
+      // what buys the map-side self-scoring probe (a lazy broadcast-join
+      // alternative needs a ×d explode on the probe side to key on
+      // (r, b)). Consequences a caller must know: (a) plan-only
+      // consumers (graft.tools.Plans, lineage panels, plan specs) pay
+      // one small Spark job at construction; (b) the sketch FREEZES at
+      // construction time — re-executing the returned DataFrame after
+      // the underlying events table changed compares the stale sketch
+      // against fresh exact counts. Rebuild the DataFrame to refresh;
+      // same contract as q88's corpus stats and the IVF centroid tables.
       import org.apache.spark.sql.graft.functions.top_k_struct_distinct
       val d = 4
       val w = 64
@@ -1247,7 +1260,7 @@ object CoreQueries {
         .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
       // d·w = 256 longs — bounded by construction, the one artifact a
       // 100 TB run ships to the driver
-      val cells = sketch.collect()
+      val cells = boundedCollect(sketch, d.toLong * w, "q86 CMS cells (d*w)")
         .map(r0 => (r0.getInt(0), r0.getLong(1)) -> r0.getLong(2)).toMap
       def rowArr(r: Int): Column =
         array((0 until w).map(b => lit(cells.getOrElse((r, b.toLong), 0L))): _*)
@@ -1929,7 +1942,8 @@ object CoreQueries {
       // scan already yields >= parallelism splits)
       val li = spread(tbl(s, dir, "lineitem").select(col("l_partkey").as("k")))
       val rows = array((0 until dRows).map(i =>
-        struct(CountSketch.bucket(i).as("b"), CountSketch.sign(i).as("g"))): _*)
+        struct(CountSketch.bucket(col("k"), i).as("b"),
+          CountSketch.sign(col("k"), i).as("g"))): _*)
       val cells = li.select(posexplode(rows))
         .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
         .groupBy("i", "b").agg(sum("g").as("cell"))

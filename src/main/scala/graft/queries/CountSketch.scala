@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{concat, conv, lit, md5, substring}
 
 /** The ONE definition of the Count-Sketch hash family (Charikar, Chen &
   * Farach-Colton 2002) shared by every consumer that must stay
@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions.expr
   * places (r10 advice); a tweak to any one of them silently broke the
   * build-on-stream/query-in-batch contract.
   *
-  * Contract: both hash families read a column literally named `k`
-  * (BIGINT-castable) and share ONE md5 of "i:k" per hash row: h_i(k) is
+  * Contract: both hash families take the key as an explicit Column
+  * (BIGINT-castable; the old expr-string form resolved a column literally
+  * named `k`, which silently hashed the wrong column in any schema that
+  * happened to contain an unrelated `k` — r11 advice) and share ONE md5
+  * of "i:k" per hash row: h_i(k) is
   * its first 32 bits mod w, g_i(k) ∈ {±1} the parity of its bits 33-64.
   * Disjoint bit ranges of one digest are the standard way to draw the
   * (h, g) pair — modeled independent, and it matters for throughput:
@@ -42,13 +45,19 @@ object CountSketch {
     * drift if [[Rows]] is tuned. */
   val MedianIdx: Int = (Rows + 1) / 2
 
-  /** h_i(k): the bucket of key column `k` in hash row i. */
-  def bucket(i: Int, w: Int = Width): Column = expr(
-    s"CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % $w")
+  /** The ONE md5 both families draw from — semantically identical subtrees
+    * in bucket/sign, so whole-stage codegen's subexpression elimination
+    * computes it once per (row, i). */
+  private def digest(key: Column, i: Int): Column =
+    md5(concat(lit(s"$i:"), key.cast("string")))
 
-  /** g_i(k) ∈ {±1}: the sign of key column `k` in hash row i — bits
-    * 33-64 of the SAME digest [[bucket]] reads bits 1-32 of (hex chars
-    * 9-16), so codegen shares the md5. */
-  def sign(i: Int): Column = expr(
-    s"1 - 2 * (CAST(CONV(SUBSTRING(MD5(CONCAT('$i:', CAST(k AS STRING))), 9, 8), 16, 10) AS BIGINT) % 2)")
+  /** h_i(key): the bucket of `key` in hash row i. */
+  def bucket(key: Column, i: Int, w: Int = Width): Column =
+    conv(substring(digest(key, i), 1, 8), 16, 10).cast("long") % w
+
+  /** g_i(key) ∈ {±1}: the sign of `key` in hash row i — bits 33-64 of the
+    * SAME digest [[bucket]] reads bits 1-32 of (hex chars 9-16), so
+    * codegen shares the md5. */
+  def sign(key: Column, i: Int): Column =
+    lit(1) - lit(2) * (conv(substring(digest(key, i), 9, 8), 16, 10).cast("long") % 2)
 }

@@ -54,8 +54,13 @@ object DedupQueries {
     * first paid the build, and round-over-round heavy compares of the
     * others were apples-to-oranges (r9 verdict: d08 3.5 s → 0.12 s was
     * cache placement, not a 29× speedup). */
-  def prewarmShared(s: SparkSession, dir: String, withPairs: Boolean = true): Unit = {
-    sigTable(s, dir).count()            // builds + pins shingles, then sigs
+  def prewarmShared(s: SparkSession, dir: String, withPairs: Boolean = true,
+      withSigs: Boolean = true): Unit = {
+    // sigs only when a signature consumer is in scope (r11 advice: a
+    // focused shingle-only run — e.g. SPARK_GRAFT_ONLY=d22 — was paying
+    // an unused 32-perm signature build inside the dshared_build line)
+    if (withSigs) sigTable(s, dir).count() // builds + pins shingles, then sigs
+    else shingleTable(s, dir).count()      // shingles alone
     if (withPairs) exactJaccardPairs(s, dir).count() // + the pair table
   }
 
@@ -73,6 +78,14 @@ object DedupQueries {
     "d03_minhash_lsh", "d05_ngram_jaccard", "d10_decontaminate",
     "d12_bloom_incremental", "d14_containment", "d19_incremental_lsh",
     "d22_prefix_filter_join")
+
+  /** The subset that consumes the 32-perm MinHash signature table
+    * ([[sigTable]]) — the LSH banders. Everything else in
+    * [[SharedShingleConsumers]] reads only the shingle table, so a
+    * focused run without a bander skips the signature build entirely
+    * (prewarmShared(withSigs = false)). */
+  val SharedSigConsumers: Set[String] = Set(
+    "d03_minhash_lsh", "d05_ngram_jaccard", "d19_incremental_lsh")
 
   /** Unpersist and forget every shared intermediate. The next consumer
     * rebuilds (and re-persists) from scratch. */
@@ -716,9 +729,11 @@ object DedupQueries {
         .select(col("doc_id"), explode(filter(split(col("text"), " "),
           t => t =!= "")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val vocab = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .orderBy(desc("df"), asc("term")).limit(4096)
-        .collect().map(_.getString(0)).sorted.zipWithIndex.toMap
+      val vocab = boundedCollect(
+        tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), asc("term")).limit(4096),
+        4096, "d18 vocab (explicit top-df limit)")
+        .map(_.getString(0)).sorted.zipWithIndex.toMap
       val vSize = vocab.size
       val vocabCol = typedLit(vocab)
       val tfv = sharedDf(s, s"tfv|$dir") {
@@ -859,9 +874,14 @@ object DedupQueries {
       // Heavy hitters sort LAST in the canonical order, so they fall out
       // of prefixes instead of flooding candidate buckets. Shares the
       // persisted shingle-hash table with the d03/d08 family; every join
-      // key is an 8-byte hash.
+      // key is an 8-byte hash. assumeDistinct: shingle sets are sorted +
+      // deduped inside the expression (ShingleOps.shingleHashes), so the
+      // operator's entry enforcement pass and its full-corpus checkpoint
+      // are skipped (r11 advice — the redundant pass cost ~1.3 s on the
+      // heavy tier).
       graft.operators.PrefixFilterOps
-        .jaccardSelfJoin(shingleTable(s, dir), "doc_id", "sh", 3, 5)
+        .jaccardSelfJoin(shingleTable(s, dir), "doc_id", "sh", 3, 5,
+          assumeDistinct = true)
         .withColumnRenamed("id_a", "doc_a")
         .withColumnRenamed("id_b", "doc_b")
     }),

@@ -60,6 +60,23 @@ object QueryDsl {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** The ONE gate every operator-path driver-side collect routes through
+    * (r11 verdict item 7): a collect in a build path is legitimate ONLY
+    * for artifacts that are driver-sized BY CONSTRUCTION — sketch cells
+    * (d·w), trained centroids/codebooks (k), partition-count offset
+    * tables, an explicitly limit()ed top slice. `limit` states that
+    * construction bound and the require turns a violated assumption into
+    * a loud failure instead of a silent driver OOM at 100 TB. The
+    * CollectBoundSpec source scan enforces that no raw `.collect()`
+    * bypasses this helper in operator/query sources. */
+  def boundedCollect(df: DataFrame, limit: Long, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.collect()
+    require(rows.length <= limit,
+      s"$what: driver-side collect returned ${rows.length} rows, declared " +
+        s"construction bound $limit — not a driver-sized artifact")
+    rows
+  }
+
   /** Exact 2-decimal monetary cast (testdata doubles are 2-decimal clean). */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 

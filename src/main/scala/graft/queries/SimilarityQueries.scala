@@ -79,7 +79,8 @@ object SimilarityQueries {
     val nlist = ivfNlistFor(emb.count())
     val (_, cents) = graft.operators.KMeansOps.sphericalKMeans(
       emb.filter(col("vec_id") < 4096L), "vec_id", "embedding", k = nlist, iters = 2)
-    val trained = cents.orderBy("cluster").collect().toSeq.map(_.getSeq[Float](1))
+    val trained = QueryDsl.boundedCollect(cents.orderBy("cluster"), nlist,
+      "ivfPivots trained centroids (k = nlist)").toSeq.map(_.getSeq[Float](1))
     val prev = trainedPivots.putIfAbsent(dir, trained)
     if (prev != null) prev else trained
   }
@@ -100,11 +101,14 @@ object SimilarityQueries {
   private[graft] def sqScales(s: SparkSession, dir: String): Array[Float] = {
     val existing = sqScalesCache.get(dir)
     if (existing != null) return existing
-    val trained = tbl(s, dir, "embeddings")
-      .filter(col("vec_id") < 4096L)
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(max(abs(col("x"))).as("m"))
-      .orderBy("pos").collect().map(_.getFloat(1))
+    val trained = QueryDsl.boundedCollect(
+      tbl(s, dir, "embeddings")
+        .filter(col("vec_id") < 4096L)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(max(abs(col("x"))).as("m"))
+        .orderBy("pos"),
+      4096, "sq8 per-dimension scales (one row per vector dimension)")
+      .map(_.getFloat(1))
     val prev = sqScalesCache.putIfAbsent(dir, trained)
     if (prev != null) prev else trained
   }
@@ -206,8 +210,11 @@ object SimilarityQueries {
     // collect() returns partition order, which can differ across file
     // layouts and would make the trained codebook (and s07's results)
     // layout-dependent; vec_id order is also what the SQL replay assumes
-    val sample = tbl(s, dir, "embeddings").filter(col("vec_id") < 2048)
-      .orderBy("vec_id").select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val sample = QueryDsl.boundedCollect(
+      tbl(s, dir, "embeddings").filter(col("vec_id") < 2048)
+        .orderBy("vec_id").select("embedding"),
+      2048, "pq training sample (vec_id < 2048 predicate)")
+      .map(_.getSeq[Float](0).toArray)
     val trained = org.apache.spark.sql.graft.PqOps.train(sample, PqM, PqK, iters = 8)
     val prev = trainedCodebooks.putIfAbsent(dir, trained)
     if (prev != null) prev else trained

@@ -849,7 +849,7 @@ object TextQueries {
     var words = words0.toDF()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (it <- 1 to iters) {
-      val best = words
+      val bestDf = words
         .select(col("cnt"), filter(split(col("word_sym"), "\\|"), x => x =!= "").as("sym"))
         .filter(size(col("sym")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -858,7 +858,8 @@ object TextQueries {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("pcnt"))
         .orderBy(desc("pcnt"), asc("l"), asc("r"))
-        .limit(1).collect()(0)
+        .limit(1)
+      val best = QueryDsl.boundedCollect(bestDf, 1, "bpe best pair (limit 1)")(0)
       val (l, r) = (best.getString(0), best.getString(1))
       merges += ((it, l, r, best.getLong(2)))
       words = words.withColumn("word_sym", call_function("replace",

@@ -202,7 +202,8 @@ object StreamingOps {
     import graft.queries.CountSketch
     updates
       .select(col("delta"), posexplode(array((0 until d).map(i =>
-        struct(CountSketch.bucket(i, w).as("b"), CountSketch.sign(i).as("g"))): _*)))
+        struct(CountSketch.bucket(col("k"), i, w).as("b"),
+          CountSketch.sign(col("k"), i).as("g"))): _*)))
       .select(col("pos").as("i"), col("col.b").as("b"),
         (col("delta") * col("col.g")).as("sg"))
       .groupBy("i", "b").agg(sum("sg").as("cell"))

@@ -581,8 +581,16 @@ class FlowAnalysisSpec extends AnyFunSuite {
     assert(arrow.contains(("nation.parquet:n_nationkey", "py_key")))
     assert(arrow.contains(("nation.parquet:n_name", "py_name")))
     assert(!arrow.exists(_._2 == "py_extra"))
+    // Unlike MapInPandas/MapInArrow above, FlatMapGroupsInPandas prunes its
+    // child down to `groupingAttributes ++ functionExpr.references` — a real
+    // plan's PythonUDF references the child columns it reads, so the stand-in
+    // must too or ColumnPruning narrows the child to [n_nationkey] before
+    // lineage runs and the positional zip credits only py_key (the r11 red
+    // test: a Literal(1) stand-in has no references).
+    import org.apache.spark.sql.catalyst.expressions.CreateStruct
     val grouped = provenance(TestPlanBridge.dfFromPlan(spark,
-      FlatMapGroupsInPandas(Seq(childPlan.output.head), Literal(1),
+      FlatMapGroupsInPandas(Seq(childPlan.output.head),
+        CreateStruct(childPlan.output),
         out.take(2), childPlan)))
     assert(grouped.contains(("nation.parquet:n_nationkey", "py_key")))
     assert(grouped.contains(("nation.parquet:n_name", "py_name")))

@@ -37,7 +37,8 @@ class SketchIngestSpec extends AnyFunSuite {
     // pins the median-extraction arithmetic, not a third hash copy
     import graft.queries.CountSketch
     def hashRows = array((0 until CountSketch.Rows).map(i =>
-      struct(CountSketch.bucket(i).as("b"), CountSketch.sign(i).as("g"))): _*)
+      struct(CountSketch.bucket(col("k"), i).as("b"),
+        CountSketch.sign(col("k"), i).as("g"))): _*)
     val li = tbl(spark, sf, "lineitem").select(col("l_partkey").as("k"))
     val cells = li.select(posexplode(hashRows))
       .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
@@ -62,7 +63,8 @@ class SketchIngestSpec extends AnyFunSuite {
     val li = tbl(spark, sf, "lineitem").select(col("l_partkey").as("k"), col("l_orderkey"))
     def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
       df.select(posexplode(array((0 until CountSketch.Rows).map(i =>
-          struct(CountSketch.bucket(i).as("b"), CountSketch.sign(i).as("g"))): _*)))
+          struct(CountSketch.bucket(col("k"), i).as("b"),
+            CountSketch.sign(col("k"), i).as("g"))): _*)))
         .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
         .groupBy("i", "b").agg(sum("g").as("cell"))
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
