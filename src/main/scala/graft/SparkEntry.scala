@@ -70,5 +70,29 @@ object SparkEntry {
     * records a weaker rows-only check for those. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++ Map(
+      // PINNED-LITERAL oracle (r11 verdict item 3): the lineage panel's
+      // graph sizes are deterministic integers — pure plan structure, so
+      // they are identical at every scale factor AND independent of
+      // cache/session state (verified full-run vs focused, sf0.001 vs
+      // sf0.01). Pinning them makes any lineage-shape drift a loud
+      // hash-mismatch instead of a silent rows-only pass; regenerate the
+      // table when a panel query's plan is INTENTIONALLY changed.
+      "z01_lineage_extraction" -> """
+        SELECT * FROM (VALUES
+          ('d03_minhash_lsh',     37, 90, 7, 8),
+          ('m03_feature_extract',  8, 12, 2, 6),
+          ('p01_training_mix',    28, 86, 2, 4),
+          ('q01_pricing_summary',  5, 28, 2, 6),
+          ('q05_local_supplier',  29, 94, 7, 3),
+          ('q07_window_topk',      7, 27, 2, 4),
+          ('q10_cube',             5, 13, 2, 3),
+          ('q12_union_all',        6,  8, 3, 2),
+          ('q16_scalar_subquery',  6, 15, 2, 3),
+          ('q19_anti_join',        7, 14, 3, 3),
+          ('q23_explode_tokens',   6,  6, 2, 1),
+          ('q38_asof_join',        7, 18, 3, 3),
+          ('q95_pps_sample',       4, 11, 2, 4),
+          ('s01_knn_brute',       12, 32, 2, 5)
+        ) AS t(query, n_nodes, n_edges, n_contracted_nodes, n_contracted_edges)""")
 }

@@ -2301,6 +2301,28 @@ $steps
              QUANTILE_CONT(o_totalprice, 0.9) AS p90_price
       FROM orders GROUP BY o_orderstatus""",
 
+    // PINNED-LITERAL oracle (r11 verdict item 4): DuckDB cannot replay
+    // Spark's internal HLL++ / approx_percentile implementations, but for
+    // a FIXED fixture they are deterministic (the 188-entry determinism
+    // gate proves it), so the sf0.001 and sf0.01 outputs are pinned as
+    // literals keyed by the fixture's lineitem row count. Regenerate on a
+    // Spark upgrade or a testdata regeneration (a value drift here is the
+    // SIGNAL, not noise — it means the engine's sketch output changed).
+    "q35_sketch_aggs" -> """
+      WITH pin(nrow, l_returnflag, approx_orders, approx_parts, p50, p99) AS (VALUES
+        (6000,  'A', 1089,  199,  51377.72, 103794.98),
+        (6000,  'N', 1049,  199,  53973.49, 103925.27),
+        (6000,  'R', 1034,  199,  52582.19, 103738.03),
+        (60000, 'A', 11114, 2013, 52817.85, 103805.21),
+        (60000, 'N', 10109, 2013, 52988.65, 103863.52),
+        (60000, 'R', 11377, 2013, 53157.64, 103834.73)),
+      n AS (SELECT count(*) AS c FROM lineitem)
+      SELECT l_returnflag,
+             CAST(approx_orders AS BIGINT) AS approx_orders,
+             CAST(approx_parts AS BIGINT) AS approx_parts,
+             CAST(p50 AS DOUBLE) AS p50, CAST(p99 AS DOUBLE) AS p99
+      FROM pin JOIN n ON pin.nrow = n.c""",
+
     "q36_range_source" -> """
       SELECT r.range AS id, n_name
       FROM RANGE(0, 25) r
