@@ -131,6 +131,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the bounded top-k aggregates (TypedImperativeAggregate →
+      // ObjectHashAggregateExec) hold O(k) state per group BY DESIGN, but
+      // Spark's default sort-based fallback fires at 128 distinct groups —
+      // s11's partial top-k over 20k query groups was degrading to an
+      // external sort of all 2.9e8 candidate rows (2.9 GB spill/run, the
+      // r12 stage probe's dominant cost AND its variance). 128k groups ×
+      // k·rowsize keeps worst-case hash-agg state in the low hundreds of
+      // MB per task; past that the sort fallback is the right answer.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     // ERROR, not WARN: the driver's 2000-char stdout tail interleaves
     // stderr (sbt prefixes it "[error] ..."), and late WARN spam (e.g.

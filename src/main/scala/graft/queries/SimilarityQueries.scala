@@ -585,7 +585,14 @@ object SimilarityQueries {
       // Candidates ≈ probe-fraction · n² ≫ n vectors, so the per-pair
       // norm re-accumulation was the dominant wasted work in this, the
       // heaviest scoring loop of the heavy bench tier.
-      val probes = tbl(s, dir, "embeddings")
+      // spread: the bench's 10-copy heavy corpus is 10 one-row-group files
+      // → a 10-split scan, and since the candidate join broadcasts the
+      // (fixture-sized) assigned side, the ENTIRE candidate scoring +
+      // partial top-k pipeline would run inside this scan stage at 10/32
+      // parallelism (r12 stage probe: that one stage was ~95% of s11's
+      // 20-29 s). A no-op at corpus scale, where the scan yields >=
+      // parallelism splits (QueryDsl.spread contract).
+      val probes = spread(tbl(s, dir, "embeddings"))
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           vec_norm(col("embedding")).as("q_nrm"),
           explode(topPivotIds(pivots, col("embedding"), 3 * IvfNprobe)).as("pivot_id"))
