@@ -39,7 +39,10 @@ object Bench {
   /** Synthetic 10× documents+embeddings under a temp dir (removed on JVM
     * exit). Copy i shifts ids by i·10^8 and prefixes every non-leading
     * token with "c{i}" so cross-copy docs share no shingles. */
-  private def buildHeavyDir(spark: SparkSession, sfDir: String, copies: Int): String = {
+  // private[graft] so the test-scope stage probes (graft.tools.S11StageProbe)
+  // measure the EXACT corpus the heavy tier benches — an inline re-creation
+  // would silently drift when this recipe changes (r12 review)
+  private[graft] def buildHeavyDir(spark: SparkSession, sfDir: String, copies: Int): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-10x")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.Files
@@ -148,7 +151,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // JVM/session warmup so the first timed query doesn't absorb
     // executor-pool startup, file-index listing, or first-job codegen costs
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr("sum(id)").collect() // bounded: 1 row by aggregation
     Seq("documents", "lineitem", "orders", "events", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => }

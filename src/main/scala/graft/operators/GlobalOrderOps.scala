@@ -87,11 +87,11 @@ object GlobalOrderOps {
         }
         Iterator((n, sums))
       }
-      .collect()
+      .collect() // bounded: one (count, sums) row per partition, require()d below
     // driver-sized BY CONSTRUCTION: exactly one (count, sums) row per
     // partition — P entries, never data-proportional (the RDD-API sibling
-    // of QueryDsl.boundedCollect; CollectBoundSpec allowlists this site
-    // against that bound)
+    // of QueryDsl.boundedCollect; CollectBoundSpec admits this site via
+    // the line marker above + the require below)
     require(partStats.length == rdd.getNumPartitions,
       s"partition stats collect: got ${partStats.length} rows for " +
         s"${rdd.getNumPartitions} partitions")

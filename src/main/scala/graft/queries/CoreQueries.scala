@@ -2316,12 +2316,21 @@ $steps
         (60000, 'A', 11114, 2013, 52817.85, 103805.21),
         (60000, 'N', 10109, 2013, 52988.65, 103863.52),
         (60000, 'R', 11377, 2013, 53157.64, 103834.73)),
-      n AS (SELECT count(*) AS c FROM lineitem)
-      SELECT l_returnflag,
-             CAST(approx_orders AS BIGINT) AS approx_orders,
-             CAST(approx_parts AS BIGINT) AS approx_parts,
-             CAST(p50 AS DOUBLE) AS p50, CAST(p99 AS DOUBLE) AS p99
-      FROM pin JOIN n ON pin.nrow = n.c""",
+      n AS (SELECT count(*) AS c FROM lineitem),
+      matched AS (
+        SELECT l_returnflag,
+               CAST(approx_orders AS BIGINT) AS approx_orders,
+               CAST(approx_parts AS BIGINT) AS approx_parts,
+               CAST(p50 AS DOUBLE) AS p50, CAST(p99 AS DOUBLE) AS p99
+        FROM pin JOIN n ON pin.nrow = n.c)
+      SELECT * FROM matched
+      UNION ALL
+      -- self-describing guard: at a fixture scale with no pinned values
+      -- the compare fails on THIS row instead of on a silent empty oracle
+      -- (which would misread as real sketch drift — r12 review)
+      SELECT 'NO PIN FOR lineitem nrow=' || n.c, CAST(-1 AS BIGINT),
+             CAST(-1 AS BIGINT), -1.0, -1.0
+      FROM n WHERE NOT EXISTS (SELECT 1 FROM matched)""",
 
     "q36_range_source" -> """
       SELECT r.range AS id, n_name

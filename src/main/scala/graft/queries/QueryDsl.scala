@@ -70,10 +70,18 @@ object QueryDsl {
     * CollectBoundSpec source scan enforces that no raw `.collect()`
     * bypasses this helper in operator/query sources. */
   def boundedCollect(df: DataFrame, limit: Long, what: String): Array[org.apache.spark.sql.Row] = {
-    val rows = df.collect()
+    // take(limit + 1), NOT collect-then-check: a violated bound must fail
+    // BEFORE the driver materializes an unbounded result, or the gate
+    // reproduces the very OOM it exists to prevent (r12 review). In the
+    // conforming case take returns the full row set (sort order preserved
+    // for ordered inputs — TakeOrderedAndProject); every call site is
+    // either explicitly ordered or key-addressed, never partition-order
+    // dependent.
+    require(limit > 0 && limit < Int.MaxValue, s"$what: bound $limit not in (0, Int.MaxValue)")
+    val rows = df.take(limit.toInt + 1)
     require(rows.length <= limit,
-      s"$what: driver-side collect returned ${rows.length} rows, declared " +
-        s"construction bound $limit — not a driver-sized artifact")
+      s"$what: driver-side collect exceeded declared construction bound " +
+        s"$limit rows — not a driver-sized artifact")
     rows
   }
 

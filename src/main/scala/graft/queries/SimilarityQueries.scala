@@ -107,7 +107,10 @@ object SimilarityQueries {
         .select(posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("pos").agg(max(abs(col("x"))).as("m"))
         .orderBy("pos"),
-      4096, "sq8 per-dimension scales (one row per vector dimension)")
+      // honest bound: one row per DISTINCT pos = the embedding dimension
+      // (64 on the fixtures); 4096 is the declared dimension CAP, not the
+      // sample-row filter it coincidentally equals (r12 review)
+      4096, "sq8 per-dimension scales (one row per dimension; 4096 = dim cap)")
       .map(_.getFloat(1))
     val prev = sqScalesCache.putIfAbsent(dir, trained)
     if (prev != null) prev else trained

@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Round-12 measurement harness (test-scope dev tool, not shipped
   * surface): per-stage wall/CPU/GC breakdown of s11_knn_graph_ivf on the
@@ -25,15 +24,11 @@ object S11StageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // 10× embeddings exactly like Bench.buildHeavyDir (ids shift per copy)
-    val tmp = java.nio.file.Files.createTempDirectory("s11-probe-10x")
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    (0 until 10).map { i =>
-      emb.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
-        col("embedding"), col("label"))
-    }.reduce(_.unionAll(_))
-      .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
-    val dir = tmp.toString
+    // the EXACT corpus the bench heavy tier measures — shared builder, so
+    // the probe cannot drift from the bench recipe, and its shutdown hook
+    // cleans the temp dir up (r12 review: the inline re-creation leaked
+    // a parquet copy per probe run and would go stale on recipe changes)
+    val dir = graft.Bench.buildHeavyDir(spark, "/root/testdata/sf0.1", copies = 10)
 
     case class St(name: String, wallMs: Long, cpuMs: Long, gcMs: Long,
         shufReadMB: Long, shufWriteMB: Long, spillMB: Long, tasks: Int)
