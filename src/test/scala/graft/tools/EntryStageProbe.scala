@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Round-12 generalization of [[S11StageProbe]] (test-scope dev tool, not
+  * shipped surface): per-stage wall/CPU/GC/shuffle/spill breakdown of ANY
+  * heavy-tier entries on the exact 10× corpus Bench builds, with the same
+  * prewarm scoping the bench applies. Args = entry names (default: the
+  * top remaining heavy costs). Three reps per entry; rep 0 pays
+  * memoized-trainer/prewarm costs exactly like the bench's first pass.
+  * Run with `sbt "Test/runMain graft.tools.EntryStageProbe d22_prefix_filter_join"`. */
+object EntryStageProbe {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("d22_prefix_filter_join", "d16_substring_dup",
+        "t22_bpe_encode", "t08_doc_top_terms")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .appName("entry-stage-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = graft.Bench.buildHeavyDir(spark, "/root/testdata/sf0.1", copies = 10)
+
+    case class St(name: String, wallMs: Long, cpuMs: Long, gcMs: Long,
+        shufReadMB: Long, shufWriteMB: Long, spillMB: Long, tasks: Int)
+    val stages = scala.collection.mutable.ArrayBuffer[St]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        stages += St(
+          s"stage${si.stageId}",
+          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          m.executorCpuTime / 1000000, m.jvmGCTime,
+          m.shuffleReadMetrics.totalBytesRead / 1048576,
+          m.shuffleWriteMetrics.bytesWritten / 1048576,
+          (m.memoryBytesSpilled + m.diskBytesSpilled) / 1048576,
+          si.numTasks)
+      }
+    })
+
+    // bench-equivalent prewarm scoping for the dedup family
+    import graft.queries.DedupQueries.{SharedPairConsumers, SharedShingleConsumers, SharedSigConsumers}
+    if (names.exists(SharedShingleConsumers)) {
+      val t0 = System.nanoTime()
+      graft.queries.DedupQueries.prewarmShared(spark, dir,
+        names.exists(SharedPairConsumers), names.exists(SharedSigConsumers))
+      println(f"prewarm ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    for (name <- names; rep <- 0 until 3) {
+      stages.clear()
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // drain the listener bus (private API in Spark 4)
+      println(f"== $name rep $rep: wall $wall%.2f s, rows $n ==")
+      stages.sortBy(-_.wallMs).take(6).foreach { s =>
+        println(f"  ${s.wallMs}%6d ms wall  cpu ${s.cpuMs}%7d  gc ${s.gcMs}%6d  " +
+          f"sR ${s.shufReadMB}%5d MB sW ${s.shufWriteMB}%5d MB spill ${s.spillMB}%5d MB  " +
+          f"t=${s.tasks}%3d  ${s.name}")
+      }
+    }
+    spark.stop()
+  }
+}
