@@ -670,7 +670,11 @@ object CoreQueries {
       // (the GraphOps iterative-DataFrame pattern). Vocabulary is
       // Zipf-bounded — node/edge state stays far below corpus size.
       import org.apache.spark.sql.graft.CheckpointUtils
-      val big = tbl(s, dir, "documents")
+      // spread() before the bigram explode: tokenize+explode is the one
+      // corpus-sized pass here, and the fixture's one-row-group files
+      // would otherwise pin it at file-count parallelism (the probe shows
+      // this scan as q80's single dominant stage at t=10 on 32 cores)
+      val big = spread(tbl(s, dir, "documents"))
         .withColumn("tk", filter(split(col("text"), " "), t => t =!= ""))
         .filter(size(col("tk")) >= 2)
         .select(explode(expr(

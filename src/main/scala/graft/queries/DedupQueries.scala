@@ -675,11 +675,23 @@ object DedupQueries {
       import org.apache.spark.sql.graft.functions.winnow_fingerprints
       // spread() before the winnow projection: the per-doc k-gram hashing
       // is the work here, and a one-split scan would serialize it
+      // localCheckpoint: TWO consumers (the df aggregate and the join probe)
+      // would otherwise each re-run the winnowing pass — the operator's
+      // dominant CPU (the exchanges can't be reused: one side partial-
+      // aggregates before its shuffle). The materialized table is
+      // fingerprints-only (16-byte rows, ~1-2% of corpus bytes) — the same
+      // bounded-intermediate class as d22's posting checkpoint.
       val f = spread(tbl(s, dir, "documents"))
         .withColumn("t", concat(col("text"), expr(
           "CASE WHEN doc_id % 5 = 0 THEN ' standard corpus boilerplate notice applies to this document and may be ignored' ELSE '' END")))
         .select(col("doc_id"), explode(winnow_fingerprints(col("t"), 32, 8)).as("fp"))
-      val dfs = f.groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
+        .localCheckpoint()
+      // winnow_fingerprints returns the per-document DISTINCT set, so
+      // (doc_id, fp) rows are unique and df is a plain count — the
+      // countDistinct formulation paid a second corpus-pair shuffle plus a
+      // single-task final dedup for a distinctness the expression already
+      // guarantees (same argument as t08's tf)
+      val dfs = f.groupBy("fp").agg(count(lit(1)).as("df"))
       f.join(dfs, "fp")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fingerprints"),

@@ -138,7 +138,12 @@ object TextQueries {
       val tf = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      // tf is distinct on (doc_id, term) by construction (it IS the group
+      // key), so document frequency is a plain count — countDistinct here
+      // re-shuffles every (term, doc_id) pair through a distinct level
+      // that AQE coalesces into one ~2 s single task at the 10× tier,
+      // where count's partial aggregation ships vocab-sized rows per task
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(df, "term")
         .groupBy("doc_id")
         .agg(top_k_struct(struct((col("tf") * -1).as("neg_tf"), col("df"), col("term")), 3).as("top"))

@@ -20,12 +20,17 @@ object EntryStageProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_FBT", "131072"))
       .appName("entry-stage-probe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir = graft.Bench.buildHeavyDir(spark, "/root/testdata/sf0.1", copies = 10)
+    // SPARK_GRAFT_COPIES=1 probes the main-tier corpus shape (plain sf0.1)
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val dir =
+      if (copies <= 1) "/root/testdata/sf0.1"
+      else graft.Bench.buildHeavyDir(spark, "/root/testdata/sf0.1", copies = copies)
 
     case class St(name: String, wallMs: Long, cpuMs: Long, gcMs: Long,
         shufReadMB: Long, shufWriteMB: Long, spillMB: Long, tasks: Int)
@@ -35,7 +40,7 @@ object EntryStageProbe {
         val si = sc.stageInfo
         val m = si.taskMetrics
         stages += St(
-          s"stage${si.stageId}",
+          s"stage${si.stageId} ${si.name.takeWhile(_ != '\n').take(70)}",
           si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
           m.executorCpuTime / 1000000, m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead / 1048576,
