@@ -43,8 +43,9 @@ object SparkEntry {
         // (two window stages, an anti-join, a broadcast semi-probe, a
         // multi-branch scan) as a lineage stress member
         "p01_training_mix",
-        // r9: an RDD-backed plan (GlobalOrderOps' checkpoint + rebuild) —
-        // the LogicalRDD leaf path stays on the lineage panel
+        // r9: an RDD-backed plan (GlobalOrderOps' checkpoint + rebuild);
+        // r12: the boundary now stitches through RddLineage, so this
+        // member exercises the registered-LogicalRDD path end to end
         "q95_pps_sample")
       // per-plan analysis is embarrassingly parallel (SURVEY §4): build and
       // analyze the panel concurrently on the driver; results sorted by name
@@ -92,7 +93,7 @@ object SparkEntry {
           ('q19_anti_join',        7, 14, 3, 3),
           ('q23_explode_tokens',   6,  6, 2, 1),
           ('q38_asof_join',        7, 18, 3, 3),
-          ('q95_pps_sample',       4, 11, 2, 4),
+          ('q95_pps_sample',       6, 18, 2, 4),
           ('s01_knn_brute',       12, 32, 2, 5)
         ) AS t(query, n_nodes, n_edges, n_contracted_nodes, n_contracted_edges)""")
 }

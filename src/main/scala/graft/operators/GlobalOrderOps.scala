@@ -132,6 +132,37 @@ object GlobalOrderOps {
         Row.fromSeq(row.toSeq ++ extra)
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    val out = spark.createDataFrame(outRdd, outSchema)
+
+    // Register the output's derivation so column lineage flows THROUGH the
+    // RDD boundary instead of truncating at the LogicalRDD leaf (the r9-r11
+    // design-noted gap): input columns pass through positionally; the rank
+    // column derives from the order columns (they decide every rank); each
+    // running sum derives from its summed input plus the order columns.
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LogicalSort}
+    import org.apache.spark.sql.graft.RddLineage
+    // resolve the order columns by running them through one analysis-only
+    // probe (sortWithinPartitions plans no job) and mapping the resolved
+    // SortOrder references onto the source output BY exprId — exact, where
+    // name-matching the unresolved Columns would guess
+    val (srcPlan, orderIdx) =
+      df.sortWithinPartitions(orderBy: _*).queryExecution.analyzed match {
+        case srt: LogicalSort =>
+          val srcOutA = srt.child.output
+          (srt.child, srt.order.flatMap(_.references.toSeq)
+            .map(a => srcOutA.indexWhere(_.exprId == a.exprId))
+            .filter(_ >= 0).distinct)
+        case _ => (df.queryExecution.analyzed, Seq.empty[Int])
+      }
+    val appended = (rankCol -> orderIdx) +: runningSums.zipWithIndex.map {
+      case ((_, outName), i) => outName -> (sumIdx(i) +: orderIdx).distinct
+    }
+    out.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach { internalRdd =>
+      RddLineage.register(internalRdd,
+        RddLineage.Derivation(srcPlan, appended, "GlobalOrder"))
+    }
+    out
   }
 }

@@ -80,6 +80,38 @@ object FlowAnalysis {
     require(depth <= 128, "plan too deep for lineage analysis")
 
     plan match {
+      // an RDD-backed leaf whose producing operator registered its
+      // derivation (GlobalOrderOps' imperative prefix pass): resume the
+      // walk through the recorded source plan instead of truncating —
+      // the boundary becomes an ordinary unary plan node whose
+      // pass-through columns bind positionally and whose appended
+      // columns (rank, running sums) edge from their declared inputs
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if RddLineage.lookup(l.rdd).isDefined =>
+        val d = RddLineage.lookup(l.rdd).get
+        val (childId, childBindings) = collect(d.source, ctx, cached, depth + 1)
+        val id = ctx.nextId(d.opName)
+        ctx.nodes += FlowNode(id, d.opName, l.output.map(_.name),
+          schemaDDL(l), FlowNodeType.Plan, cached(l))
+        val srcOut = d.source.output
+        (0 until math.min(srcOut.length, l.output.length)).foreach { i =>
+          childBindings.get(srcOut(i)).foreach(b =>
+            ctx.edges += FlowEdge(b.nodeId, Some(b.idx), id, Some(i)))
+        }
+        d.appended.zipWithIndex.foreach { case ((_, srcIdxs), j) =>
+          val outIdx = srcOut.length + j
+          if (outIdx < l.output.length) {
+            if (srcIdxs.isEmpty) ctx.edges += FlowEdge(childId, None, id, Some(outIdx))
+            else srcIdxs.foreach { si =>
+              childBindings.get(srcOut(si)).foreach(b =>
+                ctx.edges += FlowEdge(b.nodeId, Some(b.idx), id, Some(outIdx)))
+            }
+          }
+        }
+        (id, AttributeMap(l.output.zipWithIndex.map { case (a, i) =>
+          a -> Binding(id, i)
+        }))
+
       case leaf: LeafNode =>
         // (ident, type, cached, stable): stable idents (catalog tables, file
         // scans, views) double as uids so repeated scans merge into one node

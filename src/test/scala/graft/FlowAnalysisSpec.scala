@@ -537,10 +537,41 @@ class FlowAnalysisSpec extends AnyFunSuite {
     assert(leaf.get.attributes === Seq("id", "w"))
     // aggregate edges still resolve column-level above the RDD leaf
     assert(edges.exists(e => e.fromId == leaf.get.uniqueId))
-    // and the full q95 plan (range shuffle + offsets + RDD rebuild) analyzes
+  }
+
+  test("GlobalOrderOps output stitches lineage through the RDD boundary " +
+      "(RddLineage-registered derivation)") {
+    // the two-phase prefix kernel leaves SQL for one imperative pass and
+    // re-enters via createDataFrame(RDD) — an unregistered LogicalRDD
+    // would truncate lineage there (the r9-r11 design-noted gap). The
+    // operator registers its derivation, so the analyzer walks on through
+    // the source plan: pass-through columns bind positionally, the rank
+    // column derives from the order columns, each running sum from its
+    // summed input plus the order columns.
+    import graft.operators.GlobalOrderOps
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val out = GlobalOrderOps.withGlobalOrder(src, Seq(col("o_orderkey")),
+      rankCol = "rk", runningSums = Seq("cents" -> "cum"))
+    val (nodes, _) = SQLFlow.datasetGraph(out)
+    assert(nodes.exists(_.ident == "GlobalOrder"),
+      s"expected a GlobalOrder boundary node: ${nodes.map(_.ident)}")
+    val p = provenance(out)
+    assert(p.contains(("orders.parquet:o_orderkey", "o_orderkey")))
+    assert(p.contains(("orders.parquet:o_totalprice", "cents")))
+    // rank ← order columns only
+    assert(p.contains(("orders.parquet:o_orderkey", "rk")))
+    assert(!p.contains(("orders.parquet:o_totalprice", "rk")))
+    // running sum ← summed input + order columns
+    assert(p.contains(("orders.parquet:o_totalprice", "cum")))
+    assert(p.contains(("orders.parquet:o_orderkey", "cum")))
+    // and the full q95 plan's provenance reaches the base table through
+    // the boundary (it was a bare 4-node LogicalRDD-rooted graph before)
     val q95 = SparkEntry.queries("q95_pps_sample")(spark, sf)
-    val (n95, e95) = SQLFlow.datasetGraph(q95)
-    assert(n95.nonEmpty && e95.nonEmpty)
+    val p95 = provenance(q95)
+    assert(p95.contains(("orders.parquet:o_totalprice", "cents")))
+    assert(p95.contains(("orders.parquet:o_totalprice", "n_picks")))
   }
 
   test("MapInPandas lineage: opaque python-operator outputs credit child " +
