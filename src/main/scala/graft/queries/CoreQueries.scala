@@ -1408,6 +1408,11 @@ object CoreQueries {
       // pattern), so the fact table is scanned exactly once per run where
       // a per-branch build would read lineitem four times; the plan spec
       // pins it (zero fact scans downstream of the checkpoint)
+      // (measured, not assumed: spreading the scan and the checkpointed
+      // basket table DID parallelize the pair fan-out but the two added
+      // exchanges + GC cost more than they saved at this corpus size —
+      // 2.4 s → 3.7-5.0 s in the stage probe — so the few-split shape
+      // stays; at real scale the scan yields enough splits on its own)
       val baskets = b.groupBy("okey")
         .agg(sort_array(collect_set(col("part"))).as("items"))
         .localCheckpoint()

@@ -537,7 +537,14 @@ object SimilarityQueries {
       // multiplies), so each unordered pair is scored ONCE on the strict
       // upper triangle and emitted in both directions — half the float
       // work of the naive full cross product for the identical result.
-      val emb = tbl(s, dir, "embeddings")
+      // spread() at entry: the one-row-group fixture scan is ONE split, and
+      // with the replicated side auto-broadcast at this corpus size the
+      // whole quadratic scoring pipeline inherits the scan's parallelism —
+      // the probe showed every stage at t=1 (3 s single-threaded). At
+      // corpus scale the scan yields thousands of splits and this is a
+      // no-op; the join side also outgrows the broadcast threshold and
+      // the kernel's shuffled-join shape takes over.
+      val emb = spread(tbl(s, dir, "embeddings"))
       val pairs = graft.operators.CrossOps
         .blockedSelfPairs(emb.select("vec_id", "embedding"), "vec_id")
         .select(col("vec_id_a").as("id_a"), col("vec_id_b").as("id_b"),
