@@ -1258,7 +1258,11 @@ object DedupQueries {
       f AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(h) - 7, 1)),
               i -> LIST_MIN(h[i:i+7])))) AS fp
             FROM g),
-      d AS (SELECT fp, COUNT(DISTINCT doc_id) AS df FROM f GROUP BY fp)
+      -- plain COUNT, matching the Spark side: f is distinct on (doc_id, fp)
+      -- by construction (LIST_DISTINCT per doc), so the two agree under any
+      -- input — a COUNT(DISTINCT) here would silently diverge from Spark's
+      -- count if a corpus ever carried duplicate doc_id rows
+      d AS (SELECT fp, COUNT(*) AS df FROM f GROUP BY fp)
       SELECT doc_id, COUNT(*) AS n_fingerprints,
              CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fps,
              (1000 * CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_ratio_milli

@@ -34,19 +34,24 @@ object EntryStageProbe {
 
     case class St(name: String, wallMs: Long, cpuMs: Long, gcMs: Long,
         shufReadMB: Long, shufWriteMB: Long, spillMB: Long, tasks: Int)
+    // appended from the listener-bus thread, read/cleared from the main
+    // loop — all access under the buffer's own lock (the 500 ms drain
+    // sleep below is a heuristic, not a barrier)
     val stages = scala.collection.mutable.ArrayBuffer[St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
-        stages += St(
-          s"stage${si.stageId} ${si.name.takeWhile(_ != '\n').take(70)}",
-          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
-          m.executorCpuTime / 1000000, m.jvmGCTime,
-          m.shuffleReadMetrics.totalBytesRead / 1048576,
-          m.shuffleWriteMetrics.bytesWritten / 1048576,
-          (m.memoryBytesSpilled + m.diskBytesSpilled) / 1048576,
-          si.numTasks)
+        stages.synchronized {
+          stages += St(
+            s"stage${si.stageId} ${si.name.takeWhile(_ != '\n').take(70)}",
+            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+            m.executorCpuTime / 1000000, m.jvmGCTime,
+            m.shuffleReadMetrics.totalBytesRead / 1048576,
+            m.shuffleWriteMetrics.bytesWritten / 1048576,
+            (m.memoryBytesSpilled + m.diskBytesSpilled) / 1048576,
+            si.numTasks)
+        }
       }
     })
 
@@ -60,14 +65,14 @@ object EntryStageProbe {
     }
 
     for (name <- names; rep <- 0 until 3) {
-      stages.clear()
+      stages.synchronized(stages.clear())
       System.gc()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // drain the listener bus (private API in Spark 4)
       println(f"== $name rep $rep: wall $wall%.2f s, rows $n ==")
-      stages.sortBy(-_.wallMs).take(6).foreach { s =>
+      stages.synchronized(stages.sortBy(-_.wallMs).take(6).toList).foreach { s =>
         println(f"  ${s.wallMs}%6d ms wall  cpu ${s.cpuMs}%7d  gc ${s.gcMs}%6d  " +
           f"sR ${s.shufReadMB}%5d MB sW ${s.shufWriteMB}%5d MB spill ${s.spillMB}%5d MB  " +
           f"t=${s.tasks}%3d  ${s.name}")
