@@ -104,6 +104,15 @@ object DedupQueries {
     * the shuffled payload is fixed-width. */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     sharedDf(s, s"shingles|$dir") {
+      // MEASURED NEGATIVE (r12 stage probe, heavy dir): spread()ing this
+      // scan so the cache (and every consumer stage) runs t=32 instead of
+      // the scan's t=10 made the consumers WORSE, not better — d03 steady
+      // wall 1.92 → 2.73 s, d14 1.98 → 2.76 s, with consumer-stage CPU up
+      // ~60% (12.3 → 19.6 s on d03's rep) — the added exchange, 3× smaller
+      // cached blocks, and extra GC outweigh the parallelism on the
+      // band/verify paths (the q89 class). Reverted; keep the plain scan
+      // layout. (d15's assignment pass is the opposite case — one dominant
+      // compute-bound projection — and keeps its spread, see d15.)
       tbl(s, dir, "documents")
         .select(col("doc_id"), token_shingle_hashes(col("text"), 3).as("sh"))
     }
@@ -645,7 +654,15 @@ object DedupQueries {
       // floored, and the threshold uses this corpus' cosine range (max
       // pairwise ≈ 0.48; production would use ~0.95).
       import org.apache.spark.sql.graft.functions.vec_cosine
-      val a = SimilarityQueries.semdedupAssigned(s, dir)
+      // sharedDf across the self-join's two sides (the d04 precedent): the
+      // nlist-cosine assignment pass is the entry's dominant CPU and was
+      // computed ONCE PER SIDE before (an r12 stage probe showed two ~8 s
+      // stages, both at the scan's t=10 layout); spreadScan rebalances the
+      // undersized fixture scan so the one remaining pass uses the full
+      // session parallelism.
+      val a = sharedDf(s, s"semdedup_assigned|$dir") {
+        SimilarityQueries.semdedupAssigned(s, dir, spreadScan = true)
+      }
       a.select(col("pivot_id"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
         .join(a.select(col("pivot_id"), col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
           "pivot_id")

@@ -163,17 +163,25 @@ object SimilarityQueries {
     * assignment half of IVF (one narrow map-side projection; ties to max
     * sim then lowest pivot id), shared by s02's probe path and d15's
     * SemDeDup cluster bound. */
-  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssigned(s: SparkSession, dir: String,
+      spreadScan: Boolean = false): DataFrame = {
     val pivots = ivfPivots(s, dir)
-    tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+    // spreadScan parallelizes the nlist-cosine scoring pass over an
+    // undersized fixture scan (one split per file — an r12 stage probe
+    // showed d15's two assignment stages at t=10 on 32 cores). Default
+    // OFF: s02-class probe paths filter this projection, and a rebalance
+    // above the scan would block that pushdown.
+    val base = tbl(s, dir, "embeddings")
+    (if (spreadScan) spread(base) else base).select(col("vec_id"), col("embedding"),
       assignedPivotId(pivots, col("embedding")).as("pivot_id"))
   }
 
   /** d15's assignment IS the IVF assignment: one chooser ([[ivfNlistFor]]),
     * one sampled-training quantizer ([[ivfPivots]]), one assignment rule —
     * SemDeDup's clustering and the ANN index cannot drift apart. */
-  private[graft] def semdedupAssigned(s: SparkSession, dir: String): DataFrame =
-    ivfAssigned(s, dir)
+  private[graft] def semdedupAssigned(s: SparkSession, dir: String,
+      spreadScan: Boolean = false): DataFrame =
+    ivfAssigned(s, dir, spreadScan)
 
   /** Nearest-pivot scoring with the trained centroids embedded as
     * LITERALS: an array of (sim, -pivot) structs — array_max picks the
