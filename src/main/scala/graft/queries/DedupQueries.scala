@@ -660,9 +660,12 @@ object DedupQueries {
       // stages, both at the scan's t=10 layout); spreadScan rebalances the
       // undersized fixture scan so the one remaining pass uses the full
       // session parallelism.
-      val a = sharedDf(s, s"semdedup_assigned|$dir") {
-        SimilarityQueries.semdedupAssigned(s, dir, spreadScan = true)
-      }
+      // resolve BEFORE entering the registry (the sharedDf contract):
+      // building this plan trains ivfPivots and materializes spread()'s
+      // partition probe — multi-second Spark jobs that must not run under
+      // a CHM bin lock (the ivfPivots rule; r12 review)
+      val assignedPlan = SimilarityQueries.semdedupAssigned(s, dir, spreadScan = true)
+      val a = sharedDf(s, s"semdedup_assigned|$dir") { assignedPlan }
       a.select(col("pivot_id"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
         .join(a.select(col("pivot_id"), col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
           "pivot_id")

@@ -169,8 +169,13 @@ object SimilarityQueries {
     // spreadScan parallelizes the nlist-cosine scoring pass over an
     // undersized fixture scan (one split per file — an r12 stage probe
     // showed d15's two assignment stages at t=10 on 32 cores). Default
-    // OFF: s02-class probe paths filter this projection, and a rebalance
-    // above the scan would block that pushdown.
+    // OFF so the s02-class consumers keep their current plans: they join
+    // this projection unfiltered against a broadcast probe side, so at
+    // fixture scale the extra exchange would be pure overhead, and at
+    // corpus scale spread() is a no-op anyway. (In the no-op regime this
+    // subtree canonicalizes identically to d15's cached copy, so
+    // CacheManager may substitute it — benign reuse of the identical
+    // assignment, since nothing prunes or filters below this projection.)
     val base = tbl(s, dir, "embeddings")
     (if (spreadScan) spread(base) else base).select(col("vec_id"), col("embedding"),
       assignedPivotId(pivots, col("embedding")).as("pivot_id"))

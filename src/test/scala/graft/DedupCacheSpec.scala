@@ -68,7 +68,7 @@ class DedupCacheSpec extends AnyFunSuite {
     }
     val before = sc.getPersistentRDDs.keySet
     Seq("d03_minhash_lsh", "d04_simhash", "d05_ngram_jaccard", "d07_embedding_neardup",
-      "d08_jaccard_exact_join", "d09_dup_components")
+      "d08_jaccard_exact_join", "d09_dup_components", "d15_semdedup")
       .foreach(n => SparkEntry.queries(n)(spark, sf).count())
     assert(sc.getPersistentRDDs.keySet.size > before.size,
       "expected shared intermediates to be pinned mid-run")
