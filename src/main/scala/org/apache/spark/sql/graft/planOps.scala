@@ -32,11 +32,16 @@ object PlanIntrospection {
     * written that way passes vacuously. Tests must unwrap first (lives
     * here because the accessor is private[sql]). */
   def physicalPlan(df: Dataset[_]): SparkPlan =
-    df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
+    unwrap(df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan)
+
+  /** The same adaptive unwrap for an already-materialized [[SparkPlan]] —
+    * e.g. an `InMemoryRelation.cachedPlan`, which AQE wraps exactly like a
+    * root plan (and whose subtree is equally invisible to `collect`). */
+  def unwrap(plan: SparkPlan): SparkPlan = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a.executedPlan
+    case p => p
+  }
 }
 
 object PlanOps {

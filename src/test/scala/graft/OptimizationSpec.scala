@@ -249,6 +249,36 @@ class OptimizationSpec extends AnyFunSuite {
       s"size lookups must be broadcast joins:\n$plan")
   }
 
+  test("d15 computes the IVF assignment once: both self-join sides read one " +
+      "cached relation, with the assignment spread below the cache") {
+    // the r12 optimization pin: before it, each self-join side re-ran the
+    // nlist-cosine assignment at the scan's split count (two ~8 s t=10
+    // stages on the heavy probe). The shape that fixed it: ONE sharedDf
+    // cache of the assigned table (both InMemoryTableScans must share a
+    // cacheBuilder, i.e. one materialization) whose cached plan carries
+    // the round-robin spread() rebalance of the undersized scan.
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.graft.PlanIntrospection
+    val df = SparkEntry.queries("d15_semdedup")(spark, sf)
+    val scans = PlanIntrospection.physicalPlan(df).collect {
+      case s: InMemoryTableScanExec => s
+    }
+    assert(scans.size == 2,
+      s"expected both self-join sides on the assignment cache, saw ${scans.size}")
+    assert(scans.map(_.relation.cacheBuilder).distinct.size == 1,
+      "the two sides must share ONE cached materialization of the assignment")
+    val spreadExchanges = PlanIntrospection.unwrap(scans.head.relation.cachedPlan).collect {
+      case e: ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+    }
+    assert(spreadExchanges.nonEmpty,
+      "the cached assignment plan must rebalance the undersized scan " +
+        "(spreadScan) so the cosine pass parallelizes:\n" +
+        scans.head.relation.cachedPlan)
+  }
+
   test("q66 plans a Sample node; q67 plans CollectTail") {
     val samplePlan = SparkEntry.queries("q66_tablesample")(spark, sf)
       .queryExecution.executedPlan.toString
