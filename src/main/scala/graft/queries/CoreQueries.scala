@@ -535,9 +535,16 @@ object CoreQueries {
         .select(col("e.t1").as("t1"), col("e.t2").as("t2"))
         .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5 && col("t1") =!= col("t2"))
+      // referenced three times (twice inside deg's unionAll, once by the
+      // orientation join) — without the checkpoint the whole corpus bigram
+      // subtree re-ran per reference (an r12 stage probe showed the same
+      // 5.5 s-CPU stage THREE times; exchange reuse does not fire across
+      // the differing consumers). Vocabulary-sized, the d16/oriented
+      // bounded-intermediate class.
       val und = big
         .select(least(col("t1"), col("t2")).as("u"), greatest(col("t1"), col("t2")).as("v"))
         .distinct()
+        .localCheckpoint()
       val deg = und.select(col("u").as("t")).unionAll(und.select(col("v").as("t")))
         .groupBy("t").agg(count(lit(1)).as("deg"))
       // 19-digit zero-pad covers the FULL non-negative Long range (max
@@ -1367,7 +1374,14 @@ object CoreQueries {
         .withColumn("idf_milli",
           expr("(1000L * (2L * n_docs - 2L * df + 1L)) DIV (2L * df + 1L)"))
         .select("query_id", "term", "idf_milli", "avgdl_milli")
-      val dl = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      // dl = Σ tf per doc — BIT-identical to size(tk) (a doc's token count
+      // is the sum of its term frequencies) but derived from the posting
+      // table instead of a second corpus tokenize pass (an r12 stage probe
+      // showed the re-split as its own 3.4 s-CPU map stage). Docs with
+      // zero tokens drop out of both tf and dl, and never scored anyway
+      // (scoring is tf ⋈ dl ⋈ query terms). stats stays a direct corpus
+      // aggregate so n_docs keeps counting ALL documents.
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       tf.join(dl, "doc_id")
         .join(broadcast(qw), "term")
         .withColumn("norm_milli", expr("250L + (750L * dl * 1000L) DIV avgdl_milli"))
