@@ -36,11 +36,33 @@ object PlanIntrospection {
 
   /** The same adaptive unwrap for an already-materialized [[SparkPlan]] —
     * e.g. an `InMemoryRelation.cachedPlan`, which AQE wraps exactly like a
-    * root plan (and whose subtree is equally invisible to `collect`). */
+    * root plan. NOTE: one level only — once a plan has EXECUTED, its final
+    * plan nests further `QueryStageExec` leaves that stay opaque to
+    * `collect`; shape assertions that must survive execution order should
+    * traverse with [[flatten]] instead. */
   def unwrap(plan: SparkPlan): SparkPlan = plan match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
       a.executedPlan
     case p => p
+  }
+
+  /** Every node of `plan`, descending through the adaptive runtime's leaf
+    * wrappers (`AdaptiveSparkPlanExec` and materialized `QueryStageExec`
+    * stages) that `SparkPlan.collect` treats as opaque leaves — the
+    * order-robust way to assert plan shape whether or not the plan (or a
+    * cached subtree of it) has already run. */
+  def flatten(plan: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // unwrap to fixpoint: a wrapper's payload can itself be a wrapper
+    // (e.g. an adaptive root whose final plan IS a query stage)
+    @annotation.tailrec
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+      case q: QueryStageExec => strip(q.plan)
+      case other => other
+    }
+    val p = strip(plan)
+    p +: p.children.flatMap(flatten)
   }
 }
 

@@ -261,15 +261,19 @@ class OptimizationSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.graft.PlanIntrospection
+    // flatten, not collect: if an earlier suite in this JVM already ran
+    // d15 (the cache is session-keyed and sessions share the JVM), the
+    // cached plan's AQE wrapper holds a FINAL plan whose QueryStageExec
+    // leaves hide the exchange from a plain collect (r12 review)
     val df = SparkEntry.queries("d15_semdedup")(spark, sf)
-    val scans = PlanIntrospection.physicalPlan(df).collect {
+    val scans = PlanIntrospection.flatten(PlanIntrospection.physicalPlan(df)).collect {
       case s: InMemoryTableScanExec => s
     }
     assert(scans.size == 2,
       s"expected both self-join sides on the assignment cache, saw ${scans.size}")
     assert(scans.map(_.relation.cacheBuilder).distinct.size == 1,
       "the two sides must share ONE cached materialization of the assignment")
-    val spreadExchanges = PlanIntrospection.unwrap(scans.head.relation.cachedPlan).collect {
+    val spreadExchanges = PlanIntrospection.flatten(scans.head.relation.cachedPlan).collect {
       case e: ShuffleExchangeLike
         if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
     }
