@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * run's stdout (stderr interleaved), so the line is FIXED-SIZE: totals,
   * a fixed headline panel (one representative per family, short ids),
   * and a pointer to `bench_details.json`, which carries every inventory
-  * entry with full names and full precision (committed per round).
+  * entry with full names, full precision, and per-entry
+  * spill/GC/peak-mem telemetry (committed per round; see [[EntryStats]]).
   *
   * Two tiers:
   *   - the full inventory at SPARK_GRAFT_SF_DIR (two passes, min per query:
@@ -28,6 +29,40 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** One measured sample of an entry: wall seconds plus the telemetry that
+    * makes a cross-environment swing ADJUDICABLE from the artifact (r12
+    * verdict item 2 — ten rounds of "burst or structure?" on s11/d22 were
+    * the cost of recording wall time alone).
+    *   - spillMb: Σ (memory+disk) bytes spilled over the entry's stages —
+    *     nonzero means a structural memory problem, not contention;
+    *   - gcMs: Σ executor JVM GC time — a contention burst shows high
+    *     wall with flat gc/spill, a heap problem shows gc tracking wall;
+    *   - peakMemMb: max over stages of the stage's summed per-task
+    *     execution-memory peaks — the entry's worst concurrent
+    *     execution-memory demand (sum across tasks, so it can exceed the
+    *     heap when tasks don't overlap; compare round-over-round, not
+    *     against the heap size). */
+  private case class EntryStats(sec: Double, spillMb: Long, gcMs: Long, peakMemMb: Long)
+  private val Failed = EntryStats(-1.0, 0L, 0L, 0L)
+
+  /** Accumulates stage-level spill/GC/peak-mem between reset() and snap().
+    * Registered once; reset per timed entry after a listener-bus drain, so
+    * attribution follows entry boundaries. */
+  private final class Telemetry extends org.apache.spark.scheduler.SparkListener {
+    private var spill = 0L; private var gc = 0L; private var peak = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = synchronized {
+      val m = sc.stageInfo.taskMetrics
+      spill += m.memoryBytesSpilled + m.diskBytesSpilled
+      gc += m.jvmGCTime
+      peak = math.max(peak, m.peakExecutionMemory)
+    }
+    def reset(): Unit = synchronized { spill = 0L; gc = 0L; peak = 0L }
+    def snap(sec: Double): EntryStats = synchronized {
+      EntryStats(sec, spill >> 20, gc, peak >> 20)
+    }
+  }
 
   /** "q01_pricing_summary" -> "q01" — unique across the inventory (asserted
     * below), and the id scheme CORRECTNESS/COVERAGE already key on. */
@@ -162,23 +197,40 @@ object Bench {
     // optional comma-separated name-prefix filter for focused timing runs
     // (e.g. SPARK_GRAFT_ONLY=d08,d09); absent = full inventory
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    def time(name: String, fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    val telemetry = new Telemetry
+    spark.sparkContext.addSparkListener(telemetry)
+    def drainBus(): Unit = {
+      // a timed-out drain only UNDER-counts the current entry's trailing
+      // stages; wall time is unaffected either way
+      org.apache.spark.sql.graft.ListenerBusDrain.drain(spark.sparkContext)
+      ()
+    }
+    def time(name: String, fn: (SparkSession, String) => DataFrame, dir: String): EntryStats = {
+      drainBus() // a prior entry's stragglers must not leak into this one
+      telemetry.reset()
       val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast success: report -1
       // (kept out of the total below) so a broken query reads as broken
       // in round-over-round compares instead of as a huge speedup
-      try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        drainBus()
+        telemetry.snap(sec)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1.0
+        Failed
       }
     }
     // a transiently-failed pass must not poison the min (math.min(v, -1)
     // would report a healthy query as broken): take the min over the
-    // non-negative samples, and report -1 only when EVERY pass failed
-    def minOk(samples: Double*): Double = {
-      val ok = samples.filter(_ >= 0)
-      if (ok.isEmpty) -1.0 else ok.min
+    // non-negative samples, and report -1 only when EVERY pass failed.
+    // Telemetry travels WITH the winning sample — spill/GC explain the
+    // reported wall time, so mixing passes would break attribution.
+    def minOk(samples: EntryStats*): EntryStats = {
+      val ok = samples.filter(_.sec >= 0)
+      if (ok.isEmpty) Failed else ok.minBy(_.sec)
     }
     // Pass 2 runs the inventory ROTATED BY HALF: a container contention
     // burst then hits a different stretch of the inventory in each pass,
@@ -191,7 +243,7 @@ object Bench {
     // 2.1 s → 0.097 s). A half-rotation keeps every family's internal
     // order, so per-query amortization semantics match pass 1 exactly.
     def rotate[A](xs: Seq[A]): Seq[A] = xs.drop(xs.size / 2) ++ xs.take(xs.size / 2)
-    def runAll(rotated: Boolean): Seq[(String, Double)] = {
+    def runAll(rotated: Boolean): Seq[(String, EntryStats)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       (if (rotated) rotate(ordered) else ordered)
@@ -212,7 +264,7 @@ object Bench {
     // SPARK_GRAFT_ONLY normally skips the tier (focused main-tier runs);
     // setting SPARK_GRAFT_HEAVY=1 explicitly keeps it, filtered to the
     // same names — the dev loop for iterating on one heavy entry.
-    val heavy: Seq[(String, Double)] =
+    val heavy: Seq[(String, EntryStats)] =
       if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0") ||
         (only.nonEmpty && !sys.env.get("SPARK_GRAFT_HEAVY").contains("1"))) Seq.empty
       else {
@@ -230,7 +282,7 @@ object Bench {
         // no longer changes any entry's amortization — every family entry
         // is uniformly marginal-cost.
         def rotateBy[A](xs: Seq[A], k: Int): Seq[A] = xs.drop(k) ++ xs.take(k)
-        def heavyPass(third: Int): Seq[(String, Double)] = {
+        def heavyPass(third: Int): Seq[(String, EntryStats)] = {
           graft.queries.DedupQueries.releaseShared()
           spark.catalog.clearCache()
           val ordered = HeavyNames.filter(SparkEntry.queries.contains)
@@ -247,7 +299,7 @@ object Bench {
           // an unused build, and the pair table — the expensive
           // artifact — builds only when a pair consumer is in scope.
           import graft.queries.DedupQueries.{SharedPairConsumers, SharedShingleConsumers, SharedSigConsumers}
-          val sharedBuild: Seq[(String, Double)] =
+          val sharedBuild: Seq[(String, EntryStats)] =
             if (!ordered.exists(SharedShingleConsumers)) Seq.empty
             else {
               val withPairs = ordered.exists(SharedPairConsumers)
@@ -255,13 +307,17 @@ object Bench {
               // shingle-only focused run (e.g. d22) skips the unused
               // 32-perm build (r11 advice)
               val withSigs = ordered.exists(SharedSigConsumers)
+              drainBus()
+              telemetry.reset()
               val t0 = System.nanoTime()
               val v =
                 try { graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs, withSigs)
-                      (System.nanoTime() - t0) / 1e9 }
+                      val sec = (System.nanoTime() - t0) / 1e9
+                      drainBus()
+                      telemetry.snap(sec) }
                 catch { case e: Throwable =>
                   System.err.println(s"[bench] dshared_build FAILED: ${e.getMessage}")
-                  -1.0
+                  Failed
                 }
               Seq("dshared_build" -> v)
             }
@@ -324,23 +380,31 @@ object Bench {
       }
       Seq("plain" -> rate(contracted = false), "contracted" -> rate(contracted = true))
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
     // a failed query (-1 sentinel) is excluded from the totals, so it must
     // be SURFACED, not silently dropped — otherwise a breakage reads as a
     // speedup on the machine-parseable line (the old per-query map showed
     // -1 inline; the fixed-size line needs an explicit failure field)
-    val failedIds = (results ++ heavy).collect { case (k, v) if v < 0 => shortId(k) }.distinct
+    val failedIds = (results ++ heavy).collect { case (k, v) if v.sec < 0 => shortId(k) }.distinct
     // full-precision, full-name details for humans and local diffing.
     // Focused (SPARK_GRAFT_ONLY) runs write a SEPARATE file: the committed
     // bench_details.json must only ever hold full-inventory runs — a
     // focused stub overwriting it would corrupt round-over-round compares
     val detailsFile =
       if (only.isEmpty) "bench_details.json" else "bench_details_focused.json"
+    // per-entry objects since r13: sec plus the spill/GC/peak-mem that
+    // make a cross-environment swing adjudicable (see EntryStats). The
+    // telemetry belongs to the SAME pass as the reported (min) wall time.
+    def statsJson(xs: Seq[(String, EntryStats)]): String =
+      xs.map { case (k, v) =>
+        "\"" + k + "\":{\"sec\":" + v.sec + ",\"spill_mb\":" + v.spillMb +
+          ",\"gc_ms\":" + v.gcMs + ",\"peak_mem_mb\":" + v.peakMemMb + "}"
+      }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
          |"failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")},
-         |"queries":${results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
-         |"heavy_10x":${heavy.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"queries":${statsJson(results)},
+         |"heavy_10x":${statsJson(heavy)},
          |"lineage_plans_per_sec":${lineage.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(detailsFile),
@@ -369,8 +433,8 @@ object Bench {
       "t08_doc_top_terms", "t20_bpe_learn", "m03_feature_extract",
       "p01_training_mix", "z01_lineage_extraction")
     val byName = results.toMap
-    val headline = headlinePanel.filter(byName.contains).map(n => shortId(n) -> byName(n))
-    val heavyTotal = heavy.map(_._2).filter(_ >= 0).sum
+    val headline = headlinePanel.filter(byName.contains).map(n => shortId(n) -> byName(n).sec)
+    val heavyTotal = heavy.map(_._2.sec).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":${jsonMap(headline)}""" +

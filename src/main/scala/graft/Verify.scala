@@ -15,7 +15,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // match Bench: bounded top-k aggregates carry O(k)-per-group state,
       // so hash aggregation over large group counts is the intended path
-      // (see the Bench session builder for the s11 fallback-spill story)
+      // (see the Bench session builder for the s11 fallback-spill story).
+      // CAVEAT (r12 advice): this session-wide override also defers the
+      // sort-based safety net for UNBOUNDED-per-group-state aggregates
+      // (collect_set/collect_list — e.g. q17's baskets); at the
+      // inventory's scales their total state is small, but if a
+      // collect_*-heavy entry ever shows memory pressure, scope the
+      // override around the top-k entries instead
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -75,6 +75,11 @@ object KMeansOps {
         .agg(min_by(col("c_vec"), col(idCol)).as("c_vec")),
       k, "kmeans init centroids (grouped by id % k)")
       .toSeq.map(r => r.getInt(0) -> r.getSeq[Float](1))
+    // degenerate input (empty or fully-filtered working set) must fail
+    // loudly HERE — the update loop below reads centroids.head for the
+    // dimension bound and would otherwise throw an opaque
+    // NoSuchElementException (r12 advice)
+    require(centroids.nonEmpty, "kmeans: no input rows to seed centroids")
 
     for (_ <- 0 until iters) {
       // update: ONE partial-aggregated shuffle per iteration on

@@ -1005,15 +1005,24 @@ object DedupQueries {
       // the whole pipeline replays bit-for-bit in the oracle. Scale
       // note: the shared-shingle pair space is quadratic in cluster
       // size BY DESIGN (like s10's exact baseline, this is the
-      // measurement, not the production path — production audits run
-      // this on a sampled corpus slice); signatures cost one map-side
-      // 32-hash fan-out per posting row and one (doc, perm)-keyed min.
+      // measurement, not the production path); the entry therefore runs
+      // the audit over a DETERMINISTIC 40% corpus slice (md5(doc_id)
+      // mod 5 < 2 — replayed identically by the oracle), which is how a
+      // production metrology audit runs anyway: the estimator's
+      // calibration is a property of the hash family, not of any one
+      // document, and the slice cuts the quadratic pair space to ~16%
+      // while the per-decile table stays exact over the sampled pairs
+      // (r12 verdict item 4: the full audit was the slowest main-tier
+      // entry in both environments — drop the sample predicate to run
+      // it). Signatures cost one map-side 32-hash fan-out per posting
+      // row and one (doc, perm)-keyed min.
       val P = 32
       val tk = filter(split(col("text"), " "), t => t =!= "")
       // spread: the single-row-group fixture scan would otherwise run the
       // 32-hash signature fan-out on one core (QueryDsl.spread — a no-op
       // once scans yield >= parallelism splits)
-      val sh = spread(tbl(s, dir, "documents"))
+      val sh = spread(tbl(s, dir, "documents")
+          .filter(expr("CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)),1,4),16,10) % 5 < 2")))
         .select(col("doc_id"), tk.as("tk")).filter(size(col("tk")) >= 3)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(1, size(tk) - 2), " +
@@ -1604,8 +1613,11 @@ $steps
       FROM d LEFT JOIN near ON d.doc_id = near.doc_id
       GROUP BY source, lang""",
 
+    // the deterministic 40% doc_id-hash slice replays the Spark side's
+    // sample predicate exactly (md5-prefix idiom, BUILD_NOTES)
     "d26_minhash_estimator_audit" -> """
-      WITH d AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents),
+      WITH d AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents
+                 WHERE CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 < 2),
       shl AS (
         SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-2),
                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh

@@ -77,8 +77,16 @@ object QueryDsl {
     // for ordered inputs — TakeOrderedAndProject); every call site is
     // either explicitly ordered or key-addressed, never partition-order
     // dependent.
-    require(limit > 0 && limit < Int.MaxValue, s"$what: bound $limit not in (0, Int.MaxValue)")
-    val rows = df.take(limit.toInt + 1)
+    require(limit > 0, s"$what: bound $limit must be positive")
+    // Bounds past the JVM array ceiling clamp the overflow probe instead
+    // of failing the require (r12 advice: GraphOps callers pass
+    // 2*maxDriverPairs, which can exceed Int.MaxValue even when the
+    // actual result is tiny). Below the ceiling the check stays exact;
+    // at/above it take() cannot return more than the clamp anyway, so
+    // the bound is unfalsifiable here — a >2^31-row driver materialize
+    // would fail in the JVM long before this gate could.
+    val probe = (math.min(limit, Int.MaxValue - 2L) + 1).toInt
+    val rows = df.take(probe)
     require(rows.length <= limit,
       s"$what: driver-side collect exceeded declared construction bound " +
         s"$limit rows — not a driver-sized artifact")
