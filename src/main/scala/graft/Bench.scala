@@ -34,6 +34,10 @@ object Bench {
     * makes a cross-environment swing ADJUDICABLE from the artifact (r12
     * verdict item 2 — ten rounds of "burst or structure?" on s11/d22 were
     * the cost of recording wall time alone).
+    *   - cpuSec: Σ executor CPU over the entry's stages — the decisive
+    *     discriminator for a cross-environment wall swing: same cpu_s at
+    *     2-3× the wall = the container was CPU-throttled/contended (the
+    *     r12 d22 suspicion); cpu_s tracking wall = the work itself grew;
     *   - spillMb: Σ (memory+disk) bytes spilled over the entry's stages —
     *     nonzero means a structural memory problem, not contention;
     *   - gcMs: Σ executor JVM GC time — a contention burst shows high
@@ -43,24 +47,26 @@ object Bench {
     *     execution-memory demand (sum across tasks, so it can exceed the
     *     heap when tasks don't overlap; compare round-over-round, not
     *     against the heap size). */
-  private case class EntryStats(sec: Double, spillMb: Long, gcMs: Long, peakMemMb: Long)
-  private val Failed = EntryStats(-1.0, 0L, 0L, 0L)
+  private case class EntryStats(sec: Double, cpuSec: Double, spillMb: Long,
+      gcMs: Long, peakMemMb: Long)
+  private val Failed = EntryStats(-1.0, 0.0, 0L, 0L, 0L)
 
-  /** Accumulates stage-level spill/GC/peak-mem between reset() and snap().
-    * Registered once; reset per timed entry after a listener-bus drain, so
-    * attribution follows entry boundaries. */
+  /** Accumulates stage-level CPU/spill/GC/peak-mem between reset() and
+    * snap(). Registered once; reset per timed entry after a listener-bus
+    * drain, so attribution follows entry boundaries. */
   private final class Telemetry extends org.apache.spark.scheduler.SparkListener {
-    private var spill = 0L; private var gc = 0L; private var peak = 0L
+    private var cpuNs = 0L; private var spill = 0L; private var gc = 0L; private var peak = 0L
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = synchronized {
       val m = sc.stageInfo.taskMetrics
+      cpuNs += m.executorCpuTime
       spill += m.memoryBytesSpilled + m.diskBytesSpilled
       gc += m.jvmGCTime
       peak = math.max(peak, m.peakExecutionMemory)
     }
-    def reset(): Unit = synchronized { spill = 0L; gc = 0L; peak = 0L }
+    def reset(): Unit = synchronized { cpuNs = 0L; spill = 0L; gc = 0L; peak = 0L }
     def snap(sec: Double): EntryStats = synchronized {
-      EntryStats(sec, spill >> 20, gc, peak >> 20)
+      EntryStats(sec, math.round(cpuNs / 1e6) / 1e3, spill >> 20, gc, peak >> 20)
     }
   }
 
@@ -397,7 +403,8 @@ object Bench {
     // telemetry belongs to the SAME pass as the reported (min) wall time.
     def statsJson(xs: Seq[(String, EntryStats)]): String =
       xs.map { case (k, v) =>
-        "\"" + k + "\":{\"sec\":" + v.sec + ",\"spill_mb\":" + v.spillMb +
+        "\"" + k + "\":{\"sec\":" + v.sec + ",\"cpu_s\":" + v.cpuSec +
+          ",\"spill_mb\":" + v.spillMb +
           ",\"gc_ms\":" + v.gcMs + ",\"peak_mem_mb\":" + v.peakMemMb + "}"
       }.mkString("{", ",", "}")
     val detail =

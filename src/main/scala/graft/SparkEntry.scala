@@ -46,7 +46,15 @@ object SparkEntry {
         // r9: an RDD-backed plan (GlobalOrderOps' checkpoint + rebuild);
         // r12: the boundary now stitches through RddLineage, so this
         // member exercises the registered-LogicalRDD path end to end
-        "q95_pps_sample")
+        "q95_pps_sample",
+        // r13: the checkpoint-barrier class (verdict item 5) — iterative
+        // PageRank (eight summarized rounds), a thrice-consumed barrier,
+        // and a winnowing barrier: their panels now show the true source
+        // tables through the checkpoint summary nodes instead of bare
+        // LogicalRDD leaves. NOTE: constructing these entries executes
+        // their eager checkpoints, so z01 pays their build cost — that
+        // is the price of auditing real plans, not synthetic stand-ins
+        "q80_textrank", "q82_triangle_count", "d16_substring_dup")
       // per-plan analysis is embarrassingly parallel (SURVEY §4): build and
       // analyze the panel concurrently on the driver; results sorted by name
       import scala.concurrent.{Await, Future, ExecutionContext}
@@ -79,9 +87,12 @@ object SparkEntry {
       // sf0.01). Pinning them makes any lineage-shape drift a loud
       // hash-mismatch instead of a silent rows-only pass; regenerate the
       // table when a panel query's plan is INTENTIONALLY changed.
+      // regenerate with `sbt "Test/runMain graft.tools.RegenPinnedOracles"`
+      // after an INTENTIONAL panel/plan change (r12 advice)
       "z01_lineage_extraction" -> """
         SELECT * FROM (VALUES
           ('d03_minhash_lsh',     37, 90, 7, 8),
+          ('d16_substring_dup',    9, 20, 2, 5),
           ('m03_feature_extract',  8, 12, 2, 6),
           ('p01_training_mix',    28, 86, 2, 4),
           ('q01_pricing_summary',  5, 28, 2, 6),
@@ -93,6 +104,8 @@ object SparkEntry {
           ('q19_anti_join',        7, 14, 3, 3),
           ('q23_explode_tokens',   6,  6, 2, 1),
           ('q38_asof_join',        7, 18, 3, 3),
+          ('q80_textrank',        16, 39, 2, 15),
+          ('q82_triangle_count',  60, 152, 2, 5),
           ('q95_pps_sample',       6, 18, 2, 4),
           ('s01_knn_brute',       12, 32, 2, 5)
         ) AS t(query, n_nodes, n_edges, n_contracted_nodes, n_contracted_edges)""")

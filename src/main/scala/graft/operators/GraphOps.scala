@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointUtils.SummarizedCheckpointOps
 
 /** Connected components over an undirected pair list `(doc_a, doc_b)`:
   * every node is labeled with the MIN node id of its component.
@@ -60,7 +61,7 @@ object GraphOps {
     } else {
       var labels = edges.select(col("doc_a").as("id")).distinct()
         .withColumn("comp", col("id"))
-        .localCheckpoint()
+        .summarizedCheckpoint()
       // blocks of `rounds` propagation steps, then one convergence probe on
       // the block's LAST step: min-propagation is monotone, so a round that
       // changed nothing proves the fixpoint — correct for ANY component
@@ -78,7 +79,7 @@ object GraphOps {
             .agg(min(col("nbr_comp")).as("nbr_min"))
           labels = labels.join(nbrMin, Seq("id"), "left")
             .select(col("id"), least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-            .localCheckpoint()
+            .summarizedCheckpoint()
           // drop checkpoint snapshots older than `prev` (still needed for
           // the convergence probe) — otherwise every round pins a full
           // label-set copy in the block manager. NOTE: Dataset.unpersist is
@@ -157,7 +158,7 @@ object GraphOps {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-    var edges = canon.localCheckpoint()
+    var edges = canon.summarizedCheckpoint()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -179,7 +180,7 @@ object GraphOps {
         .select(col("m").as("a"), col("v").as("b"))
         .unionAll(smins.select(col("m").as("a"), col("u").as("b")))
         .distinct()
-        .localCheckpoint()
+        .summarizedCheckpoint()
       // fixpoint test = star form, checked structurally: a canonical edge
       // set is a disjoint star forest iff (1) no node appears in both
       // columns (a node that is sometimes parent, sometimes child has
@@ -238,8 +239,8 @@ object GraphOps {
       .distinct()
     val und = canon
       .union(canon.select(col("u").as("v"), col("v").as("u")))
-      .localCheckpoint()
-    var alive = und.select("v").distinct().localCheckpoint()
+      .summarizedCheckpoint()
+    var alive = und.select("v").distinct().summarizedCheckpoint()
     for (_ <- 1 to rounds) {
       alive = und
         .join(alive, "v")
@@ -247,7 +248,7 @@ object GraphOps {
         .groupBy("v").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("v")
-        .localCheckpoint()
+        .summarizedCheckpoint()
     }
     und.join(alive, "v")
       .join(alive.withColumnRenamed("v", "u"), "u")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointUtils.SummarizedCheckpointOps
 
 /** Exact set-similarity self-join with PREFIX FILTERING — the AllPairs /
   * PPJoin candidate rule (Bayardo, Ma & Srikant, WWW'07 "Scaling up all
@@ -96,7 +97,7 @@ object PrefixFilterOps {
       if (assumeDistinct) sets.select(col(idCol).as("id"), col(setCol).as("hs_set"))
       else sets.select(col(idCol).as("id"),
         array_distinct(col(setCol)).as("hs_set"))
-        .localCheckpoint()
+        .summarizedCheckpoint()
     val posting = distinctSets.select(col("id"),
       size(col("hs_set")).as("sz"), explode(col("hs_set")).as("h"))
     // materialize the prefix posting list ONCE (the shared-subtree
@@ -104,7 +105,7 @@ object PrefixFilterOps {
     // consume it, and without the checkpoint Catalyst rebuilds the
     // df-count + per-set ranking window separately per side — at corpus
     // scale that doubles the two most expensive passes of the algorithm
-    val prefix = prefixPostings(posting, tauNum, tauDen).localCheckpoint()
+    val prefix = prefixPostings(posting, tauNum, tauDen).summarizedCheckpoint()
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.sz") * tauDen >= col("a.sz") * tauNum &&

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.CheckpointUtils.SummarizedCheckpointOps
 
 /** TPC-H-ish core SQL surface (SURVEY.md §2.2 Layer B): scans, projection +
   * filter (parquet-pushed), every join type, aggregation, rollup / cube /
@@ -482,7 +483,7 @@ object CoreQueries {
         .select(col("o_orderpriority").as("grp"),
           SketchHash.md5_56(col("o_custkey")).as("h"))
         .distinct()
-        .localCheckpoint()
+        .summarizedCheckpoint()
       val sk = keys.groupBy("grp")
         .agg(top_k_struct(struct(col("h")), k).as("bk"), count(lit(1)).as("n_exact"))
         .select(col("grp"), expr("transform(bk, x -> x.h)").as("sketch"), col("n_exact"))
@@ -544,7 +545,7 @@ object CoreQueries {
       val und = big
         .select(least(col("t1"), col("t2")).as("u"), greatest(col("t1"), col("t2")).as("v"))
         .distinct()
-        .localCheckpoint()
+        .summarizedCheckpoint()
       // key column named `term`, not `t`: `t` is the payload-ban
       // heuristic's name for raw document text, and with oriented no
       // longer checkpoint-truncating the visible plan these vocabulary-
@@ -697,9 +698,9 @@ object CoreQueries {
       val edges = big.select(col("t1").as("a"), col("t2").as("b"), col("n"))
         .unionAll(big.select(col("t2").as("a"), col("t1").as("b"), col("n")))
         .groupBy("a", "b").agg(sum(col("n")).as("w"))
-        .localCheckpoint()
-      val wdeg = edges.groupBy("a").agg(sum(col("w")).as("wdeg")).localCheckpoint()
-      var pr = wdeg.select(col("a").as("term"), lit(1000000L).as("pr")).localCheckpoint()
+        .summarizedCheckpoint()
+      val wdeg = edges.groupBy("a").agg(sum(col("w")).as("wdeg")).summarizedCheckpoint()
+      var pr = wdeg.select(col("a").as("term"), lit(1000000L).as("pr")).summarizedCheckpoint()
       var older: DataFrame = null
       for (_ <- 0 until 8) {
         val prev = pr
@@ -712,7 +713,7 @@ object CoreQueries {
           .join(contrib, Seq("term"), "left")
           .select(col("term"),
             expr("150000L + (850 * coalesce(acc, 0L)) DIV 1000").as("pr"))
-          .localCheckpoint()
+          .summarizedCheckpoint()
         if (older != null) CheckpointUtils.unpersistCheckpoint(older)
         older = prev
       }
@@ -1434,7 +1435,7 @@ object CoreQueries {
       // stays; at real scale the scan yields enough splits on its own)
       val baskets = b.groupBy("okey")
         .agg(sort_array(collect_set(col("part"))).as("items"))
-        .localCheckpoint()
+        .summarizedCheckpoint()
       // 1-row stat attaches by the q88 shiftright computed-key pattern
       // (literal and x*0 keys constant-fold into a nested loop)
       val nb = baskets.agg(count(lit(1)).as("n_baskets"))
@@ -2336,6 +2337,8 @@ $steps
     // literals keyed by the fixture's lineitem row count. Regenerate on a
     // Spark upgrade or a testdata regeneration (a value drift here is the
     // SIGNAL, not noise — it means the engine's sketch output changed).
+    // regenerate with `sbt "Test/runMain graft.tools.RegenPinnedOracles"`
+    // after an INTENTIONAL change (r12 advice)
     "q35_sketch_aggs" -> """
       WITH pin(nrow, l_returnflag, approx_orders, approx_parts, p50, p99) AS (VALUES
         (6000,  'A', 1089,  199,  51377.72, 103794.98),

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointUtils.SummarizedCheckpointOps
 
 /** Deduplication operators over the `documents` table: exact, normalized,
   * MinHash+LSH near-dup, SimHash near-dup, and exact n-gram Jaccard.
@@ -705,7 +706,7 @@ object DedupQueries {
         .withColumn("t", concat(col("text"), expr(
           "CASE WHEN doc_id % 5 = 0 THEN ' standard corpus boilerplate notice applies to this document and may be ignored' ELSE '' END")))
         .select(col("doc_id"), explode(winnow_fingerprints(col("t"), 32, 8)).as("fp"))
-        .localCheckpoint()
+        .summarizedCheckpoint()
       // winnow_fingerprints returns the per-document DISTINCT set, so
       // (doc_id, fp) rows are unique and df is a plain count — the
       // countDistinct formulation paid a second corpus-pair shuffle plus a
@@ -1028,7 +1029,7 @@ object DedupQueries {
           "array_distinct(transform(sequence(1, size(tk) - 2), " +
             "i -> concat_ws(' ', element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2))))"))
           .as("sh"))
-        .localCheckpoint() // consumed 3x: sizes, pairs (both sides), signatures
+        .summarizedCheckpoint() // consumed 3x: sizes, pairs (both sides), signatures
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val pairs = sh.toDF("doc_a", "sh").join(sh.toDF("doc_b", "sh"), "sh")
         .filter(col("doc_a") < col("doc_b"))

@@ -16,12 +16,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * the plans it annotates), and the analyzer resumes the walk through the
   * recorded source plan.
   *
-  * Deliberately NOT applied to `localCheckpoint()` barriers: those truncate
-  * plan history on purpose (iterative algorithms would otherwise re-expand
-  * every superseded iteration into the lineage graph — q80's eight PageRank
-  * rounds, d22's shared subtrees), and their checkpoint is an execution
-  * detail, not an operator boundary. Registration is an explicit act by an
-  * operator that wants its lineage to flow through.
+  * `localCheckpoint()` barriers get the WEAKER of the two treatments: a
+  * [[CheckpointSummary]] records only the source plan's LEAF set, and the
+  * analyzer emits one "checkpoint" node with node-level edges from those
+  * leaves (r12 verdict item 5). Full column stitching is deliberately NOT
+  * applied there — those barriers truncate plan history on purpose
+  * (iterative algorithms would otherwise re-expand every superseded
+  * iteration into the lineage graph — q80's eight PageRank rounds, d22's
+  * shared subtrees), and retaining just the leaves closes the
+  * which-tables-fed-this blind spot without retaining any superseded
+  * plan. Both registrations are explicit acts by the producing operator.
   */
 object RddLineage {
 
@@ -34,10 +38,27 @@ object RddLineage {
   case class Derivation(source: LogicalPlan, appended: Seq[(String, Seq[Int])],
       opName: String)
 
+  /** A localCheckpoint barrier's lineage summary: the checkpointed plan's
+    * LEAF plans (table scans, ranges, earlier checkpoint LogicalRDDs —
+    * never the full plan, so superseded iterations stay dropped) plus a
+    * display name. An iterative chain resolves transitively: round i's
+    * leaves include round i-1's checkpoint RDD, whose own summary is
+    * looked up when the analyzer materializes the leaf — the chain's
+    * value→key references collect in cascade once the head plan is
+    * unreachable (WeakHashMap semantics). */
+  case class CheckpointSummary(leaves: Seq[LogicalPlan], opName: String)
+
   private val reg = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[RDD[_], Derivation]())
+
+  private val ckpts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[RDD[_], CheckpointSummary]())
 
   def register(rdd: RDD[_], d: Derivation): Unit = reg.put(rdd, d)
 
   def lookup(rdd: RDD[_]): Option[Derivation] = Option(reg.get(rdd))
+
+  def registerCheckpoint(rdd: RDD[_], s: CheckpointSummary): Unit = ckpts.put(rdd, s)
+
+  def lookupCheckpoint(rdd: RDD[_]): Option[CheckpointSummary] = Option(ckpts.get(rdd))
 }

@@ -112,6 +112,34 @@ object FlowAnalysis {
           a -> Binding(id, i)
         }))
 
+      // a localCheckpoint barrier whose producer registered a leaf-set
+      // summary (CheckpointUtils.summarized): emit ONE "checkpoint" node
+      // per distinct checkpoint RDD — a barrier consumed by several
+      // subtrees (q82's edge list, d22's prefix postings) merges like a
+      // stable table — with node-level edges from the recorded source
+      // LEAVES. Column provenance is deliberately not claimed through the
+      // barrier (the plan history is truncated on purpose); a recorded
+      // leaf that is itself a summarized checkpoint resolves transitively
+      // through this same case, so iterative chains (q80's rounds) bottom
+      // out at real tables without re-expanding superseded plans.
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if RddLineage.lookupCheckpoint(l.rdd).isDefined =>
+        val s = RddLineage.lookupCheckpoint(l.rdd).get
+        val id = s"ckpt_rdd${l.rdd.id}"
+        if (!ctx.nodes.exists(_.uniqueId == id)) {
+          ctx.nodes += FlowNode(id, s.opName, l.output.map(_.name),
+            schemaDDL(l), FlowNodeType.Plan, cached(l))
+          val seen = mutable.Set[String]()
+          s.leaves.foreach { leafPlan =>
+            val (leafId, _) = collect(leafPlan, ctx, cached, depth + 1)
+            // two scans of the same stable table dedupe to one edge
+            if (seen.add(leafId)) ctx.edges += FlowEdge(leafId, None, id, None)
+          }
+        }
+        (id, AttributeMap(l.output.zipWithIndex.map { case (a, i) =>
+          a -> Binding(id, i)
+        }))
+
       case leaf: LeafNode =>
         // (ident, type, cached, stable): stable idents (catalog tables, file
         // scans, views) double as uids so repeated scans merge into one node

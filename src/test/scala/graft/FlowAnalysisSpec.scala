@@ -539,6 +539,41 @@ class FlowAnalysisSpec extends AnyFunSuite {
     assert(edges.exists(e => e.fromId == leaf.get.uniqueId))
   }
 
+  test("summarized localCheckpoint emits one checkpoint node fed by the " +
+      "source plan's leaves, transitively through iterative chains") {
+    // r12 verdict item 5: a bare localCheckpoint stays a blind leaf (the
+    // test above), but the query-path sites use
+    // CheckpointUtils.summarized, which records the source plan's LEAF
+    // set — the lineage then shows which tables fed the barrier without
+    // re-expanding any superseded iteration.
+    import org.apache.spark.sql.graft.CheckpointUtils.SummarizedCheckpointOps
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+      .summarizedCheckpoint()
+    val df = src.filter(col("n") > 0).select(col("n_regionkey"))
+    val (nodes, edges) = SQLFlow.datasetGraph(df)
+    val ck = nodes.filter(_.ident == "checkpoint")
+    assert(ck.size == 1, s"expected one checkpoint node: ${nodes.map(_.ident)}")
+    val table = nodes.find(n => n.tpe == FlowNodeType.Table && n.ident.contains("nation"))
+    assert(table.nonEmpty, s"expected the nation scan to survive the barrier: $nodes")
+    // node-level edge (no column claim through the truncation) table → barrier
+    assert(edges.exists(e => e.fromId == table.get.uniqueId &&
+      e.toId == ck.head.uniqueId && e.fromIdx.isEmpty && e.toIdx.isEmpty))
+    // downstream operators still bind column-level ABOVE the barrier
+    assert(edges.exists(e => e.fromId == ck.head.uniqueId && e.fromIdx.nonEmpty))
+    // iterative chain: a summarized checkpoint whose source reads an
+    // earlier summarized checkpoint resolves transitively — two barrier
+    // nodes, still bottoming out at the real table
+    val round2 = src.filter(col("n") > 1).summarizedCheckpoint()
+    val (n2, _) = SQLFlow.datasetGraph(round2.select("n_regionkey"))
+    assert(n2.count(_.ident == "checkpoint") == 2, n2.map(_.ident).toString)
+    assert(n2.exists(n => n.tpe == FlowNodeType.Table && n.ident.contains("nation")))
+    // a barrier consumed by TWO subtrees of one plan is ONE merged node
+    val both = src.as("a").join(src.as("b"), "n_regionkey")
+    val (n3, _) = SQLFlow.datasetGraph(both)
+    assert(n3.count(_.ident == "checkpoint") == 1, n3.map(_.ident).toString)
+  }
+
   test("GlobalOrderOps output stitches lineage through the RDD boundary " +
       "(RddLineage-registered derivation)") {
     // the two-phase prefix kernel leaves SQL for one imperative pass and

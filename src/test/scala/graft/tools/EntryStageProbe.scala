@@ -64,6 +64,38 @@ object EntryStageProbe {
       println(f"prewarm ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    // cached-block census: is every shared/persisted RDD still fully IN
+    // MEMORY, or has storage pressure pushed blocks to disk (or dropped
+    // them → silent recompute)? The r12 driver-vs-builder d22 envelope
+    // question is exactly this (verdict item 1).
+    def storage(tag: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      if (infos.isEmpty) println(s"  [storage $tag] no cached RDDs")
+      infos.sortBy(-_.memSize).take(8).foreach { i =>
+        println(f"  [storage $tag] rdd${i.id}%4d ${i.numCachedPartitions}%3d/${i.numPartitions}%3d cached  " +
+          f"mem ${i.memSize >> 20}%5d MB disk ${i.diskSize >> 20}%5d MB  ${i.name.take(60)}")
+      }
+    }
+    // SPARK_GRAFT_PRESSURE_MB: persist a dummy table of ~that size before
+    // the reps — a stand-in for the storage/heap state a full-inventory
+    // driver run accumulates, to see whether the shared caches get pushed
+    // to disk and what that does to the consumers
+    sys.env.get("SPARK_GRAFT_PRESSURE_MB").map(_.toInt).filter(_ > 0).foreach { mb =>
+      // INCOMPRESSIBLE ~1 KB pad per row (a constant pad RLE-compressed
+      // to nothing in the columnar cache — measured 5 MB for a nominal
+      // 3 GB). 32 chained md5s → 1024 hex chars that survive
+      // compression; mb * 1024 rows ≈ mb MB of payload. Size against the
+      // PROBE heap: default SPARK_DRIVER_MEM=8g → ~4.6 GB storage pool,
+      // so 3000 already forces real storage competition
+      val rows = mb.toLong * 1024
+      val filler = spark.range(rows).toDF("id")
+        .withColumn("pad", org.apache.spark.sql.functions.expr(
+          "concat_ws('', transform(sequence(1, 32), i -> md5(concat(cast(id as string), '-', i))))"))
+        .persist()
+      println(s"pressure: persisting ~${mb} MB filler (${filler.count()} rows)")
+    }
+    storage("post-prewarm")
+
     for (name <- names; rep <- 0 until 3) {
       stages.synchronized(stages.clear())
       System.gc()
@@ -77,6 +109,7 @@ object EntryStageProbe {
           f"sR ${s.shufReadMB}%5d MB sW ${s.shufWriteMB}%5d MB spill ${s.spillMB}%5d MB  " +
           f"t=${s.tasks}%3d  ${s.name}")
       }
+      storage(s"$name rep$rep")
     }
     spark.stop()
   }
