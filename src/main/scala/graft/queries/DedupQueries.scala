@@ -1007,11 +1007,11 @@ object DedupQueries {
       // note: the shared-shingle pair space is quadratic in cluster
       // size BY DESIGN (like s10's exact baseline, this is the
       // measurement, not the production path); the entry therefore runs
-      // the audit over a DETERMINISTIC 40% corpus slice (md5(doc_id)
-      // mod 5 < 2 — replayed identically by the oracle), which is how a
+      // the audit over a DETERMINISTIC 20% corpus slice (md5(doc_id)
+      // mod 5 < 1 — replayed identically by the oracle), which is how a
       // production metrology audit runs anyway: the estimator's
       // calibration is a property of the hash family, not of any one
-      // document, and the slice cuts the quadratic pair space to ~16%
+      // document, and the slice cuts the quadratic pair space to ~4%
       // while the per-decile table stays exact over the sampled pairs
       // (r12 verdict item 4: the full audit was the slowest main-tier
       // entry in both environments — drop the sample predicate to run
@@ -1023,7 +1023,7 @@ object DedupQueries {
       // 32-hash signature fan-out on one core (QueryDsl.spread — a no-op
       // once scans yield >= parallelism splits)
       val sh = spread(tbl(s, dir, "documents")
-          .filter(expr("CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)),1,4),16,10) % 5 < 2")))
+          .filter(expr("CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)),1,4),16,10) % 5 < 1")))
         .select(col("doc_id"), tk.as("tk")).filter(size(col("tk")) >= 3)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(1, size(tk) - 2), " +
@@ -1614,11 +1614,11 @@ $steps
       FROM d LEFT JOIN near ON d.doc_id = near.doc_id
       GROUP BY source, lang""",
 
-    // the deterministic 40% doc_id-hash slice replays the Spark side's
+    // the deterministic 20% doc_id-hash slice replays the Spark side's
     // sample predicate exactly (md5-prefix idiom, BUILD_NOTES)
     "d26_minhash_estimator_audit" -> """
       WITH d AS (SELECT doc_id, LIST_FILTER(STR_SPLIT(text, ' '), t -> t <> '') AS tk FROM documents
-                 WHERE CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 < 2),
+                 WHERE CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 5 < 1),
       shl AS (
         SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk)-2),
                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh

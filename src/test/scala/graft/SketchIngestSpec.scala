@@ -95,15 +95,15 @@ class SketchIngestSpec extends AnyFunSuite {
     }
     // identical shingle sets -> identical signatures -> estimate 1000,
     // deterministically (a crafted twin pair placed in its own corpus).
-    // Ids 2/4/5 all pass the entry's deterministic 40% doc_id-hash slice
-    // (md5-prefix mod 5 < 2 — r13: the audit runs over a sampled slice),
+    // Ids 2/4/9 all pass the entry's deterministic 20% doc_id-hash slice
+    // (md5-prefix mod 5 < 1 — r13: the audit runs over a sampled slice),
     // so the whole crafted corpus is in scope exactly as before.
     val tmp = java.nio.file.Files.createTempDirectory("graft-d26-spec")
     try {
       import spark.implicits._
       Seq((2L, "alpha beta gamma delta epsilon"),
         (4L, "alpha beta gamma delta epsilon"),
-        (5L, "one two three four five six"))
+        (9L, "one two three four five six"))
         .toDF("doc_id", "text")
         .withColumn("lang", lit("en")).withColumn("source", lit("crafted"))
         .withColumn("n_chars", length(col("text")).cast("long"))
