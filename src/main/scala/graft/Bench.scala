@@ -46,7 +46,10 @@ object Bench {
     *     execution-memory peaks — the entry's worst concurrent
     *     execution-memory demand (sum across tasks, so it can exceed the
     *     heap when tasks don't overlap; compare round-over-round, not
-    *     against the heap size). */
+    *     against the heap size).
+    * All four attribution columns are -1 when a listener-bus drain
+    * failed around the measurement (see `timed`): the wall time stays
+    * trustworthy, the attribution does not. */
   private case class EntryStats(sec: Double, cpuSec: Double, spillMb: Long,
       gcMs: Long, peakMemMb: Long)
   private val Failed = EntryStats(-1.0, 0.0, 0L, 0L, 0L)
@@ -205,30 +208,43 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val telemetry = new Telemetry
     spark.sparkContext.addSparkListener(telemetry)
-    def drainBus(): Unit = {
-      // a timed-out drain only UNDER-counts the current entry's trailing
-      // stages; wall time is unaffected either way
-      org.apache.spark.sql.graft.ListenerBusDrain.drain(spark.sparkContext)
-      ()
-    }
-    def time(name: String, fn: (SparkSession, String) => DataFrame, dir: String): EntryStats = {
-      drainBus() // a prior entry's stragglers must not leak into this one
+    // false = the bus did not drain (timeout or any other bus error):
+    // attribution for the adjoining entry is compromised — surfaced via
+    // the -1 telemetry sentinel below, never silently mis-attributed
+    def drainBus(): Boolean =
+      try org.apache.spark.sql.graft.ListenerBusDrain.drain(spark.sparkContext)
+      catch { case _: Throwable => false }
+    // The ONE timing protocol both the per-query path and dshared_build
+    // use (r13 review: the build path had copy-pasted it and drifted).
+    // Telemetry infrastructure must never change the MEASUREMENT verdict:
+    // the body's failure is the only thing that reports Failed; a drain
+    // problem keeps the wall time and replaces the attribution columns
+    // with -1 sentinels ("don't trust these four numbers"), because a
+    // timed-out PRE-drain would otherwise sum a prior entry's straggler
+    // stages into this one — over-attribution, the exact misadjudication
+    // this telemetry exists to prevent.
+    def timed(name: String)(body: => Unit): EntryStats = {
+      val pre = drainBus() // a prior entry's stragglers must not leak in
       telemetry.reset()
       val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast success: report -1
       // (kept out of the total below) so a broken query reads as broken
       // in round-over-round compares instead of as a huge speedup
-      try {
-        fn(spark, dir).count()
+      val ok =
+        try { body; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      if (!ok) Failed
+      else {
         val sec = (System.nanoTime() - t0) / 1e9
-        drainBus()
-        telemetry.snap(sec)
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        Failed
+        if (pre && drainBus()) telemetry.snap(sec)
+        else EntryStats(sec, -1.0, -1L, -1L, -1L)
       }
     }
+    def time(name: String, fn: (SparkSession, String) => DataFrame, dir: String): EntryStats =
+      timed(name) { fn(spark, dir).count(); () }
     // a transiently-failed pass must not poison the min (math.min(v, -1)
     // would report a healthy query as broken): take the min over the
     // non-negative samples, and report -1 only when EVERY pass failed.
@@ -313,19 +329,9 @@ object Bench {
               // shingle-only focused run (e.g. d22) skips the unused
               // 32-perm build (r11 advice)
               val withSigs = ordered.exists(SharedSigConsumers)
-              drainBus()
-              telemetry.reset()
-              val t0 = System.nanoTime()
-              val v =
-                try { graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs, withSigs)
-                      val sec = (System.nanoTime() - t0) / 1e9
-                      drainBus()
-                      telemetry.snap(sec) }
-                catch { case e: Throwable =>
-                  System.err.println(s"[bench] dshared_build FAILED: ${e.getMessage}")
-                  Failed
-                }
-              Seq("dshared_build" -> v)
+              Seq("dshared_build" -> timed("dshared_build") {
+                graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs, withSigs)
+              })
             }
           sharedBuild ++ rotateBy(ordered, third * ordered.size / 3)
             .map { n =>

@@ -16,8 +16,12 @@ import org.apache.spark.SparkContext
 object ListenerBusDrain {
 
   /** Block until every queued listener event is dispatched. Returns
-    * false on timeout — the caller's telemetry for the current entry
-    * may then under-count trailing stages (never over-count). */
+    * false on timeout — the caller must then treat adjoining-interval
+    * attribution as compromised: a failed POST-run drain under-counts
+    * the finished interval's trailing stages, and a failed PRE-run
+    * drain would let the prior interval's stragglers land in the next
+    * one (over-attribution). Bench surfaces either case with -1
+    * telemetry sentinels instead of publishing the numbers. */
   def drain(sc: SparkContext, timeoutMs: Long = 5000L): Boolean =
     try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
     catch { case _: java.util.concurrent.TimeoutException => false }

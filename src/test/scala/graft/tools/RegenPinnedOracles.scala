@@ -32,20 +32,23 @@ object RegenPinnedOracles {
     println(s"-- z01 pinned VALUES (plan-structural, scale-independent; from ${dirs.head}):")
     val z = graft.SparkEntry.queries("z01_lineage_extraction")(spark, dirs.head)
       .collect().sortBy(_.getString(0))
-    z.foreach { r =>
-      println(s"          ('${r.getString(0)}', ${r.getInt(1)}, ${r.getInt(2)}, " +
-        s"${r.getInt(3)}, ${r.getInt(4)}),")
-    }
+      .map(r => s"          ('${r.getString(0)}', ${r.getInt(1)}, ${r.getInt(2)}, " +
+        s"${r.getInt(3)}, ${r.getInt(4)})")
+    // comma BETWEEN rows only — a trailing comma before the closing
+    // paren would make the pasted VALUES block a syntax error (r13
+    // review: "paste-ready" must mean paste-ready)
+    println(z.mkString(",\n"))
 
     println("-- q35 pinned VALUES (one block per sf, keyed by lineitem count):")
-    dirs.foreach { d =>
+    val q = dirs.flatMap { d =>
       val n = spark.read.parquet(s"$d/lineitem.parquet").count()
       graft.SparkEntry.queries("q35_sketch_aggs")(spark, d)
-        .collect().sortBy(_.getString(0)).foreach { r =>
-          println(s"        ($n, '${r.getString(0)}', ${r.getLong(1)}, " +
-            s"${r.getLong(2)}, ${r.getDouble(3)}, ${r.getDouble(4)}),")
+        .collect().sortBy(_.getString(0)).map { r =>
+          s"        ($n, '${r.getString(0)}', ${r.getLong(1)}, " +
+            s"${r.getLong(2)}, ${r.getDouble(3)}, ${r.getDouble(4)})"
         }
     }
+    println(q.mkString(",\n"))
     spark.stop()
   }
 }
