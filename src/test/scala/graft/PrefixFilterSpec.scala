@@ -98,6 +98,35 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(pref.toDouble / full < 0.5, s"only $pref/$full")
   }
 
+  test("the positional upper bound prunes candidates beyond prefix + length " +
+      "filters (and exactness held above)") {
+    // replicate the operator's candidate join on the fixture corpus with
+    // and without the PPJoin positional term (WWW'08 §3.1): a meeting at
+    // prefix positions (i, j) admits at most 1 + min(sz_a - i, sz_b - j)
+    // common elements, so meetings that cannot reach the overlap
+    // threshold alpha never enter the distinct/verify stages
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.graft.functions.token_shingle_hashes
+    val sets = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), token_shingle_hashes(col("text"), 3).as("sh"))
+    val posting = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    val p = PrefixFilterOps.prefixPostings(posting, 3, 5)
+    def cand(positional: Boolean): Long = {
+      val base = col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        col("b.sz") * 5 >= col("a.sz") * 3 && col("a.sz") * 5 >= col("b.sz") * 3
+      val cond =
+        if (!positional) base
+        else base && (lit(1L) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))) *
+          8 >= (col("a.sz") + col("b.sz")) * 3
+      p.as("a").join(p.as("b"), cond)
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
+    val without = cand(positional = false)
+    val withPos = cand(positional = true)
+    assert(withPos < without,
+      s"positional bound should strictly cut candidates: $withPos vs $without")
+  }
+
   test("irrational milli thresholds are rejected") {
     val e = intercept[IllegalArgumentException] {
       PrefixFilterOps.jaccardSelfJoin(setsDf(Seq(1L -> Seq(1L))), "id", "sh", 1, 3)
