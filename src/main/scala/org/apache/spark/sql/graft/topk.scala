@@ -63,13 +63,24 @@ case class TopKStruct(
     false
   }
 
-  private def insert(buf: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit = {
+  /** `row` may be a REUSED buffer (UnsafeProjection's output): the heap
+    * test and duplicate scan run against it in place, and a private copy
+    * is materialized ONLY on actual insertion (`copyOnInsert`). Copying
+    * before the test — the original formulation — allocated one UnsafeRow
+    * + byte array per INPUT row, and on the kNN-graph tier (2.9e8
+    * candidate rows, almost all discarded against the k-th best) that
+    * allocation churn was ~70% of the dominant stage's CPU as GC
+    * (r13 stage probe: gc 43-51 s of cpu 60-74 s). Post-insert the heap
+    * only ever holds private copies, so the reused buffer never aliases
+    * stored state. */
+  private def insert(buf: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow,
+      copyOnInsert: Boolean): Unit = {
     if (buf.size < k) {
-      if (!(distinct && contains(buf, row))) buf.add(row)
+      if (!(distinct && contains(buf, row))) buf.add(if (copyOnInsert) row.copy() else row)
     } else if (ordering.compare(row, buf.peek()) < 0) {
       if (!(distinct && contains(buf, row))) {
         buf.poll()
-        buf.add(row)
+        buf.add(if (copyOnInsert) row.copy() else row)
       }
     }
   }
@@ -77,15 +88,17 @@ case class TopKStruct(
   override def update(
       buf: java.util.PriorityQueue[UnsafeRow], input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, proj(v.asInstanceOf[InternalRow]).copy())
+    if (v != null) insert(buf, proj(v.asInstanceOf[InternalRow]), copyOnInsert = true)
     buf
   }
 
   override def merge(
       buf: java.util.PriorityQueue[UnsafeRow],
       other: java.util.PriorityQueue[UnsafeRow]): java.util.PriorityQueue[UnsafeRow] = {
+    // rows in `other` are private (deserialize allocates them; the merge
+    // contract retires the source buffer) — moved, never copied
     val it = other.iterator()
-    while (it.hasNext) insert(buf, it.next())
+    while (it.hasNext) insert(buf, it.next(), copyOnInsert = false)
     buf
   }
 
