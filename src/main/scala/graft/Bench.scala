@@ -252,7 +252,17 @@ object Bench {
     // reported wall time, so mixing passes would break attribution.
     def minOk(samples: EntryStats*): EntryStats = {
       val ok = samples.filter(_.sec >= 0)
-      if (ok.isEmpty) Failed else ok.minBy(_.sec)
+      if (ok.isEmpty) Failed
+      else {
+        val best = ok.minBy(_.sec)
+        // a drain-failed sample (attribution columns -1) must not erase
+        // the round's adjudicability when an ATTRIBUTED pass landed
+        // within noise of it (r13 review): prefer the fastest attributed
+        // sample unless the sentinel is >10% faster
+        if (best.cpuSec >= 0) best
+        else ok.filter(_.cpuSec >= 0).minByOption(_.sec)
+          .filter(_.sec <= best.sec * 1.10).getOrElse(best)
+      }
     }
     // Pass 2 runs the inventory ROTATED BY HALF: a container contention
     // burst then hits a different stretch of the inventory in each pass,

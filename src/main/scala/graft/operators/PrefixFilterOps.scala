@@ -125,12 +125,7 @@ object PrefixFilterOps {
     // on the 10x bench corpus it cuts surviving candidates (and so the
     // array payload entering the verify joins) beyond what prefix +
     // length filtering admit.
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("b.sz") * tauDen >= col("a.sz") * tauNum &&
-          col("a.sz") * tauDen >= col("b.sz") * tauNum &&
-          (lit(1L) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))) *
-            (tauNum + tauDen) >= (col("a.sz") + col("b.sz")) * tauNum)
+    val cand = prefix.as("a").join(prefix.as("b"), candidateCond(tauNum, tauDen))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // VERIFICATION = the canonical AllPairs/PPJoin verify step: co-locate
@@ -159,6 +154,17 @@ object PrefixFilterOps {
       .filter(col("jaccard_milli") >= milliTau)
       .select(col("id_a"), col("id_b"), col("jaccard_milli"))
   }
+
+  /** The candidate-admission predicate over two prefix-posting sides
+    * aliased "a"/"b": prefix match, length filter, and the positional
+    * upper bound above. Exposed so the candidate-reduction spec binds to
+    * THIS condition rather than a private re-derivation (r13 review). */
+  private[graft] def candidateCond(tauNum: Int, tauDen: Int): org.apache.spark.sql.Column =
+    col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+      col("b.sz") * tauDen >= col("a.sz") * tauNum &&
+      col("a.sz") * tauDen >= col("b.sz") * tauNum &&
+      (lit(1L) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))) *
+        (tauNum + tauDen) >= (col("a.sz") + col("b.sz")) * tauNum
 
   /** The prefix posting list: each set's first |x| − ⌈τ·|x|⌉ + 1 elements
     * in the global rarest-first (df asc, hash asc) canonical order.
