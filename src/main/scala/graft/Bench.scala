@@ -46,19 +46,34 @@ object Bench {
     *     execution-memory peaks — the entry's worst concurrent
     *     execution-memory demand (sum across tasks, so it can exceed the
     *     heap when tasks don't overlap; compare round-over-round, not
-    *     against the heap size).
-    * All four attribution columns are -1 when a listener-bus drain
-    * failed around the measurement (see `timed`): the wall time stays
-    * trustworthy, the attribution does not. */
+    *     against the heap size);
+    *   - recRead / shufRec / shufMb: source records read, shuffle records
+    *     written, shuffle MB written over the entry's stages — WORK
+    *     counters (r13 verdict item 2). Unlike cpu_s — itself inflatable
+    *     by cache-miss CPI under memory-bandwidth contention on
+    *     allocation-heavy entries (the s11 class) — record counts are
+    *     invariant under ANY environment, so "did the operator do the
+    *     same work?" is a pure artifact lookup;
+    *   - rows: the entry's output row count (the count() result) — work,
+    *     not telemetry, so it is trustworthy even when a drain failed;
+    *   - attrSec: the wall seconds of the PASS the attribution columns
+    *     were measured in. Equal to `sec` when the min pass itself was
+    *     attributed; the fastest attributed pass's wall when the min pass
+    *     had a drain failure (see minOk); -1 when no pass was attributed.
+    * The attribution columns (cpuSec..shufMb) are -1 when a listener-bus
+    * drain failed around the measurement (see `timed`): the wall time
+    * stays trustworthy, the attribution does not. */
   private case class EntryStats(sec: Double, cpuSec: Double, spillMb: Long,
-      gcMs: Long, peakMemMb: Long)
-  private val Failed = EntryStats(-1.0, 0.0, 0L, 0L, 0L)
+      gcMs: Long, peakMemMb: Long, recRead: Long, shufRec: Long, shufMb: Long,
+      rows: Long, attrSec: Double)
+  private val Failed = EntryStats(-1.0, 0.0, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1.0)
 
-  /** Accumulates stage-level CPU/spill/GC/peak-mem between reset() and
-    * snap(). Registered once; reset per timed entry after a listener-bus
-    * drain, so attribution follows entry boundaries. */
+  /** Accumulates stage-level CPU/spill/GC/peak-mem/record-counters between
+    * reset() and snap(). Registered once; reset per timed entry after a
+    * listener-bus drain, so attribution follows entry boundaries. */
   private final class Telemetry extends org.apache.spark.scheduler.SparkListener {
     private var cpuNs = 0L; private var spill = 0L; private var gc = 0L; private var peak = 0L
+    private var rec = 0L; private var sRec = 0L; private var sBytes = 0L
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = synchronized {
       val m = sc.stageInfo.taskMetrics
@@ -66,10 +81,16 @@ object Bench {
       spill += m.memoryBytesSpilled + m.diskBytesSpilled
       gc += m.jvmGCTime
       peak = math.max(peak, m.peakExecutionMemory)
+      rec += m.inputMetrics.recordsRead
+      sRec += m.shuffleWriteMetrics.recordsWritten
+      sBytes += m.shuffleWriteMetrics.bytesWritten
     }
-    def reset(): Unit = synchronized { cpuNs = 0L; spill = 0L; gc = 0L; peak = 0L }
-    def snap(sec: Double): EntryStats = synchronized {
-      EntryStats(sec, math.round(cpuNs / 1e6) / 1e3, spill >> 20, gc, peak >> 20)
+    def reset(): Unit = synchronized {
+      cpuNs = 0L; spill = 0L; gc = 0L; peak = 0L; rec = 0L; sRec = 0L; sBytes = 0L
+    }
+    def snap(sec: Double, rows: Long): EntryStats = synchronized {
+      EntryStats(sec, math.round(cpuNs / 1e6) / 1e3, spill >> 20, gc, peak >> 20,
+        rec, sRec, sBytes >> 20, rows, sec)
     }
   }
 
@@ -223,45 +244,53 @@ object Bench {
     // timed-out PRE-drain would otherwise sum a prior entry's straggler
     // stages into this one — over-attribution, the exact misadjudication
     // this telemetry exists to prevent.
-    def timed(name: String)(body: => Unit): EntryStats = {
+    // body returns the entry's output row count (-1 for build lines that
+    // have no single result cardinality)
+    def timed(name: String)(body: => Long): EntryStats = {
       val pre = drainBus() // a prior entry's stragglers must not leak in
       telemetry.reset()
       val t0 = System.nanoTime()
       // a failed query must NOT masquerade as a fast success: report -1
       // (kept out of the total below) so a broken query reads as broken
       // in round-over-round compares instead of as a huge speedup
-      val ok =
-        try { body; true }
+      val rowsOpt =
+        try Some(body)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          None
         }
-      if (!ok) Failed
-      else {
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (pre && drainBus()) telemetry.snap(sec)
-        else EntryStats(sec, -1.0, -1L, -1L, -1L)
+      rowsOpt match {
+        case None => Failed
+        case Some(rows) =>
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (pre && drainBus()) telemetry.snap(sec, rows)
+          else EntryStats(sec, -1.0, -1L, -1L, -1L, -1L, -1L, -1L, rows, -1.0)
       }
     }
     def time(name: String, fn: (SparkSession, String) => DataFrame, dir: String): EntryStats =
-      timed(name) { fn(spark, dir).count(); () }
+      timed(name) { fn(spark, dir).count() }
     // a transiently-failed pass must not poison the min (math.min(v, -1)
     // would report a healthy query as broken): take the min over the
     // non-negative samples, and report -1 only when EVERY pass failed.
-    // Telemetry travels WITH the winning sample — spill/GC explain the
-    // reported wall time, so mixing passes would break attribution.
+    // `sec` is ALWAYS the true minimum wall over the surviving samples —
+    // the min contract the header documents (the r13 formulation let an
+    // attributed pass within 10% displace the min, so round-over-round
+    // compares could swing on which pass drained the bus, r13 advice).
+    // When the min pass itself had a drain failure, the telemetry columns
+    // come from the fastest ATTRIBUTED pass instead, with attrSec naming
+    // the wall they belong to — adjudicability kept, min contract intact.
     def minOk(samples: EntryStats*): EntryStats = {
       val ok = samples.filter(_.sec >= 0)
       if (ok.isEmpty) Failed
       else {
         val best = ok.minBy(_.sec)
-        // a drain-failed sample (attribution columns -1) must not erase
-        // the round's adjudicability when an ATTRIBUTED pass landed
-        // within noise of it (r13 review): prefer the fastest attributed
-        // sample unless the sentinel is >10% faster
         if (best.cpuSec >= 0) best
-        else ok.filter(_.cpuSec >= 0).minByOption(_.sec)
-          .filter(_.sec <= best.sec * 1.10).getOrElse(best)
+        else ok.filter(_.cpuSec >= 0).minByOption(_.sec) match {
+          case Some(a) => best.copy(cpuSec = a.cpuSec, spillMb = a.spillMb,
+            gcMs = a.gcMs, peakMemMb = a.peakMemMb, recRead = a.recRead,
+            shufRec = a.shufRec, shufMb = a.shufMb, attrSec = a.sec)
+          case None => best
+        }
       }
     }
     // Pass 2 runs the inventory ROTATED BY HALF: a container contention
@@ -281,6 +310,19 @@ object Bench {
       (if (rotated) rotate(ordered) else ordered)
         .map { case (name, fn) => name -> time(name, fn, sfDir) }
     }
+    // z01's three eager-checkpoint panel members (q80/q82/d16) execute
+    // their checkpoints at CONSTRUCTION time — real construction cost, but
+    // it was landing inside z01's wall and muddying the one entry that
+    // benches the lineage engine itself (r13 verdict item 4). Build them
+    // ONCE here as an explicitly timed line (the dshared_build pattern):
+    // SparkEntry memoizes the constructed members, so both z01 passes
+    // below measure graph ANALYSIS, with construction its own number.
+    val zbuild: Seq[(String, EntryStats)] =
+      if (!only.forall(_.exists("z01_lineage_extraction".startsWith))) Seq.empty
+      else Seq("zpanel_build" -> timed("zpanel_build") {
+        SparkEntry.prewarmLineagePanel(spark, sfDir)
+        -1L // a build line has no single result cardinality
+      })
     // two passes, report the min per query: pass 1 absorbs per-plan codegen
     // and JIT compilation, so pass 2 measures steady-state execution — the
     // regime a long-lived cluster session actually runs in.
@@ -290,7 +332,7 @@ object Bench {
     graft.queries.DedupQueries.releaseShared()
     spark.catalog.clearCache()
     val secondByName = runAll(rotated = true).toMap
-    val results = first.map { case (k, v) =>
+    val results = zbuild ++ first.map { case (k, v) =>
       k -> minOk(v, secondByName.getOrElse(k, v)) }
     // heavy tier: one pass (JIT is warm by now) on the synthetic 10× corpus.
     // SPARK_GRAFT_ONLY normally skips the tier (focused main-tier runs);
@@ -341,6 +383,7 @@ object Bench {
               val withSigs = ordered.exists(SharedSigConsumers)
               Seq("dshared_build" -> timed("dshared_build") {
                 graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs, withSigs)
+                -1L // a build line has no single result cardinality
               })
             }
           sharedBuild ++ rotateBy(ordered, third * ordered.size / 3)
@@ -403,6 +446,12 @@ object Bench {
       Seq("plain" -> rate(contracted = false), "contracted" -> rate(contracted = true))
     }
     val total = results.map(_._2.sec).filter(_ >= 0).sum
+    // Σ executor-CPU totals (r13 verdict item 5): the committed band is
+    // stated in cpu_s FIRST — two runs of the same tree agree on Σcpu_s
+    // to ~10% across contention windows where wall swings 2×, so "within
+    // the band" stops depending on the container's afternoon mood
+    def cpuTotal(xs: Seq[(String, EntryStats)]): Double =
+      xs.map(_._2.cpuSec).filter(_ >= 0).sum
     // a failed query (-1 sentinel) is excluded from the totals, so it must
     // be SURFACED, not silently dropped — otherwise a breakage reads as a
     // speedup on the machine-parseable line (the old per-query map showed
@@ -415,16 +464,23 @@ object Bench {
     val detailsFile =
       if (only.isEmpty) "bench_details.json" else "bench_details_focused.json"
     // per-entry objects since r13: sec plus the spill/GC/peak-mem that
-    // make a cross-environment swing adjudicable (see EntryStats). The
-    // telemetry belongs to the SAME pass as the reported (min) wall time.
+    // make a cross-environment swing adjudicable (see EntryStats); since
+    // r14 also the environment-INVARIANT work counters (records_read /
+    // shuffle_records / shuffle_mb / rows) and attr_sec, the wall of the
+    // pass the attribution columns were measured in (== sec unless the
+    // min pass had a drain failure).
     def statsJson(xs: Seq[(String, EntryStats)]): String =
       xs.map { case (k, v) =>
         "\"" + k + "\":{\"sec\":" + v.sec + ",\"cpu_s\":" + v.cpuSec +
           ",\"spill_mb\":" + v.spillMb +
-          ",\"gc_ms\":" + v.gcMs + ",\"peak_mem_mb\":" + v.peakMemMb + "}"
+          ",\"gc_ms\":" + v.gcMs + ",\"peak_mem_mb\":" + v.peakMemMb +
+          ",\"records_read\":" + v.recRead + ",\"shuffle_records\":" + v.shufRec +
+          ",\"shuffle_mb\":" + v.shufMb + ",\"rows\":" + v.rows +
+          ",\"attr_sec\":" + v.attrSec + "}"
       }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
+         |"total_cpu_s":${fmt(cpuTotal(results))},"heavy_total_cpu_s":${fmt(cpuTotal(heavy))},
          |"failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":${statsJson(results)},
          |"heavy_10x":${statsJson(heavy)},
@@ -461,11 +517,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":${jsonMap(headline)}""" +
-        s""","sf":"$sfDir","n_queries":${results.size}""" +
+        // inventory size, NOT results.size — the zpanel_build line is a
+        // bench accounting line, not an inventory entry
+        s""","sf":"$sfDir","n_queries":${first.size}""" +
         // failures are excluded from `value`, so they must be visible
         // here; normally [] — a populated list IS the red flag
         s""","failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","heavy_10x_total":${fmt(heavyTotal)}""" +
+        // the Σcpu_s the committed band is stated in (r13 verdict item 5)
+        s""","total_cpu_s":${fmt(cpuTotal(results))}""" +
+        s""","heavy_total_cpu_s":${fmt(cpuTotal(heavy))}""" +
         s""","lineage_plans_per_sec":${jsonMap(lineage)}""" +
         s""","details":"$detailsFile"}"""
     require(line.length <= 1500,

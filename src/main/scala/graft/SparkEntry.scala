@@ -23,6 +23,31 @@ object SparkEntry {
     CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++ lineageEntry
 
+  /** z01 panel members whose CONSTRUCTION executes eager localCheckpoints
+    * (the q80 PageRank rounds, q82's thrice-consumed barrier, d16's
+    * winnowing fingerprints): built once per (session, dir) and memoized,
+    * so repeated z01 invocations measure graph ANALYSIS — construction is
+    * reported separately as the bench's `zpanel_build` line (r13 verdict
+    * item 4, the dshared_build pattern). The memo pins the members' (small,
+    * panel-sized) checkpoint RDD blocks for the session's lifetime — the
+    * deliberate price of analyzing real checkpointed plans, not stand-ins.
+    * Plans are identical to un-memoized construction, so z01's pinned
+    * graph-size literals are unaffected. */
+  private val CheckpointedPanel = Set("q80_textrank", "q82_triangle_count", "d16_substring_dup")
+  private val panelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def panelMember(base: Map[String, (SparkSession, String) => DataFrame],
+      name: String, s: SparkSession, dir: String): DataFrame =
+    if (!CheckpointedPanel(name)) base(name)(s, dir)
+    else panelMemo.computeIfAbsent((s, dir, name), _ => base(name)(s, dir))
+
+  /** Force-build the memoized checkpointed panel members (Bench's
+    * `zpanel_build` line). Safe to call more than once per session. */
+  private[graft] def prewarmLineagePanel(s: SparkSession, dir: String): Unit = {
+    val base = CoreQueries.defs ++ DedupQueries.defs
+    CheckpointedPanel.toSeq.sorted.foreach(n => panelMember(base, n, s, dir))
+  }
+
   /** The lineage engine itself, exercised over every query plan in the
     * inventory (the reference's own workload is exactly this: per-plan graph
     * extraction). Emits one row per query with its graph size — analysis is
@@ -61,9 +86,11 @@ object SparkEntry {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       val rows = Await.result(
-        Future.traverse(panel.sorted.map(n => n -> base(n))) { case (name, fn) =>
+        Future.traverse(panel.sorted) { name =>
           Future {
-            val df = fn(s, dir) // one QueryExecution: optimize once, analyze twice
+            // one QueryExecution: optimize once, analyze twice; the three
+            // eager-checkpoint members come from the memo (see panelMember)
+            val df = panelMember(base, name, s, dir)
             val (nodes, edges) = SQLFlow.datasetGraph(df)
             val (cn, ce) = SQLFlow.datasetGraph(df, contracted = true)
             (name, nodes.size, edges.size, cn.size, ce.size)

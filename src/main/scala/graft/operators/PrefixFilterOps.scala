@@ -159,12 +159,19 @@ object PrefixFilterOps {
     * aliased "a"/"b": prefix match, length filter, and the positional
     * upper bound above. Exposed so the candidate-reduction spec binds to
     * THIS condition rather than a private re-derivation (r13 review). */
-  private[graft] def candidateCond(tauNum: Int, tauDen: Int): org.apache.spark.sql.Column =
+  private[graft] def candidateCond(tauNum: Int, tauDen: Int): org.apache.spark.sql.Column = {
+    // all predicate arithmetic in LongType: sz is an int column, and under
+    // ANSI mode an int product like (sz_a + sz_b) * tauNum would THROW on
+    // overflow for pathological set sizes (sums past ~2^31/tauNum) instead
+    // of comparing — cast once, every derived term stays long (r13 advice)
+    val szA = col("a.sz").cast("long")
+    val szB = col("b.sz").cast("long")
     col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-      col("b.sz") * tauDen >= col("a.sz") * tauNum &&
-      col("a.sz") * tauDen >= col("b.sz") * tauNum &&
-      (lit(1L) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))) *
-        (tauNum + tauDen) >= (col("a.sz") + col("b.sz")) * tauNum
+      szB * tauDen >= szA * tauNum &&
+      szA * tauDen >= szB * tauNum &&
+      (lit(1L) + least(szA - col("a.pos"), szB - col("b.pos"))) *
+        (tauNum + tauDen) >= (szA + szB) * tauNum
+  }
 
   /** The prefix posting list: each set's first |x| − ⌈τ·|x|⌉ + 1 elements
     * in the global rarest-first (df asc, hash asc) canonical order.

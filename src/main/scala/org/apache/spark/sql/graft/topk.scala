@@ -123,6 +123,11 @@ case class TopKStruct(
     bos.toByteArray
   }
 
+  /** INVARIANT (merge depends on it): every row this returns must OWN its
+    * backing byte array — merge() moves these rows into the live buffer
+    * WITHOUT copying, so pointing them into a shared/reused buffer (e.g.
+    * to cut allocations) would silently alias retired state into live
+    * heaps. The per-row `new Array[Byte]` below is that ownership. */
   override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[UnsafeRow] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()

@@ -33,7 +33,8 @@ object EntryStageProbe {
       else graft.Bench.buildHeavyDir(spark, "/root/testdata/sf0.1", copies = copies)
 
     case class St(name: String, wallMs: Long, cpuMs: Long, gcMs: Long,
-        shufReadMB: Long, shufWriteMB: Long, spillMB: Long, tasks: Int)
+        shufReadMB: Long, shufWriteMB: Long, spillMB: Long, tasks: Int,
+        recRead: Long, shufRecW: Long)
     // appended from the listener-bus thread, read/cleared from the main
     // loop — all access under the buffer's own lock (the 500 ms drain
     // sleep below is a heuristic, not a barrier)
@@ -50,7 +51,8 @@ object EntryStageProbe {
             m.shuffleReadMetrics.totalBytesRead / 1048576,
             m.shuffleWriteMetrics.bytesWritten / 1048576,
             (m.memoryBytesSpilled + m.diskBytesSpilled) / 1048576,
-            si.numTasks)
+            si.numTasks,
+            m.inputMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten)
         }
       }
     })
@@ -80,6 +82,35 @@ object EntryStageProbe {
     // the reps — a stand-in for the storage/heap state a full-inventory
     // driver run accumulates, to see whether the shared caches get pushed
     // to disk and what that does to the consumers
+    // SPARK_GRAFT_BURN_THREADS: spawn N daemon busy-spin threads for the
+    // duration of the reps — SIMULTANEOUS CPU contention (with
+    // SPARK_GRAFT_PRESSURE_MB for the memory side) reproducing a contended
+    // container INSIDE a controlled probe. The question this answers (r13
+    // verdict item 1): does an allocation-heavy entry's task cpu_s itself
+    // inflate under contention with IDENTICAL work (record counts flat)?
+    // The burners touch a 16 MB private array each so they consume memory
+    // bandwidth (cache-miss CPI pressure), not just scheduler slots — a
+    // pure spin loop would run entirely in registers and leave the memory
+    // system idle, which is not what a co-tenant container does.
+    sys.env.get("SPARK_GRAFT_BURN_THREADS").map(_.toInt).filter(_ > 0).foreach { n =>
+      println(s"contention: starting $n busy-spin burner threads (16 MB working set each)")
+      (0 until n).foreach { i =>
+        val t = new Thread(() => {
+          val buf = new Array[Long](2 * 1024 * 1024) // 16 MB — larger than L2, streams through LLC
+          var x = 0x9E3779B97F4A7C15L + i
+          var j = 0
+          while (true) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            buf((j & (buf.length - 1))) = x
+            x ^= buf(((j * 31) & (buf.length - 1)))
+            j += 1
+          }
+        }, s"burner-$i")
+        t.setDaemon(true)
+        t.setPriority(Thread.MIN_PRIORITY + 1)
+        t.start()
+      }
+    }
     sys.env.get("SPARK_GRAFT_PRESSURE_MB").map(_.toInt).filter(_ > 0).foreach { mb =>
       // INCOMPRESSIBLE ~1 KB pad per row (a constant pad RLE-compressed
       // to nothing in the columnar cache — measured 5 MB for a nominal
@@ -103,7 +134,15 @@ object EntryStageProbe {
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // drain the listener bus (private API in Spark 4)
-      println(f"== $name rep $rep: wall $wall%.2f s, rows $n ==")
+      // entry-level totals: cpu_s is the contention-sensitive column, the
+      // record counters are the work-invariance check (identical counts
+      // across quiet/contended reps = same work, whatever cpu_s did)
+      val (tCpu, tGc, tRec, tSRec, tSpill) = stages.synchronized {
+        (stages.map(_.cpuMs).sum / 1000.0, stages.map(_.gcMs).sum / 1000.0,
+          stages.map(_.recRead).sum, stages.map(_.shufRecW).sum, stages.map(_.spillMB).sum)
+      }
+      println(f"== $name rep $rep: wall $wall%.2f s, rows $n, cpu_s $tCpu%.1f, " +
+        f"gc_s $tGc%.1f, records_read $tRec, shuffle_records $tSRec, spill_mb $tSpill ==")
       stages.synchronized(stages.sortBy(-_.wallMs).take(6).toList).foreach { s =>
         println(f"  ${s.wallMs}%6d ms wall  cpu ${s.cpuMs}%7d  gc ${s.gcMs}%6d  " +
           f"sR ${s.shufReadMB}%5d MB sW ${s.shufWriteMB}%5d MB spill ${s.spillMB}%5d MB  " +
