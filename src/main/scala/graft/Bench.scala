@@ -225,8 +225,11 @@ object Bench {
     require(names.map(shortId).distinct.size == names.size,
       "short query ids must stay unique — rename the colliding query")
     // optional comma-separated name-prefix filter for focused timing runs
-    // (e.g. SPARK_GRAFT_ONLY=d08,d09); absent = full inventory
+    // (e.g. SPARK_GRAFT_ONLY=d08,d09); absent = full inventory. ONE
+    // in-scope rule shared by the main tier, zpanel_build, and the heavy
+    // tier (r14 review: three restatements had already started drifting)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def inScope(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val telemetry = new Telemetry
     spark.sparkContext.addSparkListener(telemetry)
     // false = the bus did not drain (timeout or any other bus error):
@@ -306,7 +309,7 @@ object Bench {
     def rotate[A](xs: Seq[A]): Seq[A] = xs.drop(xs.size / 2) ++ xs.take(xs.size / 2)
     def runAll(rotated: Boolean): Seq[(String, EntryStats)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+        .filter { case (n, _) => inScope(n) }
       (if (rotated) rotate(ordered) else ordered)
         .map { case (name, fn) => name -> time(name, fn, sfDir) }
     }
@@ -318,7 +321,7 @@ object Bench {
     // SparkEntry memoizes the constructed members, so both z01 passes
     // below measure graph ANALYSIS, with construction its own number.
     val zbuild: Seq[(String, EntryStats)] =
-      if (!only.forall(_.exists("z01_lineage_extraction".startsWith))) Seq.empty
+      if (!inScope("z01_lineage_extraction")) Seq.empty
       else Seq("zpanel_build" -> timed("zpanel_build") {
         SparkEntry.prewarmLineagePanel(spark, sfDir)
         -1L // a build line has no single result cardinality
@@ -359,8 +362,7 @@ object Bench {
         def heavyPass(third: Int): Seq[(String, EntryStats)] = {
           graft.queries.DedupQueries.releaseShared()
           spark.catalog.clearCache()
-          val ordered = HeavyNames.filter(SparkEntry.queries.contains)
-            .filter(n => only.forall(_.exists(n.startsWith)))
+          val ordered = HeavyNames.filter(SparkEntry.queries.contains).filter(inScope)
           // the dedup family shares persisted intermediates (shingle/
           // signature/pair tables). Build them ONCE per pass as an
           // explicitly timed "dshared_build" line, so every family entry
@@ -457,6 +459,13 @@ object Bench {
     // speedup on the machine-parseable line (the old per-query map showed
     // -1 inline; the fixed-size line needs an explicit failure field)
     val failedIds = (results ++ heavy).collect { case (k, v) if v.sec < 0 => shortId(k) }.distinct
+    // entries that ran but lost their attribution in EVERY pass (cpu_s
+    // -1): the Σcpu_s totals silently exclude them, so the cpu_s band
+    // would under-count without a surfaced list — the same
+    // breakage-reads-as-a-speedup trap failed[] closes for wall time
+    // (r14 review). Normally [] — a populated list means re-run.
+    val unattributedIds =
+      (results ++ heavy).collect { case (k, v) if v.sec >= 0 && v.cpuSec < 0 => shortId(k) }.distinct
     // full-precision, full-name details for humans and local diffing.
     // Focused (SPARK_GRAFT_ONLY) runs write a SEPARATE file: the committed
     // bench_details.json must only ever hold full-inventory runs — a
@@ -482,6 +491,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
          |"total_cpu_s":${fmt(cpuTotal(results))},"heavy_total_cpu_s":${fmt(cpuTotal(heavy))},
          |"failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |"unattributed":${unattributedIds.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":${statsJson(results)},
          |"heavy_10x":${statsJson(heavy)},
          |"lineage_plans_per_sec":${lineage.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}
@@ -524,9 +534,12 @@ object Bench {
         // here; normally [] — a populated list IS the red flag
         s""","failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","heavy_10x_total":${fmt(heavyTotal)}""" +
-        // the Σcpu_s the committed band is stated in (r13 verdict item 5)
+        // the Σcpu_s the committed band is stated in (r13 verdict item 5);
+        // entries missing from those sums (attribution lost in every
+        // pass) are surfaced, not silently excluded — normally []
         s""","total_cpu_s":${fmt(cpuTotal(results))}""" +
         s""","heavy_total_cpu_s":${fmt(cpuTotal(heavy))}""" +
+        s""","unattributed":${unattributedIds.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","lineage_plans_per_sec":${jsonMap(lineage)}""" +
         s""","details":"$detailsFile"}"""
     require(line.length <= 1500,

@@ -18,35 +18,46 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Every query module EXCEPT the lineage entry (which analyzes a panel
+    * drawn from this map — keeping one definition prevents the prewarm /
+    * panel / queries unions from drifting apart, r14 review). */
+  private def baseDefs: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++ MultimodalQueries.defs
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs ++ lineageEntry
+    baseDefs ++ lineageEntry
 
-  /** z01 panel members whose CONSTRUCTION executes eager localCheckpoints
-    * (the q80 PageRank rounds, q82's thrice-consumed barrier, d16's
-    * winnowing fingerprints): built once per (session, dir) and memoized,
+  /** z01 panel members whose CONSTRUCTION executes eager Spark jobs —
+    * localCheckpoints (q80's PageRank rounds, q82's thrice-consumed
+    * barrier, d16's winnowing fingerprints) and q95's global-order
+    * checkpoint + rebuild: built once per (session, dir) and memoized,
     * so repeated z01 invocations measure graph ANALYSIS — construction is
     * reported separately as the bench's `zpanel_build` line (r13 verdict
-    * item 4, the dshared_build pattern). The memo pins the members' (small,
-    * panel-sized) checkpoint RDD blocks for the session's lifetime — the
-    * deliberate price of analyzing real checkpointed plans, not stand-ins.
+    * item 4, the dshared_build pattern; q95 added by the r14 review —
+    * its construction was still contaminating both z01 passes). The memo
+    * pins the members' (small, panel-sized) checkpoint RDD blocks for the
+    * session's lifetime — the deliberate price of analyzing real
+    * checkpointed plans, not stand-ins; entries of STOPPED sessions are
+    * purged on the next access so cycled sessions don't accumulate.
     * Plans are identical to un-memoized construction, so z01's pinned
     * graph-size literals are unaffected. */
-  private val CheckpointedPanel = Set("q80_textrank", "q82_triangle_count", "d16_substring_dup")
+  private val CheckpointedPanel =
+    Set("q80_textrank", "q82_triangle_count", "d16_substring_dup", "q95_pps_sample")
   private val panelMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private def panelMember(base: Map[String, (SparkSession, String) => DataFrame],
-      name: String, s: SparkSession, dir: String): DataFrame =
-    if (!CheckpointedPanel(name)) base(name)(s, dir)
-    else panelMemo.computeIfAbsent((s, dir, name), _ => base(name)(s, dir))
+  private def panelMember(name: String, s: SparkSession, dir: String): DataFrame =
+    if (!CheckpointedPanel(name)) baseDefs(name)(s, dir)
+    else {
+      panelMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+      panelMemo.computeIfAbsent((s, dir, name), _ => baseDefs(name)(s, dir))
+    }
 
   /** Force-build the memoized checkpointed panel members (Bench's
     * `zpanel_build` line). Safe to call more than once per session. */
-  private[graft] def prewarmLineagePanel(s: SparkSession, dir: String): Unit = {
-    val base = CoreQueries.defs ++ DedupQueries.defs
-    CheckpointedPanel.toSeq.sorted.foreach(n => panelMember(base, n, s, dir))
-  }
+  private[graft] def prewarmLineagePanel(s: SparkSession, dir: String): Unit =
+    CheckpointedPanel.toSeq.sorted.foreach(n => panelMember(n, s, dir))
 
   /** The lineage engine itself, exercised over every query plan in the
     * inventory (the reference's own workload is exactly this: per-plan graph
@@ -55,8 +66,6 @@ object SparkEntry {
   private def lineageEntry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z01_lineage_extraction" -> ((s, dir) => {
       import org.apache.spark.sql.graft.SQLFlow
-      val base = CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-        SimilarityQueries.defs ++ MultimodalQueries.defs
       // representative panel covering every operator family (full-inventory
       // robustness is covered by QueriesSpec; the panel keeps this entry a
       // bounded bench line-item)
@@ -90,7 +99,7 @@ object SparkEntry {
           Future {
             // one QueryExecution: optimize once, analyze twice; the three
             // eager-checkpoint members come from the memo (see panelMember)
-            val df = panelMember(base, name, s, dir)
+            val df = panelMember(name, s, dir)
             val (nodes, edges) = SQLFlow.datasetGraph(df)
             val (cn, ce) = SQLFlow.datasetGraph(df, contracted = true)
             (name, nodes.size, edges.size, cn.size, ce.size)

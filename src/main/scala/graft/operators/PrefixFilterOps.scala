@@ -159,7 +159,13 @@ object PrefixFilterOps {
     * aliased "a"/"b": prefix match, length filter, and the positional
     * upper bound above. Exposed so the candidate-reduction spec binds to
     * THIS condition rather than a private re-derivation (r13 review). */
-  private[graft] def candidateCond(tauNum: Int, tauDen: Int): org.apache.spark.sql.Column = {
+  /** Prefix match + length filter WITHOUT the positional bound — the
+    * counterfactual baseline the positional-cut spec and the Zipfian
+    * corpus probe measure against. Exposed so both sites bind to the
+    * operator's own arithmetic instead of private re-derivations that
+    * drift when the filter form changes (r14 review: the spec and probe
+    * copies had already diverged on int-vs-long arithmetic). */
+  private[graft] def prefixLengthCond(tauNum: Int, tauDen: Int): org.apache.spark.sql.Column = {
     // all predicate arithmetic in LongType: sz is an int column, and under
     // ANSI mode an int product like (sz_a + sz_b) * tauNum would THROW on
     // overflow for pathological set sizes (sums past ~2^31/tauNum) instead
@@ -168,7 +174,13 @@ object PrefixFilterOps {
     val szB = col("b.sz").cast("long")
     col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
       szB * tauDen >= szA * tauNum &&
-      szA * tauDen >= szB * tauNum &&
+      szA * tauDen >= szB * tauNum
+  }
+
+  private[graft] def candidateCond(tauNum: Int, tauDen: Int): org.apache.spark.sql.Column = {
+    val szA = col("a.sz").cast("long")
+    val szB = col("b.sz").cast("long")
+    prefixLengthCond(tauNum, tauDen) &&
       (lit(1L) + least(szA - col("a.pos"), szB - col("b.pos"))) *
         (tauNum + tauDen) >= (szA + szB) * tauNum
   }

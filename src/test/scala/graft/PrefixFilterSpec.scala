@@ -111,14 +111,15 @@ class PrefixFilterSpec extends AnyFunSuite {
       .select(col("doc_id").as("id"), token_shingle_hashes(col("text"), 3).as("sh"))
     val posting = sets.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
     val p = PrefixFilterOps.prefixPostings(posting, 3, 5)
-    // the WITH side is the OPERATOR's own predicate (candidateCond), so a
-    // regression in the production positional term fails here; only the
-    // counterfactual no-positional baseline is spelled out locally
+    // BOTH sides bind to the operator's own predicates (candidateCond and
+    // its prefixLengthCond baseline), so a regression in the production
+    // positional term fails here and a change to the length-filter form
+    // moves the baseline with it (r14 review: a locally spelled-out
+    // baseline had already drifted to int arithmetic)
     def cand(cond: org.apache.spark.sql.Column): Long =
       p.as("a").join(p.as("b"), cond)
         .select(col("a.id"), col("b.id")).distinct().count()
-    val without = cand(col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-      col("b.sz") * 5 >= col("a.sz") * 3 && col("a.sz") * 5 >= col("b.sz") * 3)
+    val without = cand(PrefixFilterOps.prefixLengthCond(3, 5))
     val withPos = cand(PrefixFilterOps.candidateCond(3, 5))
     assert(withPos < without,
       s"positional bound should strictly cut candidates: $withPos vs $without")

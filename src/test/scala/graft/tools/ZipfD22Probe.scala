@@ -91,11 +91,9 @@ object ZipfD22Probe {
     prefix.count()
     // candidates admitted by prefix + length alone vs the full shipped
     // condition (prefix + length + positional): the delta IS the
-    // positional filter's cut on this corpus shape
-    val prefixLenCond =
-      col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-        col("b.sz").cast("long") * tauDen >= col("a.sz").cast("long") * tauNum &&
-        col("a.sz").cast("long") * tauDen >= col("b.sz").cast("long") * tauNum
+    // positional filter's cut on this corpus shape. Both predicates come
+    // from the operator (r14 review: no private re-derivation)
+    val prefixLenCond = PrefixFilterOps.prefixLengthCond(tauNum, tauDen)
     def countCand(cond: org.apache.spark.sql.Column): Long =
       prefix.as("a").join(prefix.as("b"), cond)
         .select(col("a.id"), col("b.id")).distinct().count()
