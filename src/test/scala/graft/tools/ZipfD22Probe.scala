@@ -44,6 +44,12 @@ object ZipfD22Probe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(600000)
     val zipfS = args.drop(1).headOption.map(_.toDouble).getOrElse(1.1)
+    // the closed-form inverse-CDF exponent below is 1/(1-s): s = 1.0 would
+    // divide by zero and emit NaN ranks silently (r14 advice) — fail at
+    // parse time instead (s = 1 needs the log-form inverse CDF; use a
+    // nearby value like 1.001 for the same shape)
+    require(zipfS != 1.0, s"zipf s must not be exactly 1.0 (inverse-CDF " +
+      "exponent 1/(1-s) is undefined there); use e.g. 1.001 or 0.999")
     val vocab = 5000000
     val (tauNum, tauDen) = (3, 5)
     val spark = SparkSession.builder()

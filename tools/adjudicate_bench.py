@@ -13,7 +13,18 @@ first hit decides:
        entry in CPI_FRAGILE                  -> cpu_s advisory (counters ruled)
        ratio >= 1.6x                         -> REOPEN
        else                                  -> ENV/OK
+     When BOTH artifacts carry `calib_cpu_s` (r15: a fixed-work, Spark-free,
+     allocation-light CPU spin timed per run), the cpu ratio is NORMALIZED
+     by the calib ratio before the band applies — "the whole window ran
+     1.14x hot" becomes a per-artifact measurement instead of an inference;
+     raw and normalized ratios are both printed.
   5. wall alone never reopens anything.
+
+Entries that cannot be adjudicated at all (sub-floor cpu AND counters
+absent, i.e. a pre-r14 baseline) print as FLOOR-UNCHECKED rather than
+passing silently; they count toward a separate `unadjudicable` tally, not
+the exit status (a pre-r14 compare is inherently manual). Candidate-only
+entries per tier print as NEW so inventory drift is visible.
 
 Usage: python3 tools/adjudicate_bench.py COMMITTED.json CANDIDATE.json
        (either arg may be "git:REF" to read bench_details.json from a git
@@ -49,7 +60,7 @@ def ratio(a, b):
     return a / b if b and b > 0 else float("inf") if a and a > 0 else 1.0
 
 
-def adjudicate(name, base, cand):
+def adjudicate(name, base, cand, calib_r=None):
     def has(d, k):
         return isinstance(d.get(k), (int, float)) and d[k] >= 0
 
@@ -61,10 +72,17 @@ def adjudicate(name, base, cand):
                     f"{base['records_read']}/{base['rows']} -> "
                     f"{cand['records_read']}/{cand['rows']}")
         if has(base, "shuffle_records") and has(cand, "shuffle_records"):
-            r = ratio(cand["shuffle_records"], base["shuffle_records"])
+            bs, cs = base["shuffle_records"], cand["shuffle_records"]
+            # a shuffle appearing from zero or vanishing to zero is a plan
+            # change (e.g. a broadcast-join conversion) that the symmetric
+            # ratio test cannot see — ratio(0, n>0) is 0.0 and 1/r is inf
+            # but the old guard `r > 0` skipped it (r14 advice, medium)
+            if (bs == 0) != (cs == 0):
+                return ("STRUCTURE", f"shuffle appeared/vanished: "
+                        f"shuffle_records {bs} -> {cs}")
+            r = ratio(cs, bs)
             if r >= SHUFFLE_STRUCTURE_RATIO or (r > 0 and 1 / r >= SHUFFLE_STRUCTURE_RATIO):
-                return ("STRUCTURE", f"shuffle_records {base['shuffle_records']} -> "
-                        f"{cand['shuffle_records']} ({r:.2f}x)")
+                return ("STRUCTURE", f"shuffle_records {bs} -> {cs} ({r:.2f}x)")
     if cand.get("spill_mb", 0) > 0 and base.get("spill_mb", 0) == 0:
         return ("STRUCTURE", f"spill {cand['spill_mb']} MB where committed 0")
     bc, cc = base.get("cpu_s", -1), cand.get("cpu_s", -1)
@@ -72,25 +90,47 @@ def adjudicate(name, base, cand):
         return ("UNATTRIBUTED", "cpu_s sentinel in one side; counters "
                 + ("checked clean" if counters else "ABSENT (pre-r14 artifact)"))
     if bc < CPU_FLOOR_S:
-        return ("FLOOR", f"committed cpu {bc:.1f}s < {CPU_FLOOR_S}s — "
-                "wall/cpu not adjudicable" + ("" if counters else "; counters absent"))
+        # with counters the entry IS ruled (rules 1-3 ran above): quiet.
+        # without them nothing at all was checked — surface that instead
+        # of passing silently (r14 advice, low)
+        if counters:
+            return ("FLOOR", f"committed cpu {bc:.1f}s < {CPU_FLOOR_S}s — "
+                    "wall/cpu not adjudicable; counters checked clean")
+        return ("FLOOR-UNCHECKED", f"committed cpu {bc:.1f}s < {CPU_FLOOR_S}s "
+                "AND counters absent (pre-r14) — nothing checked, inspect manually")
     r = ratio(cc, bc)
+    # normalize by the per-artifact fixed-work calibration when both runs
+    # carry it: rn is "how much hotter than the window" the entry ran
+    rn = r / calib_r if calib_r else r
+    def cpus(tag=""):
+        out = f"cpu {bc:.1f} -> {cc:.1f} ({r:.2f}x raw"
+        out += f", {rn:.2f}x calib-normalized" if calib_r else ""
+        return out + f"){tag}"
     if name in CPI_FRAGILE:
         return ("FRAGILE-OK" if counters else "FRAGILE",
-                f"cpu {bc:.1f} -> {cc:.1f} ({r:.2f}x) advisory; "
+                cpus(" advisory; ")
                 + ("work counters identical" if counters else "counters ABSENT — inspect manually"))
     cap = CPU_REOPEN_RATIO_LARGE if bc >= 10 else CPU_REOPEN_RATIO_MID
-    if r >= cap:
-        return ("REOPEN", f"cpu {bc:.1f} -> {cc:.1f} ({r:.2f}x >= {cap}x)"
+    if rn >= cap:
+        return ("REOPEN", cpus(f" >= {cap}x")
                 + ("" if counters else "; counters absent (pre-r14)"))
-    return ("OK", f"cpu {bc:.1f} -> {cc:.1f} ({r:.2f}x)")
+    return ("OK", cpus())
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     base_all, cand_all = load(sys.argv[1]), load(sys.argv[2])
+    def calib(d):
+        v = d.get("calib_cpu_s")
+        return v if isinstance(v, (int, float)) and v > 0 else None
+    calib_r = None
+    if calib(base_all) and calib(cand_all):
+        calib_r = calib(cand_all) / calib(base_all)
+        print(f"[calib_cpu_s] committed {calib(base_all)} candidate {calib(cand_all)} "
+              f"-> cpu ratios normalized by {calib_r:.3f}x")
     bad = 0
+    unadjudicable = 0
     for tier in ("queries", "heavy_10x"):
         print(f"=== {tier} ===")
         for name, b in sorted(base_all.get(tier, {}).items()):
@@ -99,18 +139,26 @@ def main():
                 print(f"  MISSING       {name}")
                 bad += 1
                 continue
-            verdict, why = adjudicate(name, b, c)
+            verdict, why = adjudicate(name, b, c, calib_r)
             if verdict in ("STRUCTURE", "REOPEN", "FRAGILE"):
                 bad += 1
-            # OK and FLOOR are the quiet norm (FLOOR entries are ruled by
-            # the counter checks that already ran above) — print only what
-            # needs a human
+            if verdict == "FLOOR-UNCHECKED":
+                unadjudicable += 1
+            # OK and (counter-checked) FLOOR are the quiet norm — print
+            # only what needs a human
             if verdict not in ("OK", "FLOOR"):
                 print(f"  {verdict:13s} {name}: {why}")
+        # candidate-only entries (new or renamed) would otherwise never
+        # appear in any verdict — inventory drift must be visible
+        # (r14 advice, low)
+        for name in sorted(set(cand_all.get(tier, {})) - set(base_all.get(tier, {}))):
+            print(f"  NEW           {name}: absent from committed baseline")
     for tot in ("total_cpu_s", "heavy_total_cpu_s"):
         if tot in base_all and tot in cand_all:
             print(f"[{tot}] committed {base_all[tot]} candidate {cand_all[tot]} "
                   f"({ratio(float(cand_all[tot]), float(base_all[tot])):.2f}x)")
+    if unadjudicable:
+        print(f"{unadjudicable} entries unadjudicable (FLOOR-UNCHECKED, pre-r14 baseline)")
     print(f"{bad} entries need attention")
     sys.exit(min(bad, 125))
 
