@@ -101,6 +101,41 @@ object Bench {
   private def jsonMap(m: Seq[(String, Double)]): String =
     m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 
+  /** Fixed-work CPU calibration (r14 verdict item 4): a Spark-free,
+    * allocation-light, CACHE-RESIDENT 64-bit mixing spin over a 64 KB
+    * constant buffer, timed in THREAD-CPU seconds for a constant iteration
+    * count. The work is bit-identical every run, so the reading measures
+    * the window's common-mode hotness — frequency scaling and SMT/steal
+    * contention, which inflate thread-CPU time exactly like they inflate
+    * the entries' executor cpu_s — while staying deliberately INSENSITIVE
+    * to the cache-miss CPI pressure only the allocation-dense entries feel
+    * (that residual is what the CPI_FRAGILE tags are for).
+    * tools/adjudicate_bench.py divides the two artifacts' calib_cpu_s and
+    * normalizes every cpu ratio by it before applying the reopen bands,
+    * turning "the whole window ran hot" from an inference over Σcpu_s into
+    * a per-artifact measurement. */
+  private val CalibIters = 400000000L // measured ~2.0 s quiet on this container
+  private def calibSpin(): Double = {
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+    val buf = new Array[Long](8192) // 64 KB — L2-resident by design
+    var i = 0
+    while (i < buf.length) { buf(i) = 0x9E3779B97F4A7C15L * (i + 1); i += 1 }
+    var x = 0x9E3779B97F4A7C15L
+    var j = 0L
+    val t0 = bean.getCurrentThreadCpuTime
+    while (j < CalibIters) {
+      x ^= buf(((x >>> 17) & 8191L).toInt)
+      x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 33
+      j += 1
+    }
+    val sec = (bean.getCurrentThreadCpuTime - t0) / 1e9
+    // the state feeds an (unreachable) side effect so the JIT cannot
+    // dead-code the spin; 0 is not a fixed point of the mix above
+    if (x == 0L) System.err.println("calib: impossible zero state")
+    math.round(sec * 1000) / 1000.0
+  }
+
   /** Synthetic 10× documents+embeddings under a temp dir (removed on JVM
     * exit). Copy i shifts ids by i·10^8 and prefixes every non-leading
     * token with "c{i}" so cross-copy docs share no shingles. */
@@ -224,6 +259,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     require(names.map(shortId).distinct.size == names.size,
       "short query ids must stay unique — rename the colliding query")
+    // fixed-work calibration samples: one before the main passes, one
+    // between the tiers, one at the end — the MEDIAN goes out as
+    // calib_cpu_s (robust to a single burst landing on one sample), the
+    // raw samples ride along for diagnosis
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    calibSamples += calibSpin()
     // optional comma-separated name-prefix filter for focused timing runs
     // (e.g. SPARK_GRAFT_ONLY=d08,d09); absent = full inventory. ONE
     // in-scope rule shared by the main tier, zpanel_build, and the heavy
@@ -326,17 +367,53 @@ object Bench {
         SparkEntry.prewarmLineagePanel(spark, sfDir)
         -1L // a build line has no single result cardinality
       })
+    // r15 (r14 verdict item 2): force-build the shared + cross-pass
+    // memoized artifacts BEFORE each timed main pass, as an explicitly
+    // timed "shared_build" line — the heavy tier's dshared_build pattern
+    // applied to the main tier. Scope comes from the consumer sets the
+    // query objects maintain next to their builders, so a focused run
+    // never pays an unused build. Pass 1's line additionally pays the
+    // once-per-corpus trainer/index memos (ivfPivots & friends are NOT
+    // released between passes — by design: they model offline-trained
+    // artifacts), so the line's own min lands on pass 2's rebuild of the
+    // per-pass sharedDf tables; what matters is that every INVENTORY
+    // entry now does identical marginal work in every pass, making its
+    // work counters pass-invariant (the r14 d15 adjudication false
+    // positive: whichever pass trained ivfPivots inside d15's build won
+    // or lost the min and records_read flipped 2064 <-> 6067).
+    import graft.queries.{DedupQueries, SimilarityQueries}
+    def mainSharedBuild(): Seq[(String, EntryStats)] = {
+      import DedupQueries.{SharedPairConsumers, SharedShingleConsumers, SharedSigConsumers}
+      val scoped = names.filter(inScope)
+      val withShingles = scoped.exists(SharedShingleConsumers)
+      val withSem = scoped.exists(DedupQueries.SemdedupConsumers)
+      val withLsh = scoped.exists(DedupQueries.LshIndexConsumers)
+      val withMemos = SimilarityQueries.MemoConsumers.values.exists(_.exists(inScope))
+      if (!withShingles && !withSem && !withLsh && !withMemos) Seq.empty
+      else Seq("shared_build" -> timed("shared_build") {
+        if (withShingles) DedupQueries.prewarmShared(spark, sfDir,
+          scoped.exists(SharedPairConsumers), scoped.exists(SharedSigConsumers))
+        if (withLsh) DedupQueries.prewarmLshIndex(spark, sfDir)
+        if (withSem) DedupQueries.prewarmSemdedup(spark, sfDir)
+        SimilarityQueries.prewarmMemos(spark, sfDir, inScope)
+        -1L // a build line has no single result cardinality
+      })
+    }
     // two passes, report the min per query: pass 1 absorbs per-plan codegen
     // and JIT compilation, so pass 2 measures steady-state execution — the
     // regime a long-lived cluster session actually runs in.
+    val build1 = mainSharedBuild()
     val first = runAll(rotated = false)
     // drop caches persisted by pass 1 (shingle/signature/pair tables): the
     // min must measure re-execution with warm JIT, not cache scans
     graft.queries.DedupQueries.releaseShared()
     spark.catalog.clearCache()
+    val build2 = mainSharedBuild().toMap
     val secondByName = runAll(rotated = true).toMap
-    val results = zbuild ++ first.map { case (k, v) =>
-      k -> minOk(v, secondByName.getOrElse(k, v)) }
+    val results = zbuild ++
+      build1.map { case (k, v) => k -> minOk(v, build2.getOrElse(k, v)) } ++
+      first.map { case (k, v) => k -> minOk(v, secondByName.getOrElse(k, v)) }
+    calibSamples += calibSpin()
     // heavy tier: one pass (JIT is warm by now) on the synthetic 10× corpus.
     // SPARK_GRAFT_ONLY normally skips the tier (focused main-tier runs);
     // setting SPARK_GRAFT_HEAVY=1 explicitly keeps it, filtered to the
@@ -375,8 +452,12 @@ object Bench {
           // an unused build, and the pair table — the expensive
           // artifact — builds only when a pair consumer is in scope.
           import graft.queries.DedupQueries.{SharedPairConsumers, SharedShingleConsumers, SharedSigConsumers}
+          val inHeavy = ordered.toSet
+          val withShingles = ordered.exists(SharedShingleConsumers)
+          val withSem = ordered.exists(DedupQueries.SemdedupConsumers)
+          val withMemos = SimilarityQueries.MemoConsumers.values.exists(_.exists(inHeavy))
           val sharedBuild: Seq[(String, EntryStats)] =
-            if (!ordered.exists(SharedShingleConsumers)) Seq.empty
+            if (!withShingles && !withSem && !withMemos) Seq.empty
             else {
               val withPairs = ordered.exists(SharedPairConsumers)
               // signature table only when an LSH bander is in scope — a
@@ -384,7 +465,14 @@ object Bench {
               // 32-perm build (r11 advice)
               val withSigs = ordered.exists(SharedSigConsumers)
               Seq("dshared_build" -> timed("dshared_build") {
-                graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs, withSigs)
+                if (withShingles)
+                  graft.queries.DedupQueries.prewarmShared(spark, heavyDir, withPairs, withSigs)
+                // r15: d15's assignment table and the ANN trainer memos get
+                // the same per-pass force-build as the shingle trio — heavy
+                // d15/s11 had the exact pass-dependent-counter exposure the
+                // main tier's r14 false positive came from
+                if (withSem) graft.queries.DedupQueries.prewarmSemdedup(spark, heavyDir)
+                SimilarityQueries.prewarmMemos(spark, heavyDir, inHeavy)
                 -1L // a build line has no single result cardinality
               })
             }
@@ -447,6 +535,8 @@ object Bench {
       }
       Seq("plain" -> rate(contracted = false), "contracted" -> rate(contracted = true))
     }
+    calibSamples += calibSpin()
+    val calibCpu = calibSamples.sorted.apply(calibSamples.size / 2)
     val total = results.map(_._2.sec).filter(_ >= 0).sum
     // Σ executor-CPU totals (r13 verdict item 5): the committed band is
     // stated in cpu_s FIRST — two runs of the same tree agree on Σcpu_s
@@ -490,6 +580,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
          |"total_cpu_s":${fmt(cpuTotal(results))},"heavy_total_cpu_s":${fmt(cpuTotal(heavy))},
+         |"calib_cpu_s":${fmt(calibCpu)},"calib_cpu_samples":${calibSamples.map(fmt).mkString("[", ",", "]")},
          |"failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"unattributed":${unattributedIds.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":${statsJson(results)},
@@ -539,6 +630,8 @@ object Bench {
         // pass) are surfaced, not silently excluded — normally []
         s""","total_cpu_s":${fmt(cpuTotal(results))}""" +
         s""","heavy_total_cpu_s":${fmt(cpuTotal(heavy))}""" +
+        // the fixed-work hotness divisor the adjudicator normalizes by
+        s""","calib_cpu_s":${fmt(calibCpu)}""" +
         s""","unattributed":${unattributedIds.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","lineage_plans_per_sec":${jsonMap(lineage)}""" +
         s""","details":"$detailsFile"}"""

@@ -88,6 +88,47 @@ object DedupQueries {
   val SharedSigConsumers: Set[String] = Set(
     "d03_minhash_lsh", "d05_ngram_jaccard", "d19_incremental_lsh")
 
+  /** Consumers of the two remaining BUILD-ONCE artifacts this object owns
+    * whose construction cost is pass-asymmetric — maintained here, next to
+    * the builders, for the same no-drift reason as [[SharedPairConsumers]].
+    * The bench's shared_build line force-builds the in-scope ones before
+    * the timed passes (r14 verdict: d15's records_read flipped 2064 → 6067
+    * depending on which pass won the min, because the FIRST pass trains the
+    * cross-pass-memoized [[SimilarityQueries.ivfPivots]] inside d15's
+    * sharedDf build and later passes don't — a per-entry counter is only an
+    * invariant when every pass does the same marginal work). The other
+    * single-consumer sharedDf keys (d04's simhash, d07's srp, d18's tfv)
+    * need no build line: their builders depend on NO cross-pass memo, so
+    * every pass rebuilds them identically and the counters are already
+    * pass-invariant. */
+  val SemdedupConsumers: Set[String] = Set("d15_semdedup")
+  val LshIndexConsumers: Set[String] = Set("d19_incremental_lsh")
+
+  /** Force-build d15's persisted cluster-assignment table (and, on the
+    * first call per corpus, the IVF quantizer training it rides on) under
+    * the SAME registry key and build plan as the d15 entry, so every
+    * bench pass measures d15's within-cluster self-join marginally. */
+  def prewarmSemdedup(s: SparkSession, dir: String): Unit = {
+    // resolve BEFORE entering the registry (the sharedDf contract): this
+    // trains ivfPivots and materializes spread()'s partition probe
+    val assignedPlan = SimilarityQueries.semdedupAssigned(s, dir, spreadScan = true)
+    sharedDf(s, s"semdedup_assigned|$dir")(assignedPlan).count()
+    ()
+  }
+
+  /** Force-build d19's persisted band index (cross-pass memoized path —
+    * built once per (session, corpus), like the ANN index layouts). */
+  def prewarmLshIndex(s: SparkSession, dir: String): Unit = {
+    lshIndexPath(s, dir, IncrementalLshBoundary)
+    ()
+  }
+
+  /** The standing-corpus/ingest-batch split d19 (and its prewarm) key the
+    * build-once band index on — ONE definition so the prewarmed index is
+    * always the index the entry probes ([[lshIndexPath]] memoizes on
+    * (session, dir) only). */
+  private[graft] val IncrementalLshBoundary = 400L
+
   /** Unpersist and forget every shared intermediate. The next consumer
     * rebuilds (and re-persists) from scratch. */
   def releaseShared(): Unit = {
@@ -585,7 +626,7 @@ object DedupQueries {
       // corpus-wide on this fixture, so the index probe must reproduce
       // d12's EXHAUSTIVE new×seen compare — hash-checked against exactly
       // that SQL.
-      val boundary = 400L
+      val boundary = IncrementalLshBoundary
       val sh = shingleTable(s, dir)
       val idx = s.read.parquet(lshIndexPath(s, dir, boundary))
         .withColumnsRenamed(Map("doc_id" -> "doc_b"))

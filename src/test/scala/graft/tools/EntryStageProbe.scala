@@ -65,6 +65,13 @@ object EntryStageProbe {
         names.exists(SharedPairConsumers), names.exists(SharedSigConsumers))
       println(f"prewarm ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // r15: the bench's shared_build line also force-builds d15's assignment
+    // table and the cross-pass trainer/index memos — mirror it so probed
+    // entries see the same prewarm state the bench measures them under
+    if (names.exists(graft.queries.DedupQueries.SemdedupConsumers)) {
+      graft.queries.DedupQueries.prewarmSemdedup(spark, dir)
+    }
+    graft.queries.SimilarityQueries.prewarmMemos(spark, dir, names.toSet)
 
     // cached-block census: is every shared/persisted RDD still fully IN
     // MEMORY, or has storage pressure pushed blocks to disk (or dropped
@@ -131,7 +138,14 @@ object EntryStageProbe {
       stages.synchronized(stages.clear())
       System.gc()
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      // "zpanel_build" probes the bench's checkpoint-construction line
+      // (r14 verdict item 3 wants a coefficient for every >=10 s-cpu line,
+      // and this one is a build, not a query). It is memoized per
+      // (session, dir), so only rep 0 measures real work — compare rep 0
+      // across separate probe JVMs (quiet vs burn), not reps within one.
+      val n =
+        if (name == "zpanel_build") { graft.SparkEntry.prewarmLineagePanel(spark, dir); -1L }
+        else graft.SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // drain the listener bus (private API in Spark 4)
       // entry-level totals: cpu_s is the contention-sensitive column, the
