@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The default 240 MB JIT code cache runs hot under the full bench
+  // inventory (hundreds of generated classes × tiered compilation);
+  // code-cache flushing evicts warm methods and forces re-JIT mid-run,
+  // one measured source of same-plan cpu_s variance (BUILD_NOTES r15).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -243,6 +243,19 @@ object Bench {
       // k·rowsize keeps worst-case hash-agg state in the low hundreds of
       // MB per task; past that the sort fallback is the right answer.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // The generated-class cache (STATIC conf, default 100 entries) is
+      // smaller than this inventory (105 entries × ~3-6 codegen stages
+      // each ≈ 300-600 distinct sources), so by the time pass 2 re-runs an
+      // entry its pass-1 classes are long evicted and every sample pays
+      // Janino + JIT re-warm-up — the r14-documented 1.5-3× bench-vs-probe
+      // cpu_s gap, and the axis on which d18's reported cpu_s was bimodal
+      // across same-tree runs (21-58 cpu_s with bit-identical work
+      // counters; see BUILD_NOTES r15). 4096 keeps every plan's classes
+      // for the session — also the right setting for the real target: a
+      // long-lived cluster session running hundreds of distinct plans
+      // should compile each exactly once. ~10-50 KB per cached class →
+      // tens of MB, negligible against the 8 GB heap.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     // ERROR, not WARN: the driver's 2000-char stdout tail interleaves
     // stderr (sbt prefixes it "[error] ..."), and late WARN spam (e.g.
@@ -347,11 +360,12 @@ object Bench {
     // "min" would measure marginal cost, not the operator (observed:
     // 2.1 s → 0.097 s). A half-rotation keeps every family's internal
     // order, so per-query amortization semantics match pass 1 exactly.
-    def rotate[A](xs: Seq[A]): Seq[A] = xs.drop(xs.size / 2) ++ xs.take(xs.size / 2)
-    def runAll(rotated: Boolean): Seq[(String, EntryStats)] = {
+    def rotateBy[A](xs: Seq[A], k: Int): Seq[A] = xs.drop(k) ++ xs.take(k)
+    def runAll(shiftDenom: Int): Seq[(String, EntryStats)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => inScope(n) }
-      (if (rotated) rotate(ordered) else ordered)
+      (if (shiftDenom == 0) ordered
+       else rotateBy(ordered, ordered.size / shiftDenom))
         .map { case (name, fn) => name -> time(name, fn, sfDir) }
     }
     // z01's three eager-checkpoint panel members (q80/q82/d16) execute
@@ -399,20 +413,41 @@ object Bench {
         -1L // a build line has no single result cardinality
       })
     }
-    // two passes, report the min per query: pass 1 absorbs per-plan codegen
-    // and JIT compilation, so pass 2 measures steady-state execution — the
-    // regime a long-lived cluster session actually runs in.
+    // THREE passes, report the min per query (r15 — was two): pass 1
+    // absorbs per-plan codegen and JIT compilation, passes 2-3 measure
+    // steady-state execution — the regime a long-lived cluster session
+    // actually runs in. Why three: with min-of-2, one pass IS the steady
+    // sample, and an entry whose JIT tier-up lost the race in that single
+    // pass reports a hot value for the whole run — measured same-tree
+    // same-day spreads of up to 2.5× on the TypedImperativeAggregate
+    // entries (s10 19.5 vs 7.7 cpu_s, q105 14.2 vs 7.9) AFTER the
+    // generated-class cache fix removed the codegen-eviction component.
+    // A third rotated pass gives every entry two steady chances; the
+    // heavy tier has used min-of-3 since r12 for the same reason. Caches
+    // are released between passes so every pass re-executes (warm JIT,
+    // cold data), and each pass runs a distinct rotation so no entry sees
+    // the same neighbors twice.
     val build1 = mainSharedBuild()
-    val first = runAll(rotated = false)
-    // drop caches persisted by pass 1 (shingle/signature/pair tables): the
-    // min must measure re-execution with warm JIT, not cache scans
-    graft.queries.DedupQueries.releaseShared()
-    spark.catalog.clearCache()
+    val first = runAll(shiftDenom = 0)
+    def releaseBetweenPasses(): Unit = {
+      // drop caches persisted by the prior pass (shingle/signature/pair
+      // tables): the min must measure re-execution with warm JIT, not
+      // cache scans
+      graft.queries.DedupQueries.releaseShared()
+      spark.catalog.clearCache()
+    }
+    releaseBetweenPasses()
     val build2 = mainSharedBuild().toMap
-    val secondByName = runAll(rotated = true).toMap
+    val secondByName = runAll(shiftDenom = 2).toMap
+    releaseBetweenPasses()
+    val build3 = mainSharedBuild().toMap
+    val thirdByName = runAll(shiftDenom = 4).toMap
+    def min3(k: String, v: EntryStats, p2: Map[String, EntryStats],
+        p3: Map[String, EntryStats]): EntryStats =
+      minOk(minOk(v, p2.getOrElse(k, v)), p3.getOrElse(k, v))
     val results = zbuild ++
-      build1.map { case (k, v) => k -> minOk(v, build2.getOrElse(k, v)) } ++
-      first.map { case (k, v) => k -> minOk(v, secondByName.getOrElse(k, v)) }
+      build1.map { case (k, v) => k -> min3(k, v, build2, build3) } ++
+      first.map { case (k, v) => k -> min3(k, v, secondByName, thirdByName) }
     calibSamples += calibSpin()
     // heavy tier: one pass (JIT is warm by now) on the synthetic 10× corpus.
     // SPARK_GRAFT_ONLY normally skips the tier (focused main-tier runs);

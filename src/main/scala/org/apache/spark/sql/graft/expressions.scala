@@ -168,13 +168,56 @@ private[graft] object Md5Local {
   def get(): java.security.MessageDigest = tl.get()
 }
 
-/** Vector math over float-array embedding columns. */
+/** Vector math over float-array embedding columns.
+  *
+  * RECEIVER DEVIRTUALIZATION (r15, the d18 cpu-envelope root cause): each
+  * kernel dispatches ONCE per call on the concrete [[ArrayData]] pair and
+  * runs a loop whose receiver type is STATIC. `a.getFloat(i)` on a plain
+  * `ArrayData` receiver is a virtual call whose single shared call site
+  * profiles every receiver type the whole session ever passes through the
+  * kernel — UnsafeArrayData from joined/shuffled rows, ColumnarArray from
+  * columnar-cache scans, GenericArrayData from eval paths — and once that
+  * profile turns megamorphic the JIT stops inlining the accessor, the loop
+  * loses bounds-check elimination, and the SAME plan runs 2-3× more cpu_s
+  * with bit-identical work counters, depending on which run's tier-up won
+  * the profile race (measured: d18 21-28 cpu_s across seven quiet runs vs
+  * 34 / 57.5 in the two driver windows, flat under a 4× burner dose — not
+  * contention). The typed arms below make the hot accessor a class-
+  * hierarchy-analysis inline, immune to profile pollution; the generic arm
+  * keeps every other receiver correct. Every arm runs the IDENTICAL loop
+  * (same order, same double accumulation), so results are bit-identical
+  * across arms and the oracle contract is untouched. */
 object VecOps {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
   /** Cosine similarity accumulated in double, fixed ascending order →
     * bit-deterministic on every executor. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     require(a.numElements() == b.numElements(),
       s"vector dimensions differ: ${a.numElements()} vs ${b.numElements()}")
+    (a, b) match {
+      case (x: UnsafeArrayData, y: UnsafeArrayData) => cosineUU(x, y)
+      case _ => cosineGen(a, b)
+    }
+  }
+  private def cosineUU(a: UnsafeArrayData, b: UnsafeArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+  private def cosineGen(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var dot = 0.0
     var na = 0.0
@@ -201,6 +244,22 @@ object VecOps {
   def dot(a: ArrayData, b: ArrayData): Double = {
     require(a.numElements() == b.numElements(),
       s"vector dimensions differ: ${a.numElements()} vs ${b.numElements()}")
+    (a, b) match {
+      case (x: UnsafeArrayData, y: UnsafeArrayData) => dotUU(x, y)
+      case _ => dotGen(a, b)
+    }
+  }
+  private def dotUU(a: UnsafeArrayData, b: UnsafeArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      d += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    d
+  }
+  private def dotGen(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var d = 0.0
     var i = 0
@@ -213,7 +272,22 @@ object VecOps {
 
   /** L2 norm, accumulated exactly like [[cosine]]'s `na` term (see
     * [[dot]] for the bit-identity contract). */
-  def norm(a: ArrayData): Double = {
+  def norm(a: ArrayData): Double = a match {
+    case x: UnsafeArrayData => normU(x)
+    case _ => normGen(a)
+  }
+  private def normU(a: UnsafeArrayData): Double = {
+    val n = a.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    math.sqrt(na)
+  }
+  private def normGen(a: ArrayData): Double = {
     val n = a.numElements()
     var na = 0.0
     var i = 0
@@ -966,9 +1040,31 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
   * Overflows only past |a|·|b| ≈ 9.2e18 (docs of ~3e9 tokens — not a
   * real document). */
 object LongVecOps {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  /** Typed fast arm + generic fallback — see [[VecOps]]'s receiver-
+    * devirtualization note (this kernel, d18's hot loop over ~12.5M pairs
+    * per sf0.1 pass, is where the megamorphic-profile cpu bimodality was
+    * measured). Both arms run the identical loop: bit-identical results. */
   def dot(a: ArrayData, b: ArrayData): Long = {
     require(a.numElements() == b.numElements(),
       s"vector dimensions differ: ${a.numElements()} vs ${b.numElements()}")
+    (a, b) match {
+      case (x: UnsafeArrayData, y: UnsafeArrayData) => dotUU(x, y)
+      case _ => dotGen(a, b)
+    }
+  }
+  private def dotUU(a: UnsafeArrayData, b: UnsafeArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+  private def dotGen(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     var acc = 0L
     var i = 0

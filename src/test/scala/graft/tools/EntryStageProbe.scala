@@ -22,6 +22,10 @@ object EntryStageProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_FBT", "131072"))
+      // mirror the bench session (r15): with the default 100-entry
+      // generated-class cache a probe of 1-2 entries never evicts, but the
+      // conf must match so probe and bench sessions stay comparable
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .appName("entry-stage-probe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -64,6 +64,17 @@ def adjudicate(name, base, cand, calib_r=None):
     def has(d, k):
         return isinstance(d.get(k), (int, float)) and d[k] >= 0
 
+    # build lines (shared_build / dshared_build / zpanel_build) carry a
+    # rows=-1 sentinel: they have no result cardinality, and their other
+    # counters are pass-DEPENDENT by design (the reported min picks
+    # whichever pass rebuilt the least, e.g. one where a cross-pass memo
+    # was already warm) — so neither the exact-invariant rules nor the cpu
+    # bands apply. Informational only.
+    if base.get("rows") == -1 or cand.get("rows") == -1:
+        return ("BUILD", f"build line, min-of-pass semantics: cpu "
+                f"{base.get('cpu_s')} -> {cand.get('cpu_s')} (informational; "
+                "counters pass-dependent by design)")
+
     # pre-r14 artifacts lack work counters — say so instead of passing
     counters = all(has(base, k) and has(cand, k) for k in ("records_read", "rows"))
     if counters:
@@ -144,9 +155,9 @@ def main():
                 bad += 1
             if verdict == "FLOOR-UNCHECKED":
                 unadjudicable += 1
-            # OK and (counter-checked) FLOOR are the quiet norm — print
-            # only what needs a human
-            if verdict not in ("OK", "FLOOR"):
+            # OK, (counter-checked) FLOOR and BUILD lines are the quiet
+            # norm — print only what needs a human
+            if verdict not in ("OK", "FLOOR", "BUILD"):
                 print(f"  {verdict:13s} {name}: {why}")
         # candidate-only entries (new or renamed) would otherwise never
         # appear in any verdict — inventory drift must be visible
