@@ -23,6 +23,11 @@ object Verify {
       // collect_*-heavy entry ever shows memory pressure, scope the
       // override around the top-k entries instead
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // match Bench (r15): the default 100-entry generated-class cache is
+      // smaller than the 188-entry inventory's codegen-source count, so
+      // the dump was re-compiling evicted classes mid-run; purely a
+      // wall-time saving — correctness is cache-independent
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
