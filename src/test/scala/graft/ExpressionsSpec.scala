@@ -497,4 +497,63 @@ class ExpressionsSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("integral"))
   }
+
+  test("VecOps/LongVecOps typed arms are BIT-identical to the generic arm " +
+    "for every ArrayData receiver combination") {
+    // The r15 receiver devirtualization (see VecOps' scaladoc) duplicates
+    // each kernel loop into a statically-typed UnsafeArrayData arm and a
+    // generic fallback. The oracle's hash-exactness rests on the two arms
+    // producing the same BITS for the same values, whatever concrete
+    // ArrayData subclass delivers them — pin that here by driving the
+    // public entry points with Unsafe, Generic and Columnar receivers in
+    // every pairing. Values include NaN/extreme floats so "same bits"
+    // is tested where IEEE accumulation could plausibly diverge.
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.graft.{LongVecOps, VecOps}
+    import org.apache.spark.sql.types.{FloatType, LongType}
+    import org.apache.spark.sql.vectorized.ColumnarArray
+
+    val fl = Array(1.5f, -2.25f, 3.4e38f, 1.1754944e-38f, 0.0f, -0.0f, 42.0f, -7.125f)
+    val fr = Array(-0.5f, 8.0f, 2.0e-38f, 3.0e38f, -1.0f, 5.5f, 0.25f, 9.75f)
+    val ll = Array(3L, -4L, Long.MaxValue / 1048576, 0L, 17L, -99L, 1L << 40, 5L)
+    val lr = Array(-7L, 11L, 1048575L, 123L, -1L, 2L, 3L, -8L)
+
+    def uF(a: Array[Float]): ArrayData = UnsafeArrayData.fromPrimitiveArray(a)
+    def gF(a: Array[Float]): ArrayData = new GenericArrayData(a)
+    def cF(a: Array[Float]): ArrayData = {
+      val v = new OnHeapColumnVector(a.length, FloatType)
+      a.indices.foreach(i => v.putFloat(i, a(i)))
+      new ColumnarArray(v, 0, a.length)
+    }
+    def uL(a: Array[Long]): ArrayData = UnsafeArrayData.fromPrimitiveArray(a)
+    def gL(a: Array[Long]): ArrayData = new GenericArrayData(a)
+    def cL(a: Array[Long]): ArrayData = {
+      val v = new OnHeapColumnVector(a.length, LongType)
+      a.indices.foreach(i => v.putLong(i, a(i)))
+      new ColumnarArray(v, 0, a.length)
+    }
+
+    val fMk = Seq[Array[Float] => ArrayData](uF, gF, cF)
+    val lMk = Seq[Array[Long] => ArrayData](uL, gL, cL)
+    val cosRef = VecOps.cosine(gF(fl), gF(fr))
+    val dotRef = VecOps.dot(gF(fl), gF(fr))
+    val normRef = VecOps.norm(gF(fl))
+    val ldotRef = LongVecOps.dot(gL(ll), gL(lr))
+    for (ma <- fMk; mb <- fMk) {
+      assert(java.lang.Double.doubleToRawLongBits(VecOps.cosine(ma(fl), mb(fr)))
+        === java.lang.Double.doubleToRawLongBits(cosRef))
+      assert(java.lang.Double.doubleToRawLongBits(VecOps.dot(ma(fl), mb(fr)))
+        === java.lang.Double.doubleToRawLongBits(dotRef))
+      assert(java.lang.Double.doubleToRawLongBits(VecOps.norm(ma(fl)))
+        === java.lang.Double.doubleToRawLongBits(normRef))
+    }
+    for (ma <- lMk; mb <- lMk) {
+      assert(LongVecOps.dot(ma(ll), mb(lr)) === ldotRef)
+    }
+    // dimension mismatch still rejected on every arm's dispatcher
+    intercept[IllegalArgumentException](VecOps.dot(uF(fl), uF(fr.take(3))))
+    intercept[IllegalArgumentException](LongVecOps.dot(uL(ll), gL(lr.take(2))))
+  }
 }
