@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * spill/GC/peak-mem telemetry (committed per round; see [[EntryStats]]).
   *
   * Two tiers:
-  *   - the full inventory at SPARK_GRAFT_SF_DIR (two passes, min per query:
-  *     pass 1 absorbs codegen + JIT, pass 2 is steady-state);
+  *   - the full inventory at SPARK_GRAFT_SF_DIR (three rotated passes,
+  *     min per query: pass 1 absorbs codegen + JIT, passes 2-3 are
+  *     steady-state);
   *   - a "heavy" tier (disable with SPARK_GRAFT_HEAVY=0): the heaviest
   *     queries on a synthetic 10× scale-up of documents/embeddings, because
   *     sf0.1 is overhead-dominated (~0.3-0.5 s/query floor) and plan
@@ -361,11 +362,16 @@ object Bench {
     // 2.1 s → 0.097 s). A half-rotation keeps every family's internal
     // order, so per-query amortization semantics match pass 1 exactly.
     def rotateBy[A](xs: Seq[A], k: Int): Seq[A] = xs.drop(k) ++ xs.take(k)
-    def runAll(shiftDenom: Int): Seq[(String, EntryStats)] = {
+    // pass p of 3 starts p·n/3 of the way round the tier — the heavy
+    // tier's thirds idiom. Thirds stay DISTINCT for every n ≥ 3 where
+    // halves/quarters degenerate (n/4 = 0 made pass 3 repeat pass 1's
+    // exact order on small focused scopes — r15 review); below 3 entries
+    // rotation is meaningless and duplicates are unavoidable.
+    def runAll(pass: Int): Seq[(String, EntryStats)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => inScope(n) }
-      (if (shiftDenom == 0) ordered
-       else rotateBy(ordered, ordered.size / shiftDenom))
+      (if (ordered.isEmpty) ordered
+       else rotateBy(ordered, pass * ordered.size / 3))
         .map { case (name, fn) => name -> time(name, fn, sfDir) }
     }
     // z01's three eager-checkpoint panel members (q80/q82/d16) execute
@@ -428,7 +434,7 @@ object Bench {
     // cold data), and each pass runs a distinct rotation so no entry sees
     // the same neighbors twice.
     val build1 = mainSharedBuild()
-    val first = runAll(shiftDenom = 0)
+    val first = runAll(pass = 0)
     def releaseBetweenPasses(): Unit = {
       // drop caches persisted by the prior pass (shingle/signature/pair
       // tables): the min must measure re-execution with warm JIT, not
@@ -438,10 +444,10 @@ object Bench {
     }
     releaseBetweenPasses()
     val build2 = mainSharedBuild().toMap
-    val secondByName = runAll(shiftDenom = 2).toMap
+    val secondByName = runAll(pass = 1).toMap
     releaseBetweenPasses()
     val build3 = mainSharedBuild().toMap
-    val thirdByName = runAll(shiftDenom = 4).toMap
+    val thirdByName = runAll(pass = 2).toMap
     def min3(k: String, v: EntryStats, p2: Map[String, EntryStats],
         p3: Map[String, EntryStats]): EntryStats =
       minOk(minOk(v, p2.getOrElse(k, v)), p3.getOrElse(k, v))
@@ -458,7 +464,7 @@ object Bench {
         (only.nonEmpty && !sys.env.get("SPARK_GRAFT_HEAVY").contains("1"))) Seq.empty
       else {
         val heavyDir = buildHeavyDir(spark, sfDir, copies = 10)
-        // MIN-OF-THREE here, not the main tier's min-of-2: heavy samples on
+        // MIN-OF-THREE (the main tier matched it in r15): heavy samples on
         // a shared container swing up to ±50% under contention bursts
         // (BUILD_NOTES "heavy-tier noise caveat"), and with only two
         // samples a burst that straddles both passes still published 2×
@@ -470,7 +476,6 @@ object Bench {
         // prewarmed per pass as their own timed line (below), so rotation
         // no longer changes any entry's amortization — every family entry
         // is uniformly marginal-cost.
-        def rotateBy[A](xs: Seq[A], k: Int): Seq[A] = xs.drop(k) ++ xs.take(k)
         def heavyPass(third: Int): Seq[(String, EntryStats)] = {
           graft.queries.DedupQueries.releaseShared()
           spark.catalog.clearCache()

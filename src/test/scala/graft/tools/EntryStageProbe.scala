@@ -75,6 +75,9 @@ object EntryStageProbe {
     if (names.exists(graft.queries.DedupQueries.SemdedupConsumers)) {
       graft.queries.DedupQueries.prewarmSemdedup(spark, dir)
     }
+    if (names.exists(graft.queries.DedupQueries.LshIndexConsumers)) {
+      graft.queries.DedupQueries.prewarmLshIndex(spark, dir)
+    }
     graft.queries.SimilarityQueries.prewarmMemos(spark, dir, names.toSet)
 
     // cached-block census: is every shared/persisted RDD still fully IN

@@ -24,7 +24,12 @@ Entries that cannot be adjudicated at all (sub-floor cpu AND counters
 absent, i.e. a pre-r14 baseline) print as FLOOR-UNCHECKED rather than
 passing silently; they count toward a separate `unadjudicable` tally, not
 the exit status (a pre-r14 compare is inherently manual). Candidate-only
-entries per tier print as NEW so inventory drift is visible.
+entries per tier print as NEW so inventory drift is visible. An entry
+that failed every pass (Bench's {sec:-1, rows:-1} sentinel) prints as
+FAILED and counts toward the exit status. shared_build/dshared_build
+lines print as quiet BUILD (their counters are pass-dependent by design
+under min-of-passes); zpanel_build is timed once per run, so it is
+adjudicated like any entry (its rows:-1 sentinel compares by equality).
 
 Usage: python3 tools/adjudicate_bench.py COMMITTED.json CANDIDATE.json
        (either arg may be "git:REF" to read bench_details.json from a git
@@ -64,19 +69,36 @@ def adjudicate(name, base, cand, calib_r=None):
     def has(d, k):
         return isinstance(d.get(k), (int, float)) and d[k] >= 0
 
-    # build lines (shared_build / dshared_build / zpanel_build) carry a
-    # rows=-1 sentinel: they have no result cardinality, and their other
-    # counters are pass-DEPENDENT by design (the reported min picks
-    # whichever pass rebuilt the least, e.g. one where a cross-pass memo
-    # was already warm) — so neither the exact-invariant rules nor the cpu
-    # bands apply. Informational only.
-    if base.get("rows") == -1 or cand.get("rows") == -1:
+    # an entry that failed every pass writes the Failed sentinel
+    # {sec:-1, rows:-1} — a broken query must never pass quietly (and the
+    # rows=-1 build-line exemption below must not swallow it)
+    if base.get("sec") == -1 or cand.get("sec") == -1:
+        side = "committed" if base.get("sec") == -1 else "candidate"
+        return ("FAILED", f"entry failed every pass in the {side} run "
+                "(sec:-1 sentinel) — inspect the run log")
+
+    # shared_build / dshared_build carry a rows=-1 sentinel (no result
+    # cardinality) and their other counters are pass-DEPENDENT by design:
+    # the reported min picks whichever pass rebuilt the least, e.g. one
+    # where a cross-pass memo was already warm — so neither the
+    # exact-invariant rules nor the cpu bands apply. zpanel_build is NOT
+    # exempt: it is timed exactly once per run (no min-of-passes), so its
+    # records_read/shuffle_records ARE run-invariants and it flows through
+    # the normal rules below (rows -1 == -1 compares equal in rule 1).
+    if name in ("shared_build", "dshared_build"):
         return ("BUILD", f"build line, min-of-pass semantics: cpu "
                 f"{base.get('cpu_s')} -> {cand.get('cpu_s')} (informational; "
                 "counters pass-dependent by design)")
 
-    # pre-r14 artifacts lack work counters — say so instead of passing
-    counters = all(has(base, k) and has(cand, k) for k in ("records_read", "rows"))
+    # pre-r14 artifacts lack work counters — say so instead of passing.
+    # rows may be the -1 no-cardinality sentinel (zpanel_build): equality
+    # on sentinels is still a valid rule-1 check, so only records_read
+    # must be a real count.
+    def present(d, k):
+        return isinstance(d.get(k), (int, float))
+    counters = (all(present(d, k) for d in (base, cand)
+                    for k in ("records_read", "rows"))
+                and has(base, "records_read") and has(cand, "records_read"))
     if counters:
         if base["records_read"] != cand["records_read"] or base["rows"] != cand["rows"]:
             return ("STRUCTURE", "records_read/rows moved: "
@@ -151,7 +173,7 @@ def main():
                 bad += 1
                 continue
             verdict, why = adjudicate(name, b, c, calib_r)
-            if verdict in ("STRUCTURE", "REOPEN", "FRAGILE"):
+            if verdict in ("STRUCTURE", "REOPEN", "FRAGILE", "FAILED"):
                 bad += 1
             if verdict == "FLOOR-UNCHECKED":
                 unadjudicable += 1
