@@ -43,6 +43,13 @@ import sys
 # measured burner coefficient > 1.2 at 2x oversubscription (BUILD_NOTES r14
 # coefficient table, all 15 large-cpu heavy entries probed)
 CPI_FRAGILE = {"s11_knn_graph_ivf"}
+# run-scoped JIT compile-shape bimodality, measured on SAME-TREE quiet runs
+# with bit-identical work counters (BUILD_NOTES r15: s10 7.5-19.5 cpu_s
+# across five runs, all passes within a run agree, runs disagree ~2.5x,
+# burner coefficient ~0.73 i.e. NOT contention) — same adjudication
+# semantics as CPI_FRAGILE (counters rule the envelope, cpu advisory),
+# different mechanism and label
+JIT_BIMODAL = {"s10_knn_graph"}
 
 SHUFFLE_STRUCTURE_RATIO = 1.5
 # two same-tree same-day r14 runs put a 6.4 s-cpu entry (s05) at 1.68x —
@@ -143,6 +150,10 @@ def adjudicate(name, base, cand, calib_r=None):
         return ("FRAGILE-OK" if counters else "FRAGILE",
                 cpus(" advisory; ")
                 + ("work counters identical" if counters else "counters ABSENT — inspect manually"))
+    if name in JIT_BIMODAL:
+        return ("BIMODAL-OK" if counters else "BIMODAL",
+                cpus(" advisory (measured same-tree bimodality); ")
+                + ("work counters identical" if counters else "counters ABSENT — inspect manually"))
     cap = CPU_REOPEN_RATIO_LARGE if bc >= 10 else CPU_REOPEN_RATIO_MID
     if rn >= cap:
         return ("REOPEN", cpus(f" >= {cap}x")
@@ -173,7 +184,7 @@ def main():
                 bad += 1
                 continue
             verdict, why = adjudicate(name, b, c, calib_r)
-            if verdict in ("STRUCTURE", "REOPEN", "FRAGILE", "FAILED"):
+            if verdict in ("STRUCTURE", "REOPEN", "FRAGILE", "BIMODAL", "FAILED"):
                 bad += 1
             if verdict == "FLOOR-UNCHECKED":
                 unadjudicable += 1
