@@ -40,4 +40,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // code-cache flushing evicts warm methods and forces re-JIT mid-run,
   // one measured source of same-plan cpu_s variance (BUILD_NOTES r15).
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // ad-hoc diagnostic flags for probe sessions without editing the build
+  // (e.g. SPARK_GRAFT_JVM_OPTS="-XX:+PrintCompilation" for JIT forensics)
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
