@@ -42,5 +42,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // ad-hoc diagnostic flags for probe sessions without editing the build
-  // (e.g. SPARK_GRAFT_JVM_OPTS="-XX:+PrintCompilation" for JIT forensics)
+  // (e.g. SPARK_GRAFT_JVM_OPTS="-XX:+PrintCompilation" for JIT forensics).
+  // LIMITATION: split on bare whitespace — a flag whose VALUE contains a
+  // space (e.g. a quoted -XX:CompileCommand pattern) cannot be passed and
+  // would silently become two broken args; none of the forensics flags
+  // used so far need one, so this stays simple rather than growing an
+  // escaping convention (r15 advice, documented).
   sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

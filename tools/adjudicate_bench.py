@@ -18,7 +18,21 @@ first hit decides:
      by the calib ratio before the band applies — "the whole window ran
      1.14x hot" becomes a per-artifact measurement instead of an inference;
      raw and normalized ratios are both printed.
-  5. wall alone never reopens anything.
+  5. wall (`sec`), entries whose cpu verdict was OK and committed wall
+     >= 1 s: ratio normalized by the tier's common-mode wall ratio
+     (Sigma cand.sec / Sigma base.sec over the tier's shared entries) —
+     >= 2.0x normalized prints a WALL advisory (counters already ruled
+     the envelope clean, so wall inflation is visible but never reopens
+     on its own; r15: t08 ran 2.84x wall at cpu identical to 0.05% and
+     nothing printed).
+
+Calib guardrails (r15 advice): when calib_r falls outside [0.7, 1.5] the
+normalization is suspect (the spin is deliberately cache-resident, so a
+skewed sample can normalize a real regression below the band) — a loud
+warning prints and rule 4 ALSO applies a raw-ratio absolute cap (2.5x ->
+REOPEN regardless of normalization). The raw cap applies at every
+calib_r, so normalization can soften the band but never fully absorb a
+large raw excursion.
 
 Entries that cannot be adjudicated at all (sub-floor cpu AND counters
 absent, i.e. a pre-r14 baseline) print as FLOOR-UNCHECKED rather than
@@ -28,13 +42,17 @@ entries per tier print as NEW so inventory drift is visible. An entry
 that failed every pass (Bench's {sec:-1, rows:-1} sentinel) prints as
 FAILED and counts toward the exit status. shared_build/dshared_build
 lines print as quiet BUILD (their counters are pass-dependent by design
-under min-of-passes); zpanel_build is timed once per run, so it is
+under min-of-passes) — EXCEPT when the build cpu ratio itself is extreme
+(>= 3x either direction), which prints so a build-cost blow-up cannot
+hide in the quiet set; zpanel_build is timed once per run, so it is
 adjudicated like any entry (its rows:-1 sentinel compares by equality).
 
 Usage: python3 tools/adjudicate_bench.py COMMITTED.json CANDIDATE.json
        (either arg may be "git:REF" to read bench_details.json from a git
         revision, e.g. git:HEAD or git:920e879)
-Exit status: number of STRUCTURE/REOPEN verdicts (0 = all clear)."""
+Exit status: number of verdicts in {STRUCTURE, REOPEN, FRAGILE, BIMODAL,
+FAILED, MISSING} (0 = all clear). FRAGILE-OK / BIMODAL-OK / WALL /
+BUILD / NEW / FLOOR-UNCHECKED print but do not count."""
 
 import json
 import subprocess
@@ -58,6 +76,18 @@ SHUFFLE_STRUCTURE_RATIO = 1.5
 CPU_REOPEN_RATIO_LARGE = 1.6   # quiet cpu_s >= 10 s
 CPU_REOPEN_RATIO_MID = 2.0     # quiet cpu_s in [3, 10) s
 CPU_FLOOR_S = 3.0
+# raw-ratio backstop: calib normalization may soften the band (a hot
+# window IS common-mode) but must never fully absorb a large raw
+# excursion — the calib spin is CPI-insensitive by design, so its ratio
+# can diverge from how contention actually hit an entry (r15 advice)
+CPU_REOPEN_RAW_CAP = 2.5
+CALIB_SANE_LO, CALIB_SANE_HI = 0.7, 1.5
+# wall advisory: committed sec >= 1 s, ratio normalized by the tier's
+# common-mode wall ratio; >= 2x prints (never reopens — counters +
+# cpu already ruled)
+WALL_FLOOR_S = 1.0
+WALL_ADVISORY_RATIO = 2.0
+BUILD_CPU_LOUD_RATIO = 3.0
 
 
 def load(arg):
@@ -72,7 +102,7 @@ def ratio(a, b):
     return a / b if b and b > 0 else float("inf") if a and a > 0 else 1.0
 
 
-def adjudicate(name, base, cand, calib_r=None):
+def adjudicate(name, base, cand, calib_r=None, wall_r=None):
     def has(d, k):
         return isinstance(d.get(k), (int, float)) and d[k] >= 0
 
@@ -93,9 +123,19 @@ def adjudicate(name, base, cand, calib_r=None):
     # records_read/shuffle_records ARE run-invariants and it flows through
     # the normal rules below (rows -1 == -1 compares equal in rule 1).
     if name in ("shared_build", "dshared_build"):
-        return ("BUILD", f"build line, min-of-pass semantics: cpu "
-                f"{base.get('cpu_s')} -> {cand.get('cpu_s')} (informational; "
-                "counters pass-dependent by design)")
+        msg = (f"build line, min-of-pass semantics: cpu "
+               f"{base.get('cpu_s')} -> {cand.get('cpu_s')} (informational; "
+               "counters pass-dependent by design)")
+        # quiet by default, but an extreme build-cpu swing must print —
+        # a shared-build blow-up is real cost even if no rule bands it
+        # (r15 advice: the message was formatted and then never shown)
+        bcpu, ccpu = base.get("cpu_s"), cand.get("cpu_s")
+        if (isinstance(bcpu, (int, float)) and isinstance(ccpu, (int, float))
+                and bcpu > 0 and ccpu > 0):
+            br = ratio(ccpu, bcpu)
+            if br >= BUILD_CPU_LOUD_RATIO or 1 / br >= BUILD_CPU_LOUD_RATIO:
+                return ("BUILD-LOUD", msg + f" — {br:.2f}x, inspect")
+        return ("BUILD", msg)
 
     # pre-r14 artifacts lack work counters — say so instead of passing.
     # rows may be the -1 no-cardinality sentinel (zpanel_build): equality
@@ -158,6 +198,27 @@ def adjudicate(name, base, cand, calib_r=None):
     if rn >= cap:
         return ("REOPEN", cpus(f" >= {cap}x")
                 + ("" if counters else "; counters absent (pre-r14)"))
+    # raw-ratio backstop: normalization softened the band below the cap,
+    # but the raw excursion is past what any common-mode hotness has ever
+    # measured — refuse to let calib absorb it (r15 advice)
+    if calib_r and r >= CPU_REOPEN_RAW_CAP:
+        return ("REOPEN", cpus(f" raw >= {CPU_REOPEN_RAW_CAP}x cap "
+                "(calib-normalized inside band, but the raw excursion "
+                "exceeds any measured common-mode hotness)"))
+    # wall advisory — cpu + counters ruled the envelope clean; surface
+    # wall-only inflation (e.g. a new exchange or scheduling stall) that
+    # the cpu rules cannot see. Normalized by the tier's common-mode wall
+    # ratio so a uniformly slower run does not spray advisories.
+    bw, cw = base.get("sec", -1), cand.get("sec", -1)
+    if (isinstance(bw, (int, float)) and isinstance(cw, (int, float))
+            and bw >= WALL_FLOOR_S and cw > 0):
+        rw = ratio(cw, bw)
+        rwn = rw / wall_r if wall_r else rw
+        if rwn >= WALL_ADVISORY_RATIO:
+            return ("WALL", f"wall {bw:.2f} -> {cw:.2f} ({rw:.2f}x raw"
+                    + (f", {rwn:.2f}x tier-normalized" if wall_r else "")
+                    + f") >= {WALL_ADVISORY_RATIO}x with " + cpus()
+                    + " — advisory (cpu + counters clean; wall never reopens)")
     return ("OK", cpus())
 
 
@@ -173,17 +234,38 @@ def main():
         calib_r = calib(cand_all) / calib(base_all)
         print(f"[calib_cpu_s] committed {calib(base_all)} candidate {calib(cand_all)} "
               f"-> cpu ratios normalized by {calib_r:.3f}x")
+        if not (CALIB_SANE_LO <= calib_r <= CALIB_SANE_HI):
+            print(f"[calib WARNING] calib ratio {calib_r:.3f}x outside the sane "
+                  f"band [{CALIB_SANE_LO}, {CALIB_SANE_HI}] — normalization is "
+                  "SUSPECT (skewed sample or a genuinely pathological window); "
+                  f"the {CPU_REOPEN_RAW_CAP}x raw cap still applies, treat "
+                  "normalized ratios as advisory and inspect raw")
     bad = 0
     unadjudicable = 0
     for tier in ("queries", "heavy_10x"):
         print(f"=== {tier} ===")
+        # common-mode wall ratio over the tier's shared, successfully-timed
+        # entries: normalizes the per-entry wall advisory the way calib
+        # normalizes cpu (a uniformly slower run is not N advisories)
+        bsum = csum = 0.0
+        for name, b in base_all.get(tier, {}).items():
+            c = cand_all.get(tier, {}).get(name)
+            if (isinstance(b, dict) and isinstance(c, dict)
+                    and isinstance(b.get("sec"), (int, float)) and b["sec"] > 0
+                    and isinstance(c.get("sec"), (int, float)) and c["sec"] > 0):
+                bsum += b["sec"]
+                csum += c["sec"]
+        wall_r = csum / bsum if bsum > 0 else None
+        if wall_r:
+            print(f"  [tier wall] committed {bsum:.1f}s candidate {csum:.1f}s "
+                  f"-> wall ratios normalized by {wall_r:.3f}x")
         for name, b in sorted(base_all.get(tier, {}).items()):
             c = cand_all.get(tier, {}).get(name)
             if not isinstance(b, dict) or not isinstance(c, dict):
                 print(f"  MISSING       {name}")
                 bad += 1
                 continue
-            verdict, why = adjudicate(name, b, c, calib_r)
+            verdict, why = adjudicate(name, b, c, calib_r, wall_r)
             if verdict in ("STRUCTURE", "REOPEN", "FRAGILE", "BIMODAL", "FAILED"):
                 bad += 1
             if verdict == "FLOOR-UNCHECKED":
