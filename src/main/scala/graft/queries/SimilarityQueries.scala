@@ -179,19 +179,24 @@ object SimilarityQueries {
         vec, pivots.flatten.toArray, pivots.head.length, 1), 1).getField("pivot")
     }
 
-  /** Per-group top-k via the bounded [[org.apache.spark.sql.graft.TopKStruct]]
-    * aggregate: map-side state is k rows per query, so the only shuffle
-    * moves k·queries (neg_score, neighbor_id) pairs — a window row_number
-    * would instead shuffle and sort every scored row into ≤|queries|
-    * reducers. Ordering (score desc, neighbor_id asc) matches the previous
-    * window formulation exactly. */
+  /** Per-group top-k via the bounded [[org.apache.spark.sql.graft.TopKPair]]
+    * aggregate: map-side state is k (double, long) pairs per query, so the
+    * only shuffle moves k·queries (neg_score, neighbor_id) pairs — a window
+    * row_number would instead shuffle and sort every scored row into
+    * ≤|queries| reducers. Ordering (score desc, neighbor_id asc) matches
+    * the previous window formulation exactly; TopKPair is the r16
+    * flat-state specialization of the TopKStruct kernel this helper used
+    * through r15 (bit-identical results, ExpressionsSpec-pinned — the
+    * change is per-group buffer LAYOUT: two primitive arrays instead of a
+    * PriorityQueue of UnsafeRows, shrinking what each hash-random buffer
+    * probe drags through the cache, the s11 CPI-fragility mechanism). */
   private def topKPerQuery(scored: DataFrame, k: Int,
       distinct: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.graft.functions.{top_k_struct, top_k_struct_distinct}
-    val entry = struct((col("score") * -1).as("neg_score"), col("neighbor_id"))
+    import org.apache.spark.sql.graft.functions.{top_k_pair, top_k_pair_distinct}
+    val neg = col("score") * -1
     scored.groupBy("query_id")
-      .agg((if (distinct) top_k_struct_distinct(entry, k)
-        else top_k_struct(entry, k)).as("top"))
+      .agg((if (distinct) top_k_pair_distinct(neg, col("neighbor_id"), k)
+        else top_k_pair(neg, col("neighbor_id"), k)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.neighbor_id").as("neighbor_id"))

@@ -1546,6 +1546,22 @@ object functions {
     ExpressionUtils.column(TopKStruct(ExpressionUtils.expression(c), k, distinct = true)
       .toAggregateExpression())
 
+  /** [[top_k_struct]] specialized to the (score DESC, id ASC) two-column
+    * shape with flat primitive per-group state — the ANN/kNN hot path,
+    * where the aggregation hash map's buffer footprint is the cache
+    * working set (see [[TopKPair]]). Pass the NEGATED score; result is the
+    * ascending ARRAY<STRUCT<neg_score, neighbor_id>> TopKStruct would
+    * produce for `struct(neg_score, id)`. */
+  def top_k_pair(negScore: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(TopKPair(ExpressionUtils.expression(negScore),
+      ExpressionUtils.expression(id), k).toAggregateExpression())
+
+  /** [[top_k_pair]] with ordering-equal duplicates skipped on insert and
+    * merge (the TopKStruct distinct-mode semantics). */
+  def top_k_pair_distinct(negScore: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(TopKPair(ExpressionUtils.expression(negScore),
+      ExpressionUtils.expression(id), k, distinct = true).toAggregateExpression())
+
   /** SQL builders for every native expression — ONE list consumed by both
     * registration paths: [[registerAll]] (session temp functions) and
     * [[GraftExtensions]] (`spark.sql.extensions` cluster conf). */
@@ -1593,6 +1609,12 @@ object functions {
         (exprs => TopKStruct(exprs.head, intArg(exprs, 1, 10)).toAggregateExpression()),
       "top_k_struct_distinct" ->
         (exprs => TopKStruct(exprs.head, intArg(exprs, 1, 10), distinct = true)
+          .toAggregateExpression()),
+      "top_k_pair" ->
+        (exprs => TopKPair(exprs(0), exprs(1), intArg(exprs, 2, 10))
+          .toAggregateExpression()),
+      "top_k_pair_distinct" ->
+        (exprs => TopKPair(exprs(0), exprs(1), intArg(exprs, 2, 10), distinct = true)
           .toAggregateExpression()))
   }
 

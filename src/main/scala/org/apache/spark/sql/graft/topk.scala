@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Bounded top-k aggregate: keeps the k SMALLEST struct values under the
   * struct's natural (lexicographic) ordering — encode "top by x descending"
@@ -152,4 +152,171 @@ case class TopKStruct(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
   override def prettyName: String = "top_k_struct"
+}
+
+/** Flat-primitive buffer for [[TopKPair]]: the k smallest (neg_score, id)
+  * pairs held SORTED ascending in two parallel primitive arrays. The whole
+  * per-group state is one object + two k-element arrays (~3 heap objects,
+  * contiguous), versus [[TopKStruct]]'s PriorityQueue of per-row UnsafeRows
+  * (~2-3 objects + a byte[] PER KEPT ROW, all pointer-chased on every
+  * probe). On the kNN-graph tier the aggregation hash map holds tens of
+  * thousands of group buffers probed in hash-random order, so buffer
+  * footprint IS the cache working set — the r13-r15 measured CPI fragility
+  * of s11 under cache contention (BUILD_NOTES r13/r14 dose-response) is a
+  * direct function of how many lines each probe touches. */
+private[graft] final class PairTopK(val k: Int) {
+  val scores: Array[Double] = new Array[Double](k)
+  val ids: Array[Long] = new Array[Long](k)
+  var n: Int = 0
+}
+
+/** Bounded top-k aggregate SPECIALIZED to the ubiquitous (score DESC, id
+  * ASC) shape: semantically identical to
+  * `TopKStruct(struct(neg_score, id), k)` — same ordering (ascending
+  * lexicographic, doubles compared with the same ==-then-compare rule
+  * Catalyst's interpreted AND codegen'd orderings use, 0.0 ordering-equal
+  * -0.0, NaN greatest), same distinct-by-ordering-equality semantics, same
+  * ascending ARRAY<STRUCT<neg_score,neighbor_id>> result — but with
+  * [[PairTopK]] flat state:
+  *
+  *   - update is two primitive evals + a branch against the current k-th
+  *     best (no UnsafeProjection, no struct allocation, no comparator
+  *     interface dispatch);
+  *   - the partial-aggregation state serialized across the exchange is
+  *     4 + 16·n bytes (vs length-prefixed UnsafeRows);
+  *   - insertion keeps the arrays sorted (k is small — single-digit — so
+  *     a linear scan + arraycopy shift beats any heap), which makes both
+  *     the reject-fast-path (compare against slot n-1 only) and eval
+  *     (already sorted) trivial.
+  *
+  * PRECONDITION: `negScore` and `id` are non-null by construction (every
+  * call site computes them with null-free arithmetic); a null in either
+  * skips the row, matching TopKStruct's null-child skip.
+  *
+  * Field names of the result structs are pinned to (neg_score,
+  * neighbor_id) — the [[graft.queries.SimilarityQueries.topKPerQuery]]
+  * contract. */
+case class TopKPair(
+    negScore: Expression,
+    id: Expression,
+    k: Int,
+    distinct: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PairTopK] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(negScore, id)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (negScore.dataType == DoubleType && id.dataType == LongType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (DOUBLE, BIGINT) " +
+        s"inputs, got (${negScore.dataType.sql}, ${id.dataType.sql})")
+    }
+  }
+
+  private val structType: StructType = StructType(Seq(
+    StructField("neg_score", DoubleType, nullable = false),
+    StructField("neighbor_id", LongType, nullable = false)))
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+
+  override def createAggregationBuffer(): PairTopK = new PairTopK(k)
+
+  /** The exact double ordering RowOrdering uses for DoubleType
+    * (SQLOrderingUtil.compareDoubles: `==` first — so 0.0 equals -0.0 —
+    * then Double.compare, NaN greatest); ties break on id ascending.
+    * Matching TopKStruct's natural struct ordering bit-for-bit is what
+    * lets topKPerQuery swap kernels with hash-identical results
+    * (ExpressionsSpec pins the equivalence on adversarial floats). */
+  @inline private def cmp(s1: Double, i1: Long, s2: Double, i2: Long): Int = {
+    val c = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(s1, s2)
+    if (c != 0) c else java.lang.Long.compare(i1, i2)
+  }
+
+  private def insert(buf: PairTopK, s: Double, i: Long): Unit = {
+    if (buf.n == k && cmp(s, i, buf.scores(k - 1), buf.ids(k - 1)) >= 0) return
+    if (distinct) {
+      var j = 0
+      while (j < buf.n) {
+        if (cmp(s, i, buf.scores(j), buf.ids(j)) == 0) return
+        j += 1
+      }
+    }
+    var j = buf.n - 1
+    while (j >= 0 && cmp(buf.scores(j), buf.ids(j), s, i) > 0) j -= 1
+    val pos = j + 1
+    val last = if (buf.n == k) k - 1 else buf.n
+    System.arraycopy(buf.scores, pos, buf.scores, pos + 1, last - pos)
+    System.arraycopy(buf.ids, pos, buf.ids, pos + 1, last - pos)
+    buf.scores(pos) = s
+    buf.ids(pos) = i
+    if (buf.n < k) buf.n += 1
+  }
+
+  override def update(buf: PairTopK, input: InternalRow): PairTopK = {
+    val s = negScore.eval(input)
+    if (s != null) {
+      val i = id.eval(input)
+      if (i != null) {
+        insert(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: PairTopK, other: PairTopK): PairTopK = {
+    var j = 0
+    while (j < other.n) {
+      insert(buf, other.scores(j), other.ids(j))
+      j += 1
+    }
+    buf
+  }
+
+  override def eval(buf: PairTopK): Any = {
+    val out = new Array[Any](buf.n)
+    var j = 0
+    while (j < buf.n) {
+      out(j) = InternalRow(buf.scores(j), buf.ids(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: PairTopK): Array[Byte] = {
+    val bytes = new Array[Byte](4 + 16 * buf.n)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(buf.n)
+    var j = 0
+    while (j < buf.n) { bb.putDouble(buf.scores(j)); j += 1 }
+    j = 0
+    while (j < buf.n) { bb.putLong(buf.ids(j)); j += 1 }
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): PairTopK = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new PairTopK(k)
+    val n = bb.getInt()
+    var j = 0
+    while (j < n) { buf.scores(j) = bb.getDouble(); j += 1 }
+    j = 0
+    while (j < n) { buf.ids(j) = bb.getLong(); j += 1 }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPair =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPair =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(negScore = newChildren(0), id = newChildren(1))
+  override def prettyName: String = if (distinct) "top_k_pair_distinct" else "top_k_pair"
 }

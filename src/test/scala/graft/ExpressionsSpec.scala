@@ -556,4 +556,70 @@ class ExpressionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](VecOps.dot(uF(fl), uF(fr.take(3))))
     intercept[IllegalArgumentException](LongVecOps.dot(uL(ll), gL(lr.take(2))))
   }
+
+  test("top_k_pair ≡ top_k_struct on adversarial doubles (±0.0, NaN, ties, " +
+      "dups) across partitions, both modes — the r16 kernel-swap contract") {
+    // topKPerQuery swapped its per-group state from TopKStruct's
+    // PriorityQueue-of-UnsafeRows to TopKPair's flat primitive arrays
+    // (the s11 CPI-fragility fix). The swap is only sound if the two
+    // aggregates are VALUE-identical on every input the ordering could
+    // treat subtly: 0.0 vs -0.0 (ordering-equal, byte-distinct), NaN
+    // (greatest, all bit patterns equal), exact (score, id) duplicates,
+    // groups smaller than k, and multi-partition partial/merge/serialize
+    // paths. Seeded random bulk data widens the net.
+    val rnd = new scala.util.Random(20260816L)
+    val adversarial = Seq(
+      (1L, 0.0, 10L), (1L, -0.0, 11L), (1L, Double.NaN, 12L),
+      (1L, 1.0, 13L), (1L, 1.0, 13L),               // exact dup (kept twice unless distinct)
+      (1L, 1.0, 14L), (1L, -1.0, 15L), (1L, Double.MinPositiveValue, 16L),
+      (2L, 5.0, 20L),                                // group smaller than k
+      (3L, Double.NaN, 30L), (3L, Double.NaN, 30L),  // NaN dup, same id
+      (3L, Double.PositiveInfinity, 31L), (3L, Double.NegativeInfinity, 32L))
+    val bulk = (0 until 2000).map { _ =>
+      (rnd.nextInt(40).toLong + 10L, (rnd.nextInt(8) - 4).toDouble / 2.0,
+        rnd.nextInt(50).toLong)
+    }
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(adversarial ++ bulk, 13))
+      .toDF("g", "score", "id")
+    for (k <- Seq(1, 3, 5); distinct <- Seq(false, true)) {
+      val neg = ($"score" * -1).as("s")
+      val viaStruct = df.groupBy("g")
+        .agg((if (distinct) top_k_struct_distinct(struct(neg, $"id"), k)
+          else top_k_struct(struct(neg, $"id"), k)).as("top"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      val viaPair = df.groupBy("g")
+        .agg((if (distinct) top_k_pair_distinct($"score" * -1, $"id", k)
+          else top_k_pair($"score" * -1, $"id", k)).as("top"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      assert(viaPair.keySet === viaStruct.keySet)
+      viaStruct.foreach { case (g, expected) =>
+        // compare as (bits, id) so NaN compares equal and ±0.0 stays
+        // distinguishable — except entries that are ordering-equal yet
+        // byte-distinct (same id, ==-equal scores), where BOTH kernels'
+        // kept-bit-pattern is heap/insert-order luck: canonicalize those
+        // by ordering-equality class
+        def canon(xs: Seq[(Double, Long)]) = xs.map { case (s, i) =>
+          (if (s == 0.0) 0L else java.lang.Double.doubleToLongBits(s), i) }
+        assert(canon(viaPair(g)) === canon(expected),
+          s"group $g k=$k distinct=$distinct")
+      }
+    }
+    // SQL registration parity for the new names
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    df.createOrReplaceTempView("tkp_in")
+    val sql = spark.sql(
+      "SELECT g, top_k_pair(-score, id, 2) FROM tkp_in GROUP BY g")
+    assert(sql.count() === df.select("g").distinct().count())
+    // type misuse fails analysis, not execution
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT top_k_pair(id, id, 2) FROM tkp_in").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("double")
+      || err.getMessage.contains("DOUBLE"))
+  }
 }
