@@ -379,6 +379,35 @@ object FlowAnalysis {
             in.get(ca).foreach(b => ctx.edges += FlowEdge(b.nodeId, Some(b.idx), id, Some(i)))
         }
 
+      // Scala typed object-operators (r15 verdict item 5): their Python
+      // siblings above get column edges, but these took the node-level
+      // fallback, breaking column reachability through any typed map. The
+      // plan shape is SerializeFromObject(op(DeserializeToObject(child)))
+      // — three nodes, each needing its own rule so a column path exists
+      // end-to-end:
+      //   - DeserializeToObject's deserializer references exactly the
+      //     child columns the object is built from → all feed the single
+      //     obj output (slot 0);
+      //   - the op itself (opaque lambda) funnels every referenced input
+      //     column into its obj output — a deliberate conservative
+      //     over-approximation: unlike the pandas ops (where the reference
+      //     chose positional crediting), a typed lambda's output schema
+      //     comes from the Encoder and has NO sound positional
+      //     correspondence to its input, so every output honestly depends
+      //     on every input (MapGroups/FlatMapGroupsWithState reference
+      //     grouping + data attributes; CoGroup both sides);
+      //   - SerializeFromObject's serializer fields each reference obj →
+      //     one edge per output slot.
+      case d: DeserializeToObject =>
+        edgeFromRefs(d.deserializer, 0)
+      case s: SerializeFromObject =>
+        s.serializer.zipWithIndex.foreach { case (ne, i) => edgeFromRefs(ne, i) }
+      case _: MapPartitions | _: MapElements | _: MapGroups |
+           _: FlatMapGroupsWithState | _: CoGroup =>
+        plan.references.toSeq.sortBy(_.exprId.id).foreach { a =>
+          in.get(a).foreach(b => ctx.edges += FlowEdge(b.nodeId, Some(b.idx), id, Some(0)))
+        }
+
       case _ =>
         // default rule: identity edges for every output attribute that came
         // from a child; produced attributes (window cols, …) get no incoming

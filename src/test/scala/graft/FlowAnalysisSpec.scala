@@ -662,4 +662,45 @@ class FlowAnalysisSpec extends AnyFunSuite {
     assert(grouped.contains(("nation.parquet:n_name", "py_name")))
     assert(!grouped.contains(("nation.parquet:n_name", "py_key")))
   }
+
+  test("Scala object-ops lineage: mapPartitions / mapGroups / " +
+      "flatMapGroupsWithState produce COLUMN edges, not the node-level " +
+      "fallback (r15 verdict item 5)") {
+    // The typed plan stack is SerializeFromObject(op(DeserializeToObject))
+    // — the rule funnels every referenced input column through the obj
+    // slot, so each output column is column-reachable from each input it
+    // could depend on (a typed lambda's Encoder-derived schema has no
+    // sound positional correspondence, unlike the pandas ops — every
+    // output honestly depends on every input).
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("nm"))
+      .as[(Long, String)]
+
+    val mp = base.mapPartitions(it => it.map { case (k, n) => (k + 1, n.length) })
+      .toDF("out_k", "out_len")
+    val pMp = provenance(mp)
+    assert(pMp.contains(("nation.parquet:n_nationkey", "out_k")))
+    assert(pMp.contains(("nation.parquet:n_name", "out_len")))
+    // the funnel is honest: every output depends on every input
+    assert(pMp.contains(("nation.parquet:n_name", "out_k")))
+
+    val mg = base.groupByKey(_._1 % 5)
+      .mapGroups((k, it) => (k, it.map(_._2.length).sum))
+      .toDF("bucket", "total_len")
+    val pMg = provenance(mg)
+    assert(pMg.contains(("nation.parquet:n_nationkey", "bucket")))
+    assert(pMg.contains(("nation.parquet:n_name", "total_len")))
+
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val fm = base.groupByKey(_._1 % 5)
+      .flatMapGroupsWithState[Long, (Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (k, it, _) => Iterator((k, it.length))
+        }
+      .toDF("bucket", "n_rows")
+    val pFm = provenance(fm)
+    assert(pFm.contains(("nation.parquet:n_nationkey", "bucket")))
+    assert(pFm.contains(("nation.parquet:n_name", "n_rows")))
+  }
 }
