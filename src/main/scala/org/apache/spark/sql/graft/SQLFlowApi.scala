@@ -66,7 +66,14 @@ object SQLFlow {
       if (p.resolved) Some(p)
       else scala.util.Try(session.sessionState.executePlan(p).analyzed).toOption
 
-    val temps = catalog.getTempViewNames().flatMap { name =>
+    // SORTED: getTempViewNames() iterates the catalog's hash map, whose
+    // order depends on its insertion/rehash HISTORY (views created earlier
+    // in the session shift it even after being dropped) — and the shared
+    // uid counter below assigns node ids in `all` order, so without the
+    // sort the same catalog content could print different uids depending
+    // on what the session did before (r16: surfaced as golden drift when
+    // two new corpus files ran ahead of existing ones)
+    val temps = catalog.getTempViewNames().sorted.flatMap { name =>
       catalog.getTempView(name).flatMap(v => analyzed(v.child)).map(name -> _)
     }
     // global temp views too (the reference does NOT support these —
