@@ -59,8 +59,10 @@ import subprocess
 import sys
 
 # measured burner coefficient > 1.2 at 2x oversubscription (BUILD_NOTES r14
-# coefficient table, all 15 large-cpu heavy entries probed)
-CPI_FRAGILE = {"s11_knn_graph_ivf"}
+# coefficient table, all 15 large-cpu heavy entries probed; r16 extended
+# the table to every >=5 s-cpu entry — q07's window sort measured 1.27-1.29
+# steady, the same cache-bandwidth sensitivity class as s11's hash-agg)
+CPI_FRAGILE = {"s11_knn_graph_ivf", "q07_window_topk"}
 # run-scoped JIT compile-shape bimodality, measured on SAME-TREE quiet runs
 # with bit-identical work counters (BUILD_NOTES r15: s10 7.5-19.5 cpu_s
 # across five runs, all passes within a run agree, runs disagree ~2.5x,
