@@ -51,6 +51,32 @@ class PropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("top_k_pair survives the sort-based aggregation fallback (many groups), " +
+      "both distinct modes") {
+    // Verify/Bench raise the fallback threshold so the inventory never
+    // sort-spills, but a default-conf cluster (threshold 128) WILL take
+    // this path — it round-trips the flat PairTopK buffer through
+    // serialize/deserialize repeatedly during the sort-based merge, a
+    // different lifecycle than the hash path the equivalence spec covers
+    val n = 5000
+    val rows = (0 until n).map(i =>
+      (i % 1000L, ((i * 2654435761L) % 10000).toDouble, (i * 48271L) % 7919))
+    val df = rows.toDF("g", "s", "id").repartition(3)
+    for (distinct <- Seq(false, true)) {
+      val got = df.groupBy("g")
+        .agg((if (distinct) top_k_pair_distinct($"s" * -1, $"id", 2)
+          else top_k_pair($"s" * -1, $"id", 2)).as("top"))
+        .select($"g", explode($"top").as("e"))
+        .select($"g", $"e.neg_score", $"e.neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList.sorted
+      val expected = rows.groupBy(_._1).toList.flatMap { case (g, vs) =>
+        val pairs = vs.map(v => (-v._2, v._3))
+        (if (distinct) pairs.distinct else pairs).sorted.take(2).map(p => (g, p._1, p._2))
+      }.sorted
+      assert(got === expected, s"distinct=$distinct")
+    }
+  }
+
   test("top_k_struct equals sort-ascending take(k) across random groups and k") {
     for (trial <- 0 until 5) {
       val k = 1 + rnd.nextInt(8)
