@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, Multiply, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
@@ -259,12 +259,47 @@ case class TopKPair(
     if (buf.n < k) buf.n += 1
   }
 
+  /** Boxing-free update fast path. After the planner binds this function,
+    * `negScore` is one of two shapes at every inventory call site: a bare
+    * `BoundReference` (DoubleType) or the constant-folded
+    * `Multiply(BoundReference, Literal(-1.0))` topKPerQuery emits — and
+    * `id` is always a `BoundReference` (LongType). `Expression.eval`
+    * would box a Double (and the Multiply result) per input row; on the
+    * kNN tier that is ~3e8 updates × 2 transient allocations — pure
+    * allocator/bandwidth churn in the exact stage whose cache-contention
+    * CPI is s11's measured fragility. The fast path reads the primitives
+    * straight off the input row (IEEE `-x` ≡ `x * -1.0` bit-for-bit on
+    * every input class: sign flip on finite/inf/zero, NaN stays NaN and
+    * the ordering treats all NaN bit patterns equal). Any other
+    * expression shape (SQL registration with arbitrary args) falls back
+    * to eval with identical semantics — the equivalence spec drives both
+    * paths. Modes: 0 = eval fallback, 1 = direct read, 2 = read + negate. */
+  @transient private lazy val (scoreMode, scoreOrdinal): (Int, Int) = negScore match {
+    case b: BoundReference if b.dataType == DoubleType => (1, b.ordinal)
+    case Multiply(b: BoundReference, Literal(v: Double, DoubleType), _)
+        if b.dataType == DoubleType && v == -1.0 => (2, b.ordinal)
+    case Multiply(Literal(v: Double, DoubleType), b: BoundReference, _)
+        if b.dataType == DoubleType && v == -1.0 => (2, b.ordinal)
+    case _ => (0, -1)
+  }
+  @transient private lazy val idOrdinal: Int = id match {
+    case b: BoundReference if b.dataType == LongType => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: PairTopK, input: InternalRow): PairTopK = {
-    val s = negScore.eval(input)
-    if (s != null) {
-      val i = id.eval(input)
-      if (i != null) {
-        insert(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (scoreMode != 0 && idOrdinal >= 0) {
+      if (!input.isNullAt(scoreOrdinal) && !input.isNullAt(idOrdinal)) {
+        val s0 = input.getDouble(scoreOrdinal)
+        insert(buf, if (scoreMode == 2) -s0 else s0, input.getLong(idOrdinal))
+      }
+    } else {
+      val s = negScore.eval(input)
+      if (s != null) {
+        val i = id.eval(input)
+        if (i != null) {
+          insert(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+        }
       }
     }
     buf
