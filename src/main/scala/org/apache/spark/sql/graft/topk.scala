@@ -280,6 +280,10 @@ case class TopKPair(
         if b.dataType == DoubleType && v == -1.0 => (2, b.ordinal)
     case Multiply(Literal(v: Double, DoubleType), b: BoundReference, _)
         if b.dataType == DoubleType && v == -1.0 => (2, b.ordinal)
+    // SQL `-score` parses to UnaryMinus (double negation never fails,
+    // whatever the ANSI flag) — same IEEE sign flip as the Multiply form
+    case org.apache.spark.sql.catalyst.expressions.UnaryMinus(b: BoundReference, _)
+        if b.dataType == DoubleType => (2, b.ordinal)
     case _ => (0, -1)
   }
   @transient private lazy val idOrdinal: Int = id match {

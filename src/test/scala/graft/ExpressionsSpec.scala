@@ -609,6 +609,32 @@ class ExpressionsSpec extends AnyFunSuite {
           s"group $g k=$k distinct=$distinct")
       }
     }
+    // the EVAL-FALLBACK path (arbitrary expression shapes the bound fast
+    // path does not match) must be value-identical too: an unfoldable
+    // composite negation forces it, compared against the struct kernel
+    // on the same data
+    {
+      val df2 = spark.createDataFrame(
+          spark.sparkContext.parallelize(adversarial ++ bulk.take(400), 7))
+        .toDF("g", "score", "id").withColumn("zero", lit(0.0) * col("id"))
+      val fallbackNeg = (col("score") + col("zero")) * -1
+      val viaStruct = df2.groupBy("g")
+        .agg(top_k_struct(struct(fallbackNeg.as("s"), $"id"), 3).as("top"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      val viaPair = df2.groupBy("g")
+        .agg(top_k_pair(fallbackNeg, $"id", 3).as("top"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      def canon(xs: Seq[(Double, Long)]) = xs.map { case (s, i) =>
+        (if (s == 0.0) 0L else java.lang.Double.doubleToLongBits(s), i) }
+      assert(viaPair.keySet === viaStruct.keySet)
+      viaStruct.foreach { case (g, expected) =>
+        assert(canon(viaPair(g)) === canon(expected), s"fallback path, group $g")
+      }
+    }
     // SQL registration parity for the new names
     org.apache.spark.sql.graft.functions.registerAll(spark)
     df.createOrReplaceTempView("tkp_in")
