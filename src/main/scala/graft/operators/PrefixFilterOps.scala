@@ -41,7 +41,7 @@ import org.apache.spark.sql.graft.CheckpointUtils.SummarizedCheckpointOps
   *   - verification co-locates each candidate pair's two hash sets (two
   *     id-keyed joins, one fixed-size set per row — the canonical PPJoin
   *     verify) and counts the true intersection in one codegen'd
-  *     array_intersect per pair;
+  *     zero-allocation sorted-merge scan per pair (SortedIntersectOps);
   *   - skew: a degenerate heavy hitter inflates one prefix bucket only if
   *     it appears in a prefix at all — rarest-first ordering makes that
   *     the LAST element to enter any prefix.
@@ -71,14 +71,19 @@ object PrefixFilterOps {
     * whose 1000·num/den is integral (e.g. 3/5 → 600).
     *
     * `assumeDistinct = true` lets a trusted caller whose arrays are
-    * distinct BY CONSTRUCTION (d22's shingle hashes: sorted + deduped
-    * inside the expression — ShingleOps.shingleHashes) skip the
-    * enforcement pass AND its full-corpus materialization (the entry
-    * localCheckpoint exists only to amortize the array_distinct across
-    * the three consuming subtrees; with no dedup pass the subtrees read
-    * the caller's — typically already cached — table directly). External
-    * callers keep the default enforcement: a duplicate-bearing input
-    * would silently skew |a∩b| against the size terms. (r11 advice) */
+    * ASCENDING-SORTED DISTINCT BY CONSTRUCTION (d22's shingle hashes:
+    * sorted + deduped inside the expression — ShingleOps.shingleHashes)
+    * skip the enforcement pass AND its full-corpus materialization (the
+    * entry localCheckpoint exists only to amortize the normalization
+    * across the three consuming subtrees; with no normalization pass the
+    * subtrees read the caller's — typically already cached — table
+    * directly). External callers keep the default enforcement, which now
+    * SORTS as well as dedupes: since r17 the verification step counts
+    * intersections with the zero-allocation sorted-merge kernel
+    * ([[org.apache.spark.sql.graft.SortedIntersectOps]]), which needs
+    * order the way the old `array_intersect` needed distinctness — an
+    * unsorted input would silently UNDERCOUNT |a∩b|. (r11 advice;
+    * strengthened r17) */
   def jaccardSelfJoin(sets: DataFrame, idCol: String, setCol: String,
       tauNum: Int, tauDen: Int, assumeDistinct: Boolean = false): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "need 0 < tau <= 1")
@@ -96,7 +101,7 @@ object PrefixFilterOps {
     val distinctSets =
       if (assumeDistinct) sets.select(col(idCol).as("id"), col(setCol).as("hs_set"))
       else sets.select(col(idCol).as("id"),
-        array_distinct(col(setCol)).as("hs_set"))
+        array_sort(array_distinct(col(setCol))).as("hs_set"))
         .summarizedCheckpoint()
     val posting = distinctSets.select(col("id"),
       size(col("hs_set")).as("sz"), explode(col("hs_set")).as("h"))
@@ -130,7 +135,11 @@ object PrefixFilterOps {
       .distinct()
     // VERIFICATION = the canonical AllPairs/PPJoin verify step: co-locate
     // each surviving candidate pair's two hash SETS and count the true
-    // intersection in one codegen'd array_intersect per pair. The earlier
+    // intersection in one codegen'd sorted-merge scan per pair (r17:
+    // sorted_intersect_count replaced size(array_intersect(..)) — the
+    // built-in allocates an OpenHashSet + result array PER CANDIDATE
+    // PAIR, the allocation churn that made this stage's cpu 2-6x
+    // heap-geometry-sensitive; the merge scan allocates nothing). The earlier
     // formulation verified through the inverted index instead (cand ⋈
     // posting ⋈ posting + groupBy) — per candidate that expands to
     // |set_a| skinny rows through a shuffled aggregation, and on the 10×
@@ -147,7 +156,8 @@ object PrefixFilterOps {
       .join(setsById.withColumnsRenamed(Map("id" -> "id_a", "hs" -> "hs_a")), "id_a")
       .join(setsById.withColumnsRenamed(Map("id" -> "id_b", "hs" -> "hs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).as("ni"),
+        org.apache.spark.sql.graft.functions
+          .sorted_intersect_count(col("hs_a"), col("hs_b")).as("ni"),
         (size(col("hs_a")) + size(col("hs_b"))).as("szsum"))
       .withColumn("jaccard_milli",
         expr("(1000 * ni) DIV (szsum - ni)"))

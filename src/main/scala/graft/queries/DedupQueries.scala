@@ -256,12 +256,18 @@ object DedupQueries {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard (integer milli) on the hashed shingle sets of each pair. */
+  /** Exact Jaccard (integer milli) on the hashed shingle sets of each pair.
+    * PRECONDITION: `sh` arrays ascending-sorted distinct — guaranteed by
+    * every caller (all pass ShingleOps-built tables); the r17 sorted-merge
+    * intersect kernel needs order (zero allocation per pair vs
+    * array_intersect's per-row OpenHashSet + result array — see
+    * [[org.apache.spark.sql.graft.SortedIntersectOps]]). */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_inter", org.apache.spark.sql.graft.functions
+        .sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("n_union", size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
       .withColumn("jaccard_milli", expr("(1000L * n_inter) DIV n_union"))
       .select("doc_a", "doc_b", "jaccard_milli")
@@ -351,7 +357,8 @@ object DedupQueries {
         invertedCandidates(sh, some)
           .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
           .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
-          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("n_inter", org.apache.spark.sql.graft.functions
+            .sorted_intersect_count(col("sh_a"), col("sh_b")))
           .withColumn("containment_milli",
             expr("(1000L * n_inter) DIV least(size(sh_a), size(sh_b))"))
           .filter(col("containment_milli") >= 800)

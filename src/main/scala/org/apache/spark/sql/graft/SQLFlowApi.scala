@@ -80,7 +80,10 @@ object SQLFlow {
     // README.md:273); named with their database prefix
     val globalDb = session.sessionState.conf.getConfString(
       "spark.sql.globalTempDatabase", "global_temp")
-    val globals = catalog.globalTempViewManager.listViewNames("*").flatMap { name =>
+    // sorted for the same reason as temps above: listViewNames iterates the
+    // global manager's hash map, so unsorted order is session-history-
+    // dependent and would drift the shared-counter uids (r16 advice)
+    val globals = catalog.globalTempViewManager.listViewNames("*").sorted.flatMap { name =>
       catalog.getGlobalTempView(name).flatMap(v => analyzed(v.child)).map(s"$globalDb.$name" -> _)
     }
     val all: Seq[(String, LogicalPlan)] = persistent ++ temps ++ globals

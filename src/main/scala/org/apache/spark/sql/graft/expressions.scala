@@ -1096,6 +1096,82 @@ case class LongVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object SortedIntersectOps {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  /** |a ∩ b| of two ASCENDING-SORTED DISTINCT ARRAY<BIGINT>s as one
+    * zero-allocation merge scan. This is the verify-step kernel of every
+    * exact set-similarity join here (d22 PPJoin, the d03/d08 family's
+    * verifyJaccard, d14 containment): those paths previously computed
+    * `size(array_intersect(a, b))`, and Spark's ArrayIntersect allocates
+    * an OpenHashSet PLUS a materialized result array PER ROW — on the
+    * heavy tier that is ~1.8M candidate pairs × ~100-element sets of
+    * transient garbage in the operator's dominant stage, the exact
+    * allocation-churn class that large-heap JVM geometry punishes
+    * (BUILD_NOTES r17: d22's cpu_s ran 2-6× hotter under a 64 GB heap
+    * with bit-identical work counters — young-gen allocation working
+    * sets stop being cache-resident) and the same churn the r16 TopKPair
+    * fast path eliminated for s11. The shingle tables are sorted distinct
+    * BY CONSTRUCTION (ShingleOps.shingleHashes sorts + dedupes in place),
+    * so the merge scan is free to assume order; PrefixFilterOps sorts at
+    * its enforcement entry for untrusted callers.
+    *
+    * PRECONDITION (caller-enforced, like LongVecDot's equal-dims): both
+    * arrays ascending-sorted and duplicate-free. On unsorted input the
+    * count is an UNDERCOUNT, not an error — every call site must come
+    * from a sorted-producing expression or an array_sort. */
+  def count(a: ArrayData, b: ArrayData): Int = (a, b) match {
+    // typed fast arm + generic fallback — the LongVecOps receiver-
+    // devirtualization pattern; both arms run the identical loop
+    case (x: UnsafeArrayData, y: UnsafeArrayData) => countUU(x, y)
+    case _ => countGen(a, b)
+  }
+  private def countUU(a: UnsafeArrayData, b: UnsafeArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+  private def countGen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+}
+
+/** `sorted_intersect_count(a, b)` — see [[SortedIntersectOps]]. INT result
+  * (matches `size(array_intersect(...))`'s type so downstream integer
+  * arithmetic is shape-identical at the swapped call sites). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(isLongArray(left.dataType) && isLongArray(right.dataType),
+      "ARRAY<BIGINT> on both sides", left.dataType)
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectOps.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"org.apache.spark.sql.graft.SortedIntersectOps.count($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Symmetric int8 SCALAR QUANTIZATION of float vectors — the 4× memory
   * lever every large ANN deployment pulls first (FAISS SQ8, Lucene/HNSW
   * int8): per-dimension scale s_d (the max |x_d| over a training sample),
@@ -1521,6 +1597,12 @@ object functions {
     ExpressionUtils.column(LongVecDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** |a ∩ b| of ascending-sorted distinct ARRAY<BIGINT>s, zero-allocation
+    * (see [[SortedIntersectOps]] — caller must guarantee sortedness). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))
 
@@ -1588,6 +1670,7 @@ object functions {
       // int8_quantize is NOT SQL-registered: its scale table is a trained
       // reference object (the NearestPivots/BloomCountHits precedent)
       "int8_vec_dot" -> (exprs => Int8VecDot(exprs(0), exprs(1))),
+      "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
       "vec_srp" -> (exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32))),
       "vec_srp_md5" -> (exprs => FloatVecSrpMd5(exprs.head, intArg(exprs, 1, 32))),
       "normalize_text" -> (exprs => NormalizeText(exprs.head)),

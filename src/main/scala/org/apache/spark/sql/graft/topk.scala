@@ -189,9 +189,18 @@ private[graft] final class PairTopK(val k: Int) {
   *     the reject-fast-path (compare against slot n-1 only) and eval
   *     (already sorted) trivial.
   *
-  * PRECONDITION: `negScore` and `id` are non-null by construction (every
-  * call site computes them with null-free arithmetic); a null in either
-  * skips the row, matching TopKStruct's null-child skip.
+  * NULL semantics — a DOCUMENTED DIVERGENCE from the struct kernel: a
+  * null in either input SKIPS the row (the usual aggregate-ignores-null
+  * rule). `TopKStruct(struct(neg, id), k)` instead KEEPS such rows —
+  * `struct(...)` itself is never null even when its fields are, and the
+  * struct's natural ordering ranks null fields first — so the two
+  * kernels agree only on null-free inputs. Every inventory call site
+  * computes both inputs with null-free arithmetic, where the kernels are
+  * bit-equivalent (the ExpressionsSpec equivalence pin); a SQL user
+  * calling the registered `top_k_pair` on nullable columns gets the
+  * row-drop semantics stated here, not the struct kernel's nulls-first
+  * ranking. (r16 advice: the earlier scaladoc claimed the skip "matched"
+  * TopKStruct — inaccurate, since only a null STRUCT is skipped there.)
   *
   * Field names of the result structs are pinned to (neg_score,
   * neighbor_id) — the [[graft.queries.SimilarityQueries.topKPerQuery]]

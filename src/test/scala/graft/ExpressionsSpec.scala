@@ -648,4 +648,43 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("double")
       || err.getMessage.contains("DOUBLE"))
   }
+
+  test("sorted_intersect_count ≡ size(array_intersect) on sorted distinct arrays; " +
+      "SQL-registered, null-safe, type-checked") {
+    // randomized equivalence on the contract domain (ascending distinct),
+    // plus the edges: empty, disjoint, identical, single-element, and
+    // boundary-heavy overlaps. Seeded — deterministic across runs.
+    val rnd = new scala.util.Random(4217)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(5L), Seq(5L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue),
+        Seq(Long.MinValue, 0L, Long.MaxValue))) ++
+      Seq.fill(40) {
+        def arr() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong)
+          .distinct.sorted
+        (arr(), arr())
+      }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+        sorted_intersect_count($"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).as("ref"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    got.zip(cases).foreach { case ((fast, ref), (a, b)) =>
+      assert(fast === ref, s"a=$a b=$b")
+    }
+    // SQL registration + null-safety (BinaryExpression null-in-null-out)
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    assert(spark.sql("SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L))")
+      .head.getInt(0) === 2)
+    assert(spark.sql("SELECT sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .head.isNullAt(0))
+    // type misuse fails analysis
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array('x'), array('x'))").collect()
+    }
+    assert(err.getMessage.contains("ARRAY<BIGINT>"))
+  }
 }

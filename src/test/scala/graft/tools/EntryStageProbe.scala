@@ -38,7 +38,7 @@ object EntryStageProbe {
 
     case class St(name: String, wallMs: Long, cpuMs: Long, gcMs: Long,
         shufReadMB: Long, shufWriteMB: Long, spillMB: Long, tasks: Int,
-        recRead: Long, shufRecW: Long)
+        recRead: Long, shufRecW: Long, peakMemMB: Long)
     // appended from the listener-bus thread, read/cleared from the main
     // loop — all access under the buffer's own lock (the 500 ms drain
     // sleep below is a heuristic, not a barrier)
@@ -56,7 +56,8 @@ object EntryStageProbe {
             m.shuffleWriteMetrics.bytesWritten / 1048576,
             (m.memoryBytesSpilled + m.diskBytesSpilled) / 1048576,
             si.numTasks,
-            m.inputMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten)
+            m.inputMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten,
+            m.peakExecutionMemory >> 20)
         }
       }
     })
@@ -158,16 +159,38 @@ object EntryStageProbe {
       // entry-level totals: cpu_s is the contention-sensitive column, the
       // record counters are the work-invariance check (identical counts
       // across quiet/contended reps = same work, whatever cpu_s did)
-      val (tCpu, tGc, tRec, tSRec, tSpill) = stages.synchronized {
+      // peak_mem uses the EXACT aggregation Bench's Telemetry publishes
+      // (max over stages of the stage's summed per-task execution-memory
+      // peaks) so probe numbers compare 1:1 against bench_details.json —
+      // the r16 d22 REOPEN's distinguishing signal was this column
+      // (960 -> 6279 MB at bit-identical counters)
+      val (tCpu, tGc, tRec, tSRec, tSpill, tPeak) = stages.synchronized {
         (stages.map(_.cpuMs).sum / 1000.0, stages.map(_.gcMs).sum / 1000.0,
-          stages.map(_.recRead).sum, stages.map(_.shufRecW).sum, stages.map(_.spillMB).sum)
+          stages.map(_.recRead).sum, stages.map(_.shufRecW).sum, stages.map(_.spillMB).sum,
+          if (stages.isEmpty) 0L else stages.map(_.peakMemMB).max)
       }
       println(f"== $name rep $rep: wall $wall%.2f s, rows $n, cpu_s $tCpu%.1f, " +
-        f"gc_s $tGc%.1f, records_read $tRec, shuffle_records $tSRec, spill_mb $tSpill ==")
+        f"gc_s $tGc%.1f, records_read $tRec, shuffle_records $tSRec, spill_mb $tSpill, " +
+        f"peak_mem_mb $tPeak ==")
+      // JVM-wide compile/class/memory-pool state after the rep: the
+      // run-scoped excursion classes (d18 r14/r15, s10 pre-r16) are
+      // JIT/codegen-resource stories, and these counters are the direct
+      // evidence a "same work, 6x cpu" rep needs to name one
+      locally {
+        val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+        val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
+        import scala.jdk.CollectionConverters._
+        val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Metaspace"))
+          .map(p => f"${p.getName.trim}=${p.getUsage.getUsed >> 20}%dMB")
+          .mkString(" ")
+        println(f"  [jvm] compile_ms_total ${comp.getTotalCompilationTime}, " +
+          f"classes loaded ${cls.getLoadedClassCount} (total ${cls.getTotalLoadedClassCount}), $pools")
+      }
       stages.synchronized(stages.sortBy(-_.wallMs).take(6).toList).foreach { s =>
         println(f"  ${s.wallMs}%6d ms wall  cpu ${s.cpuMs}%7d  gc ${s.gcMs}%6d  " +
           f"sR ${s.shufReadMB}%5d MB sW ${s.shufWriteMB}%5d MB spill ${s.spillMB}%5d MB  " +
-          f"t=${s.tasks}%3d  ${s.name}")
+          f"peak ${s.peakMemMB}%5d MB  t=${s.tasks}%3d  ${s.name}")
       }
       storage(s"$name rep$rep")
     }

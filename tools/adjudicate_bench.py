@@ -13,6 +13,10 @@ first hit decides:
        entry in CPI_FRAGILE                  -> cpu_s advisory (counters ruled)
        ratio >= 1.6x                         -> REOPEN
        else                                  -> ENV/OK
+     Entries in HEAP_SENSITIVE are cpu-advisory (HEAP-OK) when the
+     candidate shows the memory-geometry tell (rule 6's tier common-mode
+     peak_mem >= 2x) AND the raw ratio is under the entry's measured
+     ceiling; without the tell, or past the ceiling, the bands rule.
      When BOTH artifacts carry `calib_cpu_s` (r15: a fixed-work, Spark-free,
      allocation-light CPU spin timed per run), the cpu ratio is NORMALIZED
      by the calib ratio before the band applies — "the whole window ran
@@ -20,11 +24,30 @@ first hit decides:
      raw and normalized ratios are both printed.
   5. wall (`sec`), entries whose cpu verdict was OK and committed wall
      >= 1 s: ratio normalized by the tier's common-mode wall ratio
-     (Sigma cand.sec / Sigma base.sec over the tier's shared entries) —
-     >= 2.0x normalized prints a WALL advisory (counters already ruled
-     the envelope clean, so wall inflation is visible but never reopens
-     on its own; r15: t08 ran 2.84x wall at cpu identical to 0.05% and
-     nothing printed).
+     (Sigma cand.sec / Sigma base.sec over the tier's shared entries,
+     EXCLUDING the shared_build/dshared_build lines — their min-of-pass
+     wall often dominates a tier sum and would skew the normalization;
+     r16 advice) — >= 2.0x normalized prints a WALL advisory (counters
+     already ruled the envelope clean, so wall inflation is visible but
+     never reopens on its own; r15: t08 ran 2.84x wall at cpu identical
+     to 0.05% and nothing printed).
+  6. peak_mem (`peak_mem_mb`), committed >= 256 MB: ratio normalized by
+     the tier's common-mode peak_mem ratio (same construction as the
+     wall rule) >= 3x appends a MEM note to whatever verdict the rules
+     above produced, and an otherwise-OK entry prints as a MEM advisory
+     (never reopens alone — counters-first discipline). The common-mode
+     normalization is load-bearing: execution-memory ACQUISITION scales
+     with the JVM's memory geometry (Tungsten page size is a function of
+     heap size — nextPowerOf2(pool/cores/16), capped 64 MB — so a
+     bigger-heap environment acquires the same data in bigger,
+     emptier pages), and the r16 driver artifact showed ~6.5-8x
+     peak_mem on NEARLY EVERY entry at flat cpu (t22 7.8x mem at 0.53x
+     cpu; q105 7.8x at 0.91x) — a raw per-entry rule would have sprayed
+     ~40 advisories and buried the signal. The tier line itself prints
+     loudly when the common mode is extreme (>= 2x either way): THAT is
+     the r16 d22 lesson — the memory signature that looked like d22's
+     distinguishing anomaly was the whole artifact's geometry, and the
+     one remaining d22-specific signal was cpu.
 
 Calib guardrails (r15 advice): when calib_r falls outside [0.7, 1.5] the
 normalization is suspect (the spin is deliberately cache-resident, so a
@@ -51,8 +74,8 @@ Usage: python3 tools/adjudicate_bench.py COMMITTED.json CANDIDATE.json
        (either arg may be "git:REF" to read bench_details.json from a git
         revision, e.g. git:HEAD or git:920e879)
 Exit status: number of verdicts in {STRUCTURE, REOPEN, FRAGILE, BIMODAL,
-FAILED, MISSING} (0 = all clear). FRAGILE-OK / BIMODAL-OK / WALL /
-BUILD / NEW / FLOOR-UNCHECKED print but do not count."""
+FAILED, MISSING} (0 = all clear). FRAGILE-OK / BIMODAL-OK / HEAP-OK / WALL /
+MEM / BUILD / NEW / FLOOR-UNCHECKED print but do not count."""
 
 import json
 import subprocess
@@ -63,13 +86,32 @@ import sys
 # the table to every >=5 s-cpu entry — q07's window sort measured 1.27-1.29
 # steady, the same cache-bandwidth sensitivity class as s11's hash-agg)
 CPI_FRAGILE = {"s11_knn_graph_ivf", "q07_window_topk"}
-# run-scoped JIT compile-shape bimodality, measured on SAME-TREE quiet runs
-# with bit-identical work counters (BUILD_NOTES r15: s10 7.5-19.5 cpu_s
-# across five runs, all passes within a run agree, runs disagree ~2.5x,
-# burner coefficient ~0.73 i.e. NOT contention) — same adjudication
-# semantics as CPI_FRAGILE (counters rule the envelope, cpu advisory),
-# different mechanism and label
-JIT_BIMODAL = {"s10_knn_graph"}
+# run-scoped JIT compile-shape bimodality — same adjudication semantics as
+# CPI_FRAGILE (counters rule the envelope, cpu advisory), different
+# mechanism and label. EMPTY since r17: s10's pre-r16 slow mode (15-19.5
+# cpu_s) never appeared across the seven r16 committed runs NOR the r16
+# driver run (7.1) on the TopKPair kernel — the pathological compile shape
+# belonged to the old UnsafeProjection/comparator update path, which no
+# longer exists. Dropping the tag re-arms the normal cpu bands for s10
+# (committed ~4-7 cpu_s -> mid band, reopen at 2x), so a returning slow
+# mode reads as the regression it would now be. (r16 verdict item 2;
+# history: BUILD_NOTES r15 "s10 7.5-19.5 across five runs, coefficient
+# ~0.73 i.e. NOT contention".)
+JIT_BIMODAL = set()
+# measured LARGE-HEAP allocation-geometry sensitivity (BUILD_NOTES r17):
+# the r16 driver ran Bench under a much larger JVM heap — fingerprinted
+# EXACTLY by peak_mem (a 64 GB-heap probe reproduces d22's 6279 MB to the
+# megabyte) — and a big heap inflates the cpu_s of allocation-dense
+# entries with bit-identical work counters (young-gen working sets stop
+# being cache-resident; measured d22 dose-response: 8g heap 33.6-34.5
+# cpu_s steady, 64g heap 61.7-111.3 solo, 226.7 in the driver's
+# full-inventory context). When the candidate artifact carries the
+# geometry tell (tier peak_mem common mode >= MEM_COMMON_MODE_LOUD),
+# entries listed here get advisory treatment (HEAP-OK) up to their
+# measured ceiling (value = max observed raw cpu ratio + margin); past
+# the ceiling, or WITHOUT the geometry tell, the normal bands rule — a
+# same-geometry regression still REOPENs.
+HEAP_SENSITIVE = {"d22_prefix_filter_join": 7.0}
 
 SHUFFLE_STRUCTURE_RATIO = 1.5
 # two same-tree same-day r14 runs put a 6.4 s-cpu entry (s05) at 1.68x —
@@ -90,6 +132,20 @@ CALIB_SANE_LO, CALIB_SANE_HI = 0.7, 1.5
 WALL_FLOOR_S = 1.0
 WALL_ADVISORY_RATIO = 2.0
 BUILD_CPU_LOUD_RATIO = 3.0
+# mem advisory: committed peak_mem >= 256 MB, ratio normalized by the
+# tier's common-mode peak_mem ratio; >= 3x prints (never reopens — the
+# counters-first discipline; see docstring rule 6 for why normalization
+# is mandatory here)
+MEM_FLOOR_MB = 256
+MEM_ADVISORY_RATIO = 3.0
+# a tier whose common-mode peak_mem ratio is itself >= 2x (either way)
+# ran under a DIFFERENT MEMORY GEOMETRY (heap-dependent page size) —
+# print that loudly once per tier instead of per entry
+MEM_COMMON_MODE_LOUD = 2.0
+# the build lines' min-of-pass wall/mem often dominates a tier sum —
+# exclude them from the common-mode normalizers exactly as they are
+# exempt from the per-entry rules (r16 advice)
+BUILD_LINES = ("shared_build", "dshared_build")
 
 
 def load(arg):
@@ -104,9 +160,24 @@ def ratio(a, b):
     return a / b if b and b > 0 else float("inf") if a and a > 0 else 1.0
 
 
-def adjudicate(name, base, cand, calib_r=None, wall_r=None):
+def adjudicate(name, base, cand, calib_r=None, wall_r=None, mem_r=None):
     def has(d, k):
         return isinstance(d.get(k), (int, float)) and d[k] >= 0
+
+    # rule 6: entry-specific peak_mem inflation, normalized by the tier's
+    # common-mode memory-geometry ratio. Computed up front so the note can
+    # ride along on ANY cpu-family verdict (a REOPEN with a genuine memory
+    # signature must say so, not just an OK entry).
+    mem_note = ""
+    bm, cm = base.get("peak_mem_mb"), cand.get("peak_mem_mb")
+    if (isinstance(bm, (int, float)) and isinstance(cm, (int, float))
+            and bm >= MEM_FLOOR_MB and cm >= 0):
+        rm = ratio(cm, bm)
+        rmn = rm / mem_r if mem_r else rm
+        if rmn >= MEM_ADVISORY_RATIO:
+            mem_note = (f"; MEM peak_mem {bm:.0f} -> {cm:.0f} MB ({rm:.1f}x raw"
+                        + (f", {rmn:.1f}x tier-normalized" if mem_r else "")
+                        + ") — entry-specific memory inflation")
 
     # an entry that failed every pass writes the Failed sentinel
     # {sec:-1, rows:-1} — a broken query must never pass quietly (and the
@@ -191,22 +262,34 @@ def adjudicate(name, base, cand, calib_r=None, wall_r=None):
     if name in CPI_FRAGILE:
         return ("FRAGILE-OK" if counters else "FRAGILE",
                 cpus(" advisory; ")
-                + ("work counters identical" if counters else "counters ABSENT — inspect manually"))
+                + ("work counters identical" if counters else "counters ABSENT — inspect manually")
+                + mem_note)
     if name in JIT_BIMODAL:
         return ("BIMODAL-OK" if counters else "BIMODAL",
                 cpus(" advisory (measured same-tree bimodality); ")
-                + ("work counters identical" if counters else "counters ABSENT — inspect manually"))
+                + ("work counters identical" if counters else "counters ABSENT — inspect manually")
+                + mem_note)
+    geometry_tell = mem_r is not None and (
+        mem_r >= MEM_COMMON_MODE_LOUD or 1 / mem_r >= MEM_COMMON_MODE_LOUD)
+    if name in HEAP_SENSITIVE and geometry_tell and r < HEAP_SENSITIVE[name]:
+        return ("HEAP-OK" if counters else "HEAP",
+                cpus(" advisory (measured large-heap allocation-geometry "
+                     f"sensitivity, ceiling {HEAP_SENSITIVE[name]}x, tier "
+                     "geometry tell present); ")
+                + ("work counters identical" if counters else
+                   "counters ABSENT — inspect manually")
+                + mem_note)
     cap = CPU_REOPEN_RATIO_LARGE if bc >= 10 else CPU_REOPEN_RATIO_MID
     if rn >= cap:
         return ("REOPEN", cpus(f" >= {cap}x")
-                + ("" if counters else "; counters absent (pre-r14)"))
+                + ("" if counters else "; counters absent (pre-r14)") + mem_note)
     # raw-ratio backstop: normalization softened the band below the cap,
     # but the raw excursion is past what any common-mode hotness has ever
     # measured — refuse to let calib absorb it (r15 advice)
     if calib_r and r >= CPU_REOPEN_RAW_CAP:
         return ("REOPEN", cpus(f" raw >= {CPU_REOPEN_RAW_CAP}x cap "
                 "(calib-normalized inside band, but the raw excursion "
-                "exceeds any measured common-mode hotness)"))
+                "exceeds any measured common-mode hotness)") + mem_note)
     # wall advisory — cpu + counters ruled the envelope clean; surface
     # wall-only inflation (e.g. a new exchange or scheduling stall) that
     # the cpu rules cannot see. Normalized by the tier's common-mode wall
@@ -220,7 +303,11 @@ def adjudicate(name, base, cand, calib_r=None, wall_r=None):
             return ("WALL", f"wall {bw:.2f} -> {cw:.2f} ({rw:.2f}x raw"
                     + (f", {rwn:.2f}x tier-normalized" if wall_r else "")
                     + f") >= {WALL_ADVISORY_RATIO}x with " + cpus()
-                    + " — advisory (cpu + counters clean; wall never reopens)")
+                    + " — advisory (cpu + counters clean; wall never reopens)"
+                    + mem_note)
+    if mem_note:
+        return ("MEM", cpus() + mem_note
+                + " — advisory (cpu + counters clean; mem never reopens)")
     return ("OK", cpus())
 
 
@@ -246,29 +333,49 @@ def main():
     unadjudicable = 0
     for tier in ("queries", "heavy_10x"):
         print(f"=== {tier} ===")
-        # common-mode wall ratio over the tier's shared, successfully-timed
-        # entries: normalizes the per-entry wall advisory the way calib
-        # normalizes cpu (a uniformly slower run is not N advisories)
+        # common-mode wall + peak_mem ratios over the tier's shared,
+        # successfully-timed entries (build lines excluded — their
+        # min-of-pass values often dominate a tier sum and would skew the
+        # normalizers, r16 advice): normalize the per-entry wall/mem
+        # advisories the way calib normalizes cpu (a uniformly slower or
+        # bigger-paged run is not N advisories)
         bsum = csum = 0.0
+        msum_b = msum_c = 0.0
         for name, b in base_all.get(tier, {}).items():
             c = cand_all.get(tier, {}).get(name)
-            if (isinstance(b, dict) and isinstance(c, dict)
-                    and isinstance(b.get("sec"), (int, float)) and b["sec"] > 0
+            if name in BUILD_LINES or not isinstance(b, dict) or not isinstance(c, dict):
+                continue
+            if (isinstance(b.get("sec"), (int, float)) and b["sec"] > 0
                     and isinstance(c.get("sec"), (int, float)) and c["sec"] > 0):
                 bsum += b["sec"]
                 csum += c["sec"]
+            if (isinstance(b.get("peak_mem_mb"), (int, float)) and b["peak_mem_mb"] > 0
+                    and isinstance(c.get("peak_mem_mb"), (int, float)) and c["peak_mem_mb"] > 0):
+                msum_b += b["peak_mem_mb"]
+                msum_c += c["peak_mem_mb"]
         wall_r = csum / bsum if bsum > 0 else None
         if wall_r:
             print(f"  [tier wall] committed {bsum:.1f}s candidate {csum:.1f}s "
                   f"-> wall ratios normalized by {wall_r:.3f}x")
+        mem_r = msum_c / msum_b if msum_b > 0 else None
+        if mem_r:
+            print(f"  [tier peak_mem] committed {msum_b:.0f} MB candidate "
+                  f"{msum_c:.0f} MB -> mem ratios normalized by {mem_r:.3f}x")
+            if mem_r >= MEM_COMMON_MODE_LOUD or 1 / mem_r >= MEM_COMMON_MODE_LOUD:
+                print(f"  [mem WARNING] tier-wide peak_mem common mode {mem_r:.2f}x "
+                      "— the candidate ran under a DIFFERENT JVM MEMORY GEOMETRY "
+                      "(execution-memory acquisition scales with heap-dependent "
+                      "Tungsten page size; see docstring rule 6). Entry-level MEM "
+                      "ratios are normalized by this; cpu ratios are NOT affected "
+                      "by page size, so the cpu rules still rule.")
         for name, b in sorted(base_all.get(tier, {}).items()):
             c = cand_all.get(tier, {}).get(name)
             if not isinstance(b, dict) or not isinstance(c, dict):
                 print(f"  MISSING       {name}")
                 bad += 1
                 continue
-            verdict, why = adjudicate(name, b, c, calib_r, wall_r)
-            if verdict in ("STRUCTURE", "REOPEN", "FRAGILE", "BIMODAL", "FAILED"):
+            verdict, why = adjudicate(name, b, c, calib_r, wall_r, mem_r)
+            if verdict in ("STRUCTURE", "REOPEN", "FRAGILE", "BIMODAL", "HEAP", "FAILED"):
                 bad += 1
             if verdict == "FLOOR-UNCHECKED":
                 unadjudicable += 1
