@@ -111,7 +111,14 @@ JIT_BIMODAL = set()
 # measured ceiling (value = max observed raw cpu ratio + margin); past
 # the ceiling, or WITHOUT the geometry tell, the normal bands rule — a
 # same-geometry regression still REOPENs.
-HEAP_SENSITIVE = {"d22_prefix_filter_join": 7.0}
+# Ceiling arithmetic: the geometry tail is an ABSOLUTE cost (it lives in
+# the payload sort/shuffle stages), so the admissible RATIO scales with
+# the committed base. Worst observed min-of-3 under 64g-class geometry:
+# 226.7 cpu_s (the r16 driver, old kernel); r17 committed base 30.5
+# (sorted-merge kernel) -> 226.7/30.5 = 7.4, rounded up for the lower
+# base. Past ~244 absolute cpu_s the excursion exceeds everything ever
+# observed under the mechanism and must be re-examined.
+HEAP_SENSITIVE = {"d22_prefix_filter_join": 8.0}
 
 SHUFFLE_STRUCTURE_RATIO = 1.5
 # two same-tree same-day r14 runs put a 6.4 s-cpu entry (s05) at 1.68x —
