@@ -147,4 +147,21 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(got === brute(raw, 600))
     assert(got === Set((1L, 2L, 600L), (3L, 4L, 1000L)))
   }
+
+  test("UNSORTED duplicate-bearing arrays are normalized at entry (r17: the " +
+      "verify step is a sorted-merge count, so enforcement must sort too)") {
+    // reverse/shuffled element order AND duplicates: the default path's
+    // array_sort(array_distinct(..)) must make the sorted-merge verify
+    // exact; without the sort this undercounts |a∩b| silently
+    val raw = Seq(
+      1L -> Seq(4L, 1L, 3L, 1L, 2L, 4L),      // set {1,2,3,4}, descending-ish
+      2L -> Seq(5L, 4L, 3L, 2L, 2L),          // set {2,3,4,5}: J = 3/5
+      3L -> Seq(8L, 7L, 7L),                   // set {7,8}
+      4L -> Seq(8L, 8L, 7L))                   // set {7,8}: J = 1
+    val got = PrefixFilterOps.jaccardSelfJoin(
+        raw.toDF("id", "sh"), "id", "sh", 3, 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute(raw, 600))
+    assert(got === Set((1L, 2L, 600L), (3L, 4L, 1000L)))
+  }
 }

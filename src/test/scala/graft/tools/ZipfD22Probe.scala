@@ -73,10 +73,14 @@ object ZipfD22Probe {
          |      ${1.0 / (1.0 - zipfS)}d)) as long)""".stripMargin.replace("\n", " ")
     val sets = spark.range(nDocs).toDF("id")
       .withColumn("g", expr("if(id % 20 = 0 and id > 0, id - 1, id)"))
+      // array_sort as well as array_distinct: assumeDistinct = true below
+      // promises ASCENDING-SORTED distinct arrays since r17 (the verify
+      // step is a sorted-merge count — unsorted input would silently
+      // undercount; PrefixFilterOps scaladoc)
       .withColumn("hs_set", expr(
-        s"""array_distinct(transform(sequence(1, 15 + pmod(xxhash64(g, 77), 26)),
+        s"""array_sort(array_distinct(transform(sequence(1, 15 + pmod(xxhash64(g, 77), 26)),
            |  i -> if(id <> g and pmod(xxhash64(id, i, 13), 10) = 0,
-           |          ${rankExpr("id")}, ${rankExpr("g")})))""".stripMargin.replace("\n", " ")))
+           |          ${rankExpr("id")}, ${rankExpr("g")}))))""".stripMargin.replace("\n", " ")))
       .select("id", "hs_set")
       .persist()
     val n = sets.count()
