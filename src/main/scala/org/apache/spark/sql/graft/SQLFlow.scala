@@ -67,7 +67,65 @@ object FlowAnalysis {
         case None => ctx.edges += FlowEdge(planNodeId, None, rootId, Some(i))
       }
     }
-    Graph(ctx.nodes.toSeq, ctx.edges.toSeq, rootId, ctx.bridges.toSeq)
+    canonicalize(Graph(ctx.nodes.toSeq, ctx.edges.toSeq, rootId, ctx.bridges.toSeq))
+  }
+
+  /** Deterministic column order for PLAN-INTERNAL nodes (r17): the
+    * optimizer can emit an intermediate operator's columns in a
+    * hash-order-dependent permutation — RewriteDistinctAggregates groups
+    * distinct aggregates in a Map keyed by expression sets whose hashCodes
+    * include exprIds, and exprIds depend on everything analyzed before, so
+    * the SAME view can legitimately produce two slot-permuted (isomorphic)
+    * graphs across extractions (observed: the golden group-by corpus
+    * flipped variants 10/20 over 30 snapshots in one session — the r16
+    * "1-in-6 suite flake", finally named by the r17 log capture). Lineage
+    * output should be a pure function of the catalog content, the same
+    * determinism contract the uid counter and the sorted catalog listing
+    * already keep — so plan-internal nodes get their attributes STABLY
+    * sorted by name here, with every edge and bridge slot remapped
+    * consistently. Table/view/leaf nodes keep schema order (their order IS
+    * meaningful); ties between same-named plan columns keep plan order
+    * (the one residual permutation this cannot fix — unobserved, since
+    * optimizer-generated intermediate names embed distinct functions).
+    * Graph SIZES are unchanged, so the z01 pinned-size oracle is
+    * unaffected; slot-level goldens were regenerated once. */
+  private def canonicalize(g: Graph): Graph = {
+    val remap: Map[String, Array[Int]] = g.nodes.iterator
+      .filter(n => n.tpe == FlowNodeType.Plan && n.attributes.length > 1)
+      .flatMap { n =>
+        val order = n.attributes.zipWithIndex.sortBy(_._1).map(_._2)
+        if (order.indices.forall(i => order(i) == i)) None
+        else {
+          val inv = new Array[Int](order.length)
+          order.zipWithIndex.foreach { case (old, nu) => inv(old) = nu }
+          Some(n.uniqueId -> inv)
+        }
+      }.toMap
+    if (remap.isEmpty) g
+    else {
+      val nodes = g.nodes.map { n =>
+        remap.get(n.uniqueId) match {
+          case Some(inv) =>
+            val attrs = new Array[String](n.attributes.length)
+            n.attributes.zipWithIndex.foreach { case (a, i) => attrs(inv(i)) = a }
+            n.copy(attributes = attrs.toVector)
+          case None => n
+        }
+      }
+      def mapIdx(id: String, idx: Option[Int]): Option[Int] =
+        remap.get(id) match {
+          case Some(inv) => idx.map(inv(_))
+          case None => idx
+        }
+      val edges = g.edges.map(e => e.copy(
+        fromIdx = mapIdx(e.fromId, e.fromIdx), toIdx = mapIdx(e.toId, e.toIdx)))
+      val bridges = g.bridges.map { case (a, b) =>
+        def mb(x: Binding): Binding =
+          remap.get(x.nodeId).map(inv => x.copy(idx = inv(x.idx))).getOrElse(x)
+        (mb(a), mb(b))
+      }
+      Graph(nodes, edges, g.rootId, bridges)
+    }
   }
 
   private def schemaDDL(plan: LogicalPlan): String =

@@ -276,8 +276,11 @@ def adjudicate(name, base, cand, calib_r=None, wall_r=None, mem_r=None):
                 cpus(" advisory (measured same-tree bimodality); ")
                 + ("work counters identical" if counters else "counters ABSENT — inspect manually")
                 + mem_note)
-    geometry_tell = mem_r is not None and (
-        mem_r >= MEM_COMMON_MODE_LOUD or 1 / mem_r >= MEM_COMMON_MODE_LOUD)
+    # candidate-BIGGER geometry only: a candidate on a SMALLER heap than
+    # the committed baseline cannot blame the big-heap mechanism for a
+    # slow entry (the mechanism runs the other way), so only mem_r >= 2
+    # arms the advisory — the inverse direction keeps the normal bands
+    geometry_tell = mem_r is not None and mem_r >= MEM_COMMON_MODE_LOUD
     if name in HEAP_SENSITIVE and geometry_tell and r < HEAP_SENSITIVE[name]:
         return ("HEAP-OK" if counters else "HEAP",
                 cpus(" advisory (measured large-heap allocation-geometry "
