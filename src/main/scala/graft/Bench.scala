@@ -257,6 +257,29 @@ object Bench {
       // should compile each exactly once. ~10-50 KB per cached class →
       // tens of MB, negligible against the 8 GB heap.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // PIN the Tungsten page size to the canonical 8 GB-heap value.
+      // MemoryManager derives the default page from the heap
+      // (nextPowerOf2(executionPool / cores / 16), capped 64 MB): an 8 GB
+      // driver computes 8 MB pages, a 64 GB driver computes 64 MB — and
+      // that single heap-derived variable was the WHOLE r16-r17
+      // "geometry" excursion class: under big heaps, allocation-dense
+      // stages (the d22 verify, d14's posting self-join partial
+      // aggregate, t08's top-k aggregate) went cpu-multimodal PER
+      // EXECUTION at bit-identical work counters (measured dose, r18
+      // probe: d14 heavy cpu {24-37} s at 8g vs {40, 142, 381} s at 64g,
+      // gc 2 s -> 91 s), and peak_mem — which measures execution-memory
+      // ACQUISITION in page granularity — inflated tier-wide (the r17
+      // driver fingerprint: 2047 -> 6911 MB on d14). With the page size
+      // pinned, a 64 GB-heap probe reproduces the 8 GB band exactly
+      // (cpu {21.5-55.8} s, peak_mem 2048 MB — BUILD_NOTES r18 dose
+      // table), so bench numbers are now a function of the TREE, not of
+      // the host JVM's heap. 8m = what the canonical committed
+      // environment already computes, so committed history stays
+      // comparable. This is a BENCH-session reproducibility pin, not a
+      // library default: on a real cluster executor (typical 4-8 GB per
+      // executor-core pool) the computed default lands in this same
+      // range anyway.
+      .config("spark.buffer.pageSize", "8m")
       .getOrCreate()
     // ERROR, not WARN: the driver's 2000-char stdout tail interleaves
     // stderr (sbt prefixes it "[error] ..."), and late WARN spam (e.g.

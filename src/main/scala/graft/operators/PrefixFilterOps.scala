@@ -100,9 +100,22 @@ object PrefixFilterOps {
     // operator's measured dominant path (the verify join)
     val distinctSets =
       if (assumeDistinct) sets.select(col(idCol).as("id"), col(setCol).as("hs_set"))
-      else sets.select(col(idCol).as("id"),
-        array_sort(array_distinct(col(setCol))).as("hs_set"))
-        .summarizedCheckpoint()
+      else {
+        // a nullable-element input additionally passes through
+        // array_compact: null is not an element hash (SET semantics), and
+        // sorted_intersect_count REJECTS containsNull arrays at analysis
+        // (r17 advice — a null slot would silently undercount; compact
+        // also narrows the column type to containsNull = false, which is
+        // what lets the verify step below analyze)
+        val elemNullable = sets.schema(setCol).dataType match {
+          case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+          case _ => false
+        }
+        val cleaned = if (elemNullable) array_compact(col(setCol)) else col(setCol)
+        sets.select(col(idCol).as("id"),
+          array_sort(array_distinct(cleaned)).as("hs_set"))
+          .summarizedCheckpoint()
+      }
     val posting = distinctSets.select(col("id"),
       size(col("hs_set")).as("sz"), explode(col("hs_set")).as("h"))
     // materialize the prefix posting list ONCE (the shared-subtree

@@ -1152,16 +1152,27 @@ object SortedIntersectOps {
 
 /** `sorted_intersect_count(a, b)` — see [[SortedIntersectOps]]. INT result
   * (matches `size(array_intersect(...))`'s type so downstream integer
-  * arithmetic is shape-identical at the swapped call sites). */
+  * arithmetic is shape-identical at the swapped call sites).
+  *
+  * containsNull arrays are REJECTED at analysis (r17 advice): the merge
+  * scan reads `getLong` per slot, so a null element would be read as
+  * garbage — and a null also breaks the sortedness precondition itself
+  * (`array_sort` places nulls LAST, after the ascending run). Every
+  * internal producer (ShingleOps, the PrefixFilterOps enforcement pass)
+  * already emits `containsNull = false`; an external SQL user passing a
+  * nullable-element array now gets an analysis error instead of a
+  * silently wrong count. */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   private def isLongArray(dt: DataType): Boolean = dt match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, false) => true
     case _ => false
   }
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.expect(isLongArray(left.dataType) && isLongArray(right.dataType),
-      "ARRAY<BIGINT> on both sides", left.dataType)
+      "ARRAY<BIGINT> with containsNull = false on both sides (a null element " +
+        "would break the sorted-merge count; array_compact first)",
+      left.dataType)
   override def dataType: DataType = IntegerType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SortedIntersectOps.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, Multiply, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateNamedStruct, Expression, Literal, Multiply, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
@@ -85,10 +85,38 @@ case class TopKStruct(
     }
   }
 
+  /** Allocation-free update fast path. Every inventory call site passes
+    * `struct(...)`, so after binding `child` is a `CreateNamedStruct` —
+    * whose eval allocates a GenericInternalRow PLUS a boxed value per
+    * primitive field for EVERY input row, only for `proj` to immediately
+    * re-serialize that row into its reused UnsafeRow buffer. Projecting
+    * the struct's VALUE EXPRESSIONS directly against the input row
+    * produces the bit-identical UnsafeRow (same field order and types;
+    * the projection is codegen'd, so primitives never box) with ZERO
+    * per-row allocation — the same transient-churn class the r16 TopKPair
+    * fast path and the r17 sorted-merge kernel removed, and exactly what
+    * big-heap JVM geometry punishes (BUILD_NOTES r17/r18: t08's driver
+    * cpu ran 1.84× on bit-identical counters under the 64 GB heap; its
+    * hot aggregate is this kernel over a 2.8M-row shuffle). The null-skip
+    * is not lost: `CreateNamedStruct.eval` never returns null (a struct
+    * of null FIELDS is still a non-null struct — those rows insert in
+    * both paths, ranked nulls-first by the natural ordering). Any other
+    * child shape (SQL registration with an arbitrary struct-typed arg)
+    * falls back to eval with identical semantics; ExpressionsSpec pins
+    * the two paths hash-equal. */
+  @transient private lazy val directProj: UnsafeProjection = child match {
+    case ns: CreateNamedStruct => UnsafeProjection.create(ns.valExprs)
+    case _ => null
+  }
+
   override def update(
       buf: java.util.PriorityQueue[UnsafeRow], input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
-    val v = child.eval(input)
-    if (v != null) insert(buf, proj(v.asInstanceOf[InternalRow]), copyOnInsert = true)
+    if (directProj != null) {
+      insert(buf, directProj(input), copyOnInsert = true)
+    } else {
+      val v = child.eval(input)
+      if (v != null) insert(buf, proj(v.asInstanceOf[InternalRow]), copyOnInsert = true)
+    }
     buf
   }
 

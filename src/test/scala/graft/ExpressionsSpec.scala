@@ -649,6 +649,61 @@ class ExpressionsSpec extends AnyFunSuite {
       || err.getMessage.contains("DOUBLE"))
   }
 
+  test("top_k_struct direct-projection fast path ≡ eval fallback (null fields, " +
+      "strings, multi-partition) — the r18 allocation-fix contract") {
+    // r18 swapped TopKStruct's update from child.eval (CreateNamedStruct
+    // allocates a GenericInternalRow + boxed primitives PER INPUT ROW)
+    // to a codegen'd UnsafeProjection over the struct's value
+    // expressions. The swap is only sound if the two paths are
+    // VALUE-identical on everything the old path could see: null FIELDS
+    // (a struct of null fields is non-null — both paths must KEEP the
+    // row, ranked nulls-first), var-length string fields (t08's shape),
+    // groups smaller than k, and the partial/merge/serialize paths. The
+    // eval fallback is forced with a data-dependent CaseWhen child —
+    // same field values, but not a CreateNamedStruct node, so
+    // `directProj` stays null there.
+    val rnd = new scala.util.Random(18L)
+    val rows = Seq(
+      (1L, Some(3L), 7L, "alpha"), (1L, None, 5L, "beta"),   // null tf field
+      (1L, Some(3L), 7L, "alpha"),                           // exact dup
+      (2L, Some(1L), 1L, ""),                                // empty string
+      (3L, None, 0L, "z")) ++
+      (0 until 3000).map { _ =>
+        (rnd.nextInt(60).toLong,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(6).toLong),
+          rnd.nextInt(9).toLong, "t" + rnd.nextInt(20))
+      }
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 11))
+      .toDF("g", "neg_tf", "df", "term")
+    def asMap(res: Array[org.apache.spark.sql.Row]) = res.map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map { x =>
+        (Option(x.get(0)), x.getLong(1), x.getString(2))
+      }
+    }.toMap
+    for (k <- Seq(1, 3, 7); distinct <- Seq(false, true)) {
+      val agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => if (distinct) top_k_struct_distinct(c, k) else top_k_struct(c, k)
+      val fast = asMap(df.groupBy("g")
+        .agg(agg(struct($"neg_tf", $"df", $"term")).as("top")).collect())
+      // CaseWhen over a non-foldable predicate survives optimization, so
+      // the aggregate's child is NOT a CreateNamedStruct → eval path
+      val slow = asMap(df.groupBy("g")
+        .agg(agg(when($"df" >= 0, struct($"neg_tf", $"df", $"term"))
+          .otherwise(struct($"neg_tf", $"df", $"term"))).as("top")).collect())
+      assert(fast.keySet === slow.keySet, s"k=$k distinct=$distinct")
+      fast.foreach { case (g, xs) =>
+        assert(xs === slow(g), s"group $g k=$k distinct=$distinct")
+      }
+      // null fields rank FIRST under the natural struct ordering — pin
+      // the semantics the scaladoc promises (group 3's only row is
+      // (null, 0, "z"), group 1 has a null-tf row that must win rank 1)
+      if (k >= 3 && !distinct) {
+        assert(fast(1L).head._1.isEmpty, "null field must sort first")
+      }
+    }
+  }
+
   test("sorted_intersect_count ≡ size(array_intersect) on sorted distinct arrays; " +
       "SQL-registered, null-safe, type-checked") {
     // randomized equivalence on the contract domain (ascending distinct),
@@ -675,16 +730,35 @@ class ExpressionsSpec extends AnyFunSuite {
     got.zip(cases).foreach { case ((fast, ref), (a, b)) =>
       assert(fast === ref, s"a=$a b=$b")
     }
-    // SQL registration + null-safety (BinaryExpression null-in-null-out)
+    // SQL registration + null-safety (BinaryExpression null-in-null-out:
+    // a null ARRAY yields null — distinct from a null ELEMENT, below)
     org.apache.spark.sql.graft.functions.registerAll(spark)
     assert(spark.sql("SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L))")
       .head.getInt(0) === 2)
-    assert(spark.sql("SELECT sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
-      .head.isNullAt(0))
+    val nullArr = lit(null).cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+    assert(df.select(sorted_intersect_count(nullArr, $"b")).head.isNullAt(0))
     // type misuse fails analysis
     val err = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT sorted_intersect_count(array('x'), array('x'))").collect()
     }
     assert(err.getMessage.contains("ARRAY<BIGINT>"))
+    // containsNull arrays fail ANALYSIS, not execution (r17 advice): a
+    // null slot would be getLong-read as garbage AND break the
+    // sortedness precondition (array_sort ranks nulls last) — silently
+    // diverging from size(array_intersect). SQL's ARRAY<BIGINT> cast
+    // types as containsNull = true, so this pins exactly the exposed
+    // external surface.
+    val errNull = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(CAST(array(1L) AS ARRAY<BIGINT>), " +
+        "CAST(array(1L) AS ARRAY<BIGINT>))").collect()
+    }
+    assert(errNull.getMessage.contains("containsNull"))
+    // and the documented escape hatch analyzes: array_compact narrows
+    // the element type back to non-null
+    assert(spark.sql("SELECT sorted_intersect_count(" +
+      "array_compact(CAST(array(1L,2L) AS ARRAY<BIGINT>)), " +
+      "array_compact(CAST(array(2L,5L) AS ARRAY<BIGINT>)))").head.getInt(0) === 1)
   }
 }

@@ -164,4 +164,24 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(got === brute(raw, 600))
     assert(got === Set((1L, 2L, 600L), (3L, 4L, 1000L)))
   }
+
+  test("nullable-element arrays analyze and compute: enforcement compacts " +
+      "nulls away (r18: sorted_intersect_count rejects containsNull types)") {
+    // a containsNull=true column (Option-encoded) must not fail analysis
+    // at the verify step — the entry pass drops null slots (null is not
+    // an element hash) and narrows the type before sorting/deduping
+    val raw = Seq(
+      (1L, Seq[Option[Long]](Some(4L), None, Some(1L), Some(3L), Some(2L))),
+      (2L, Seq[Option[Long]](Some(5L), Some(4L), None, None, Some(3L), Some(2L))),
+      (3L, Seq[Option[Long]](Some(7L), Some(8L))),
+      (4L, Seq[Option[Long]](None, Some(8L), Some(7L))))
+    val df = raw.toDF("id", "sh")
+    assert(df.schema("sh").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val got = PrefixFilterOps.jaccardSelfJoin(df, "id", "sh", 3, 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val asSets = raw.map { case (id, s) => id -> s.flatten }
+    assert(got === brute(asSets, 600))
+    assert(got === Set((1L, 2L, 600L), (3L, 4L, 1000L)))
+  }
 }

@@ -26,6 +26,14 @@ object EntryStageProbe {
       // generated-class cache a probe of 1-2 entries never evicts, but the
       // conf must match so probe and bench sessions stay comparable
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // mirror the bench session (r18): Tungsten page size pinned to the
+      // canonical 8 GB-heap value so probe cpu/peak_mem compare 1:1
+      // against bench_details.json whatever heap the probe JVM runs
+      // under. SPARK_GRAFT_PAGE_SIZE overrides for geometry-dose
+      // experiments (an explicit .config beats a -D system property, so
+      // the env knob is the only way to unpin).
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "8m"))
       .appName("entry-stage-probe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -74,8 +74,10 @@ Usage: python3 tools/adjudicate_bench.py COMMITTED.json CANDIDATE.json
        (either arg may be "git:REF" to read bench_details.json from a git
         revision, e.g. git:HEAD or git:920e879)
 Exit status: number of verdicts in {STRUCTURE, REOPEN, FRAGILE, BIMODAL,
-FAILED, MISSING} (0 = all clear). FRAGILE-OK / BIMODAL-OK / HEAP-OK / WALL /
-MEM / BUILD / NEW / FLOOR-UNCHECKED print but do not count."""
+HEAP, FAILED, MISSING} (0 = all clear; HEAP is the counters-ABSENT arm of
+the heap-sensitive rule — HEAP-OK, the counters-checked arm, does not
+count). FRAGILE-OK / BIMODAL-OK / HEAP-OK / WALL / MEM / BUILD / NEW /
+FLOOR-UNCHECKED print but do not count."""
 
 import json
 import subprocess
@@ -167,7 +169,8 @@ def ratio(a, b):
     return a / b if b and b > 0 else float("inf") if a and a > 0 else 1.0
 
 
-def adjudicate(name, base, cand, calib_r=None, wall_r=None, mem_r=None):
+def adjudicate(name, base, cand, calib_r=None, wall_r=None, mem_r=None,
+               mem_sums=None):
     def has(d, k):
         return isinstance(d.get(k), (int, float)) and d[k] >= 0
 
@@ -279,8 +282,22 @@ def adjudicate(name, base, cand, calib_r=None, wall_r=None, mem_r=None):
     # candidate-BIGGER geometry only: a candidate on a SMALLER heap than
     # the committed baseline cannot blame the big-heap mechanism for a
     # slow entry (the mechanism runs the other way), so only mem_r >= 2
-    # arms the advisory — the inverse direction keeps the normal bands
-    geometry_tell = mem_r is not None and mem_r >= MEM_COMMON_MODE_LOUD
+    # arms the advisory — the inverse direction keeps the normal bands.
+    # The tell is computed LEAVE-ONE-OUT (the adjudicated entry's own
+    # peak_mem excluded from both tier sums): in a tier where a
+    # heap-sensitive entry dominates the peak_mem sum, an entry-SPECIFIC
+    # memory blowup could otherwise self-arm its own cpu advisory ceiling
+    # and downgrade a genuine REOPEN to HEAP-OK (r17 advice). Falls back
+    # to the plain tier ratio when the leave-one-out sums degenerate
+    # (entry absent from the normalizer, or a single-entry tier).
+    loo_mem_r = mem_r
+    if mem_sums is not None:
+        msum_b, msum_c = mem_sums
+        lb = msum_b - (bm if isinstance(bm, (int, float)) and bm > 0 else 0)
+        lc = msum_c - (cm if isinstance(cm, (int, float)) and cm > 0 else 0)
+        if lb > 0 and lc > 0:
+            loo_mem_r = lc / lb
+    geometry_tell = loo_mem_r is not None and loo_mem_r >= MEM_COMMON_MODE_LOUD
     if name in HEAP_SENSITIVE and geometry_tell and r < HEAP_SENSITIVE[name]:
         return ("HEAP-OK" if counters else "HEAP",
                 cpus(" advisory (measured large-heap allocation-geometry "
@@ -384,7 +401,8 @@ def main():
                 print(f"  MISSING       {name}")
                 bad += 1
                 continue
-            verdict, why = adjudicate(name, b, c, calib_r, wall_r, mem_r)
+            verdict, why = adjudicate(name, b, c, calib_r, wall_r, mem_r,
+                                      mem_sums=(msum_b, msum_c))
             if verdict in ("STRUCTURE", "REOPEN", "FRAGILE", "BIMODAL", "HEAP", "FAILED"):
                 bad += 1
             if verdict == "FLOOR-UNCHECKED":
