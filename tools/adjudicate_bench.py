@@ -120,6 +120,12 @@ JIT_BIMODAL = set()
 # (sorted-merge kernel) -> 226.7/30.5 = 7.4, rounded up for the lower
 # base. Past ~244 absolute cpu_s the excursion exceeds everything ever
 # observed under the mechanism and must be re-examined.
+# r18: Bench PINS spark.buffer.pageSize=8m (the heap-derived page size
+# WAS the mechanism — BUILD_NOTES r18 dose tables), so r18+ artifact
+# pairs should show NO geometry tell and this rule should never arm on
+# them; it remains for adjudicating pre-r18 artifacts, where the tell is
+# real. A tell on an r18+ pair means the candidate ran a DIFFERENT TREE
+# (pin absent) and deserves exactly the scrutiny the normal bands give.
 HEAP_SENSITIVE = {"d22_prefix_filter_join": 8.0}
 
 SHUFFLE_STRUCTURE_RATIO = 1.5
