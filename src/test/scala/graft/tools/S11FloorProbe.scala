@@ -29,6 +29,10 @@ object S11FloorProbe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_FBT", "131072"))
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // mirror the bench session's r18 geometry pin (see Bench.scala) so
+      // probe timings compare 1:1 whatever heap the probe JVM got
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "8m"))
       .appName("s11-floor-probe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -57,6 +57,10 @@ object ZipfD22Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // mirror the bench session's r18 geometry pin (see Bench.scala) so
+      // probe timings compare 1:1 whatever heap the probe JVM got
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "8m"))
       .appName("zipf-d22-probe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
