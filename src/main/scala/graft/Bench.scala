@@ -573,30 +573,44 @@ object Bench {
         "q19_anti_join", "q23_explode_tokens", "q38_asof_join",
         "d03_minhash_lsh", "s01_knn_brute", "m03_feature_extract")
       val dfs = panel.map(n => SparkEntry.queries(n)(spark, sfDir))
-      // warm-up: force the one-time analyze+optimize of every plan (and
-      // JIT of the analysis path) out of the timed region
-      dfs.foreach { df =>
-        SQLFlow.datasetGraph(df); SQLFlow.datasetGraph(df, contracted = true)
-      }
-      def rate(contracted: Boolean): Double = {
-        // best of three ~0.3 s windows: a 5-rep window swung 2× on one GC
-        // pause, and even a 50-rep single window moved ±30% under
-        // container CPU contention — the max window is the least-
-        // contended one, the same reason query times take min-of-N
-        def window(): Double = {
-          val reps = 50
-          System.gc()
-          val t0 = System.nanoTime()
-          var i = 0
-          while (i < reps) {
-            dfs.foreach(df => SQLFlow.datasetGraph(df, contracted = contracted))
-            i += 1
-          }
-          reps * dfs.size / ((System.nanoTime() - t0) / 1e9)
+      // warm-up: force the one-time analyze+optimize of every plan out of
+      // the timed region, and give C2 real iteration counts on the
+      // analysis path — one rep was enough for a FRESH JVM but not for
+      // this point of a full run, where the inventory's thousands of
+      // Janino classes have churned the code cache and the lineage path
+      // may be recompiling as the first windows tick (r19)
+      var warm = 0
+      while (warm < 3) {
+        dfs.foreach { df =>
+          SQLFlow.datasetGraph(df); SQLFlow.datasetGraph(df, contracted = true)
         }
-        Seq.fill(3)(window()).max
+        warm += 1
       }
-      Seq("plain" -> rate(contracted = false), "contracted" -> rate(contracted = true))
+      // best of three ~0.3 s windows per mode: a 5-rep window swung 2× on
+      // one GC pause, and even a 50-rep single window moved ±30% under
+      // container CPU contention — the max window is the least-contended
+      // one, the same reason query times take min-of-N. Windows for the
+      // two modes INTERLEAVE (plain, contracted, plain, …): the r18
+      // protocol timed all plain windows first, so anything transient at
+      // the section start — post-inventory C2 recompilation, a contention
+      // burst — landed on plain ALONE, which is exactly the asymmetric
+      // fingerprint the r18 driver printed (plain 0.39× of committed,
+      // contracted 0.77×, no verdict row; r18 verdict item 2).
+      // Interleaved, a section-start transient hits both modes' first
+      // window and the max-of-3 discards it for both.
+      def window(contracted: Boolean): Double = {
+        val reps = 50
+        System.gc()
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) {
+          dfs.foreach(df => SQLFlow.datasetGraph(df, contracted = contracted))
+          i += 1
+        }
+        reps * dfs.size / ((System.nanoTime() - t0) / 1e9)
+      }
+      val samples = Seq.fill(3)((window(contracted = false), window(contracted = true)))
+      Seq("plain" -> samples.map(_._1).max, "contracted" -> samples.map(_._2).max)
     }
     calibSamples += calibSpin()
     val calibCpu = calibSamples.sorted.apply(calibSamples.size / 2)

@@ -71,14 +71,21 @@ object PrefixFilterOps {
     * whose 1000·num/den is integral (e.g. 3/5 → 600).
     *
     * `assumeDistinct = true` lets a trusted caller whose arrays are
-    * ASCENDING-SORTED DISTINCT BY CONSTRUCTION (d22's shingle hashes:
-    * sorted + deduped inside the expression — ShingleOps.shingleHashes)
-    * skip the enforcement pass AND its full-corpus materialization (the
-    * entry localCheckpoint exists only to amortize the normalization
-    * across the three consuming subtrees; with no normalization pass the
-    * subtrees read the caller's — typically already cached — table
-    * directly). External callers keep the default enforcement, which now
-    * SORTS as well as dedupes: since r17 the verification step counts
+    * ASCENDING-SORTED DISTINCT **AND NULL-FREE** BY CONSTRUCTION (d22's
+    * shingle hashes: sorted + deduped inside the expression —
+    * ShingleOps.shingleHashes) skip the enforcement pass AND its
+    * full-corpus materialization (the entry localCheckpoint exists only
+    * to amortize the normalization across the three consuming subtrees;
+    * with no normalization pass the subtrees read the caller's —
+    * typically already cached — table directly). Null-free is part of
+    * the same trust contract as sortedness: a null is not an element
+    * hash, and the sorted-merge verify reads primitive slots. A trusted
+    * input whose SCHEMA merely says `containsNull = true` (e.g.
+    * Option-encoded) is narrowed zero-cost (`known_elements_not_null` —
+    * no scan, no copy) so it still analyzes against the verify kernel's
+    * r18 containsNull rejection (r18 advice). External callers keep the
+    * default enforcement, which now SORTS as well as dedupes AND
+    * compacts nulls away: since r17 the verification step counts
     * intersections with the zero-allocation sorted-merge kernel
     * ([[org.apache.spark.sql.graft.SortedIntersectOps]]), which needs
     * order the way the old `array_intersect` needed distinctness — an
@@ -99,8 +106,20 @@ object PrefixFilterOps {
     // re-runs the full-corpus array_distinct pass per consumer, on the
     // operator's measured dominant path (the verify join)
     val distinctSets =
-      if (assumeDistinct) sets.select(col(idCol).as("id"), col(setCol).as("hs_set"))
-      else {
+      if (assumeDistinct) {
+        // a trusted caller promises sorted-distinct NULL-FREE arrays; when
+        // the column's SCHEMA still says containsNull = true (Option
+        // encoding), narrow it schema-only — zero cost, unlike the
+        // untrusted branch's array_compact scan — so the sorted-merge
+        // verify's containsNull rejection doesn't fail a valid trusted
+        // input at analysis (r18 advice)
+        val trusted = sets.schema(setCol).dataType match {
+          case org.apache.spark.sql.types.ArrayType(_, true) =>
+            org.apache.spark.sql.graft.functions.known_elements_not_null(col(setCol))
+          case _ => col(setCol)
+        }
+        sets.select(col(idCol).as("id"), trusted.as("hs_set"))
+      } else {
         // a nullable-element input additionally passes through
         // array_compact: null is not an element hash (SET semantics), and
         // sorted_intersect_count REJECTS containsNull arrays at analysis

@@ -1183,6 +1183,40 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Schema-only narrowing of an array column to `containsNull = false` —
+  * the array-element analogue of Catalyst's `KnownNotNull`: eval and
+  * codegen are the identity (zero cost, no copy, no per-row scan), only
+  * `dataType` changes. A plain `cast` cannot do this (Catalyst's
+  * resolvable-nullability rule rejects nullable → non-null), and
+  * `array_compact` — the untrusted-caller path — pays a runtime scan per
+  * row to prove what a TRUSTED caller already knows by construction.
+  *
+  * This is an ASSERTION with the same trust contract as
+  * `assumeDistinct`-style preconditions: the caller guarantees no element
+  * IS null at runtime; on a false promise downstream consumers that read
+  * primitive slots (e.g. [[SortedIntersectOps]]) see garbage, exactly as
+  * they would for a false sortedness promise. Motivating case (r18
+  * advice): an Option-encoded but null-free-by-construction input to
+  * `PrefixFilterOps.jaccardSelfJoin(assumeDistinct = true)` carries
+  * `containsNull = true` in its SCHEMA only, and r18's containsNull
+  * rejection in `sorted_intersect_count` would otherwise fail it at
+  * analysis where it computed correctly before. */
+case class KnownElementsNotNull(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType.isInstanceOf[ArrayType],
+      "an ARRAY column", child.dataType)
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(et, _) => ArrayType(et, containsNull = false)
+    case dt => dt
+  }
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "known_elements_not_null"
+}
+
 /** Symmetric int8 SCALAR QUANTIZATION of float vectors — the 4× memory
   * lever every large ANN deployment pulls first (FAISS SQ8, Lucene/HNSW
   * int8): per-dimension scale s_d (the max |x_d| over a training sample),
@@ -1613,6 +1647,12 @@ object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Zero-cost schema narrowing to `containsNull = false` for a TRUSTED
+    * null-free array column (see [[KnownElementsNotNull]] — a false
+    * promise yields garbage downstream, like a false sortedness promise). */
+  def known_elements_not_null(a: Column): Column =
+    ExpressionUtils.column(KnownElementsNotNull(ExpressionUtils.expression(a)))
 
   def pq_encode(c: Column, codebook: Array[Float], m: Int, k: Int): Column =
     ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c), codebook, m, k))

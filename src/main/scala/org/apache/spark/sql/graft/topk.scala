@@ -182,20 +182,30 @@ case class TopKStruct(
   override def prettyName: String = "top_k_struct"
 }
 
-/** Flat-primitive buffer for [[TopKPair]]: the k smallest (neg_score, id)
-  * pairs held SORTED ascending in two parallel primitive arrays. The whole
-  * per-group state is one object + two k-element arrays (~3 heap objects,
-  * contiguous), versus [[TopKStruct]]'s PriorityQueue of per-row UnsafeRows
-  * (~2-3 objects + a byte[] PER KEPT ROW, all pointer-chased on every
-  * probe). On the kNN-graph tier the aggregation hash map holds tens of
-  * thousands of group buffers probed in hash-random order, so buffer
-  * footprint IS the cache working set — the r13-r15 measured CPI fragility
-  * of s11 under cache contention (BUILD_NOTES r13/r14 dose-response) is a
-  * direct function of how many lines each probe touches. */
-private[graft] final class PairTopK(val k: Int) {
-  val scores: Array[Double] = new Array[Double](k)
-  val ids: Array[Long] = new Array[Long](k)
-  var n: Int = 0
+/** [[TopKPair]]'s per-group state is ONE `Array[Long]` — the k smallest
+  * (neg_score, id) pairs held sorted ascending, INTERLEAVED:
+  *
+  *   a(0) = n;   slot j:  a(1+2j) = raw score bits,  a(2+2j) = id
+  *
+  * r19 packing (the r16 design held the pairs in a wrapper object + two
+  * parallel primitive arrays — 3 separately-allocated heap objects per
+  * group): on the kNN-graph tier the partial ObjectHashAggregate holds
+  * ~20k group buffers per task probed in HASH-RANDOM order, so per-group
+  * footprint and pointer-chase depth ARE the cache working set — the
+  * r13-r16 measured CPI fragility of s11 under cache contention. One
+  * array removes two dereferences per probe and puts the whole state in
+  * one contiguous allocation (k=5 → 88 B + header ≈ 2 cache lines, vs
+  * ~150 B across three scattered objects); interleaving makes the
+  * reject fast path — compare against slot n−1 only, the fate of ~all
+  * candidate rows once the heap is warm — touch ONE adjacent (score, id)
+  * pair instead of one line in each of two arrays. Scores are stored as
+  * RAW bits (`doubleToRawLongBits`, NaN payloads preserved), so the
+  * round-trip is bit-identical to the previous Array[Double] state and
+  * the ordering semantics (compareDoubles on the VALUE) are unchanged.
+  * Versus [[TopKStruct]]'s PriorityQueue of per-row UnsafeRows (~2-3
+  * objects + a byte[] PER KEPT ROW) this remains the flat kernel. */
+private[graft] object PairTopK {
+  def alloc(k: Int): Array[Long] = new Array[Long](1 + 2 * k)
 }
 
 /** Bounded top-k aggregate SPECIALIZED to the ubiquitous (score DESC, id
@@ -212,7 +222,7 @@ private[graft] final class PairTopK(val k: Int) {
   *     interface dispatch);
   *   - the partial-aggregation state serialized across the exchange is
   *     4 + 16·n bytes (vs length-prefixed UnsafeRows);
-  *   - insertion keeps the arrays sorted (k is small — single-digit — so
+  *   - insertion keeps the slots sorted (k is small — single-digit — so
   *     a linear scan + arraycopy shift beats any heap), which makes both
   *     the reject-fast-path (compare against slot n-1 only) and eval
   *     (already sorted) trivial.
@@ -240,7 +250,7 @@ case class TopKPair(
     distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[PairTopK] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
   require(k > 0, "k must be positive")
 
@@ -263,7 +273,7 @@ case class TopKPair(
     StructField("neighbor_id", LongType, nullable = false)))
   override def dataType: DataType = ArrayType(structType, containsNull = false)
 
-  override def createAggregationBuffer(): PairTopK = new PairTopK(k)
+  override def createAggregationBuffer(): Array[Long] = PairTopK.alloc(k)
 
   /** The exact double ordering RowOrdering uses for DoubleType
     * (SQLOrderingUtil.compareDoubles: `==` first — so 0.0 equals -0.0 —
@@ -276,24 +286,36 @@ case class TopKPair(
     if (c != 0) c else java.lang.Long.compare(i1, i2)
   }
 
-  private def insert(buf: PairTopK, s: Double, i: Long): Unit = {
-    if (buf.n == k && cmp(s, i, buf.scores(k - 1), buf.ids(k - 1)) >= 0) return
+  /** Interleaved-slot accessors over the packed buffer (see [[PairTopK]]):
+    * slot j's score bits at 1+2j, id at 2+2j, n at 0. */
+  @inline private def slotScore(buf: Array[Long], j: Int): Double =
+    java.lang.Double.longBitsToDouble(buf(1 + 2 * j))
+  @inline private def slotId(buf: Array[Long], j: Int): Long = buf(2 + 2 * j)
+
+  private def insert(buf: Array[Long], s: Double, i: Long): Unit = {
+    val n = buf(0).toInt
+    // reject fast path — the fate of ~all candidate rows once the heap is
+    // warm: one comparison against the adjacent (score, id) pair of the
+    // LAST kept slot, the interleaving's whole point
+    if (n == k && cmp(s, i, slotScore(buf, k - 1), slotId(buf, k - 1)) >= 0) return
     if (distinct) {
       var j = 0
-      while (j < buf.n) {
-        if (cmp(s, i, buf.scores(j), buf.ids(j)) == 0) return
+      while (j < n) {
+        if (cmp(s, i, slotScore(buf, j), slotId(buf, j)) == 0) return
         j += 1
       }
     }
-    var j = buf.n - 1
-    while (j >= 0 && cmp(buf.scores(j), buf.ids(j), s, i) > 0) j -= 1
+    var j = n - 1
+    while (j >= 0 && cmp(slotScore(buf, j), slotId(buf, j), s, i) > 0) j -= 1
     val pos = j + 1
-    val last = if (buf.n == k) k - 1 else buf.n
-    System.arraycopy(buf.scores, pos, buf.scores, pos + 1, last - pos)
-    System.arraycopy(buf.ids, pos, buf.ids, pos + 1, last - pos)
-    buf.scores(pos) = s
-    buf.ids(pos) = i
-    if (buf.n < k) buf.n += 1
+    // slots [pos, last) shift one slot right in a single overlapping
+    // arraycopy (interleaving keeps each slot's pair adjacent, so the
+    // shifted region is contiguous); the old last slot falls off when full
+    val last = if (n == k) k - 1 else n
+    System.arraycopy(buf, 1 + 2 * pos, buf, 1 + 2 * (pos + 1), 2 * (last - pos))
+    buf(1 + 2 * pos) = java.lang.Double.doubleToRawLongBits(s)
+    buf(2 + 2 * pos) = i
+    if (n < k) buf(0) = n + 1
   }
 
   /** Boxing-free update fast path. After the planner binds this function,
@@ -328,7 +350,7 @@ case class TopKPair(
     case _ => -1
   }
 
-  override def update(buf: PairTopK, input: InternalRow): PairTopK = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     if (scoreMode != 0 && idOrdinal >= 0) {
       if (!input.isNullAt(scoreOrdinal) && !input.isNullAt(idOrdinal)) {
         val s0 = input.getDouble(scoreOrdinal)
@@ -346,45 +368,52 @@ case class TopKPair(
     buf
   }
 
-  override def merge(buf: PairTopK, other: PairTopK): PairTopK = {
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    val m = other(0).toInt
     var j = 0
-    while (j < other.n) {
-      insert(buf, other.scores(j), other.ids(j))
+    while (j < m) {
+      insert(buf, slotScore(other, j), slotId(other, j))
       j += 1
     }
     buf
   }
 
-  override def eval(buf: PairTopK): Any = {
-    val out = new Array[Any](buf.n)
+  override def eval(buf: Array[Long]): Any = {
+    val n = buf(0).toInt
+    val out = new Array[Any](n)
     var j = 0
-    while (j < buf.n) {
-      out(j) = InternalRow(buf.scores(j), buf.ids(j))
+    while (j < n) {
+      out(j) = InternalRow(slotScore(buf, j), slotId(buf, j))
       j += 1
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: PairTopK): Array[Byte] = {
-    val bytes = new Array[Byte](4 + 16 * buf.n)
+  /** Wire format unchanged from r16 (4 + 16·n bytes, scores then ids) —
+    * the partial-state-per-exchange-row claim the scale story rests on.
+    * Score bytes are the RAW bit pattern (putLong of the stored bits), so
+    * serialize∘deserialize is bit-identical even on noncanonical NaNs. */
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val n = buf(0).toInt
+    val bytes = new Array[Byte](4 + 16 * n)
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    bb.putInt(buf.n)
+    bb.putInt(n)
     var j = 0
-    while (j < buf.n) { bb.putDouble(buf.scores(j)); j += 1 }
+    while (j < n) { bb.putLong(buf(1 + 2 * j)); j += 1 }
     j = 0
-    while (j < buf.n) { bb.putLong(buf.ids(j)); j += 1 }
+    while (j < n) { bb.putLong(buf(2 + 2 * j)); j += 1 }
     bytes
   }
 
-  override def deserialize(bytes: Array[Byte]): PairTopK = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val buf = new PairTopK(k)
+    val buf = PairTopK.alloc(k)
     val n = bb.getInt()
+    buf(0) = n
     var j = 0
-    while (j < n) { buf.scores(j) = bb.getDouble(); j += 1 }
+    while (j < n) { buf(1 + 2 * j) = bb.getLong(); j += 1 }
     j = 0
-    while (j < n) { buf.ids(j) = bb.getLong(); j += 1 }
-    buf.n = n
+    while (j < n) { buf(2 + 2 * j) = bb.getLong(); j += 1 }
     buf
   }
 

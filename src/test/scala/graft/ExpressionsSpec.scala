@@ -761,4 +761,35 @@ class ExpressionsSpec extends AnyFunSuite {
       "array_compact(CAST(array(1L,2L) AS ARRAY<BIGINT>)), " +
       "array_compact(CAST(array(2L,5L) AS ARRAY<BIGINT>)))").head.getInt(0) === 1)
   }
+
+  test("known_elements_not_null: zero-cost schema narrowing for trusted " +
+      "null-free arrays (r18 advice — the assumeDistinct contract's escape)") {
+    import org.apache.spark.sql.graft.functions.{known_elements_not_null, sorted_intersect_count}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // Option-encoded input: SCHEMA says containsNull=true, values are
+    // null-free (the trusted-caller shape)
+    val df = Seq(
+      (Seq[Option[Long]](Some(1L), Some(2L), Some(3L)),
+        Seq[Option[Long]](Some(2L), Some(3L), Some(9L)))).toDF("a", "b")
+    assert(df.schema("a").dataType.asInstanceOf[ArrayType].containsNull)
+    val narrowed = df.select(known_elements_not_null($"a").as("a"),
+      known_elements_not_null($"b").as("b"))
+    // the TYPE narrows; the VALUES pass through identically (codegen path)
+    assert(!narrowed.schema("a").dataType.asInstanceOf[ArrayType].containsNull)
+    assert(narrowed.select($"a").head.getSeq[Long](0) === Seq(1L, 2L, 3L))
+    // and the narrowed column analyzes against the r18 containsNull
+    // rejection where the raw column would not
+    assert(narrowed.select(sorted_intersect_count($"a", $"b")).head.getInt(0) === 2)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(sorted_intersect_count($"a", $"b")).collect()
+    }
+    // a NULL top-level array stays null (UnaryExpression null-in-null-out)
+    val nullArr = lit(null).cast(ArrayType(LongType, containsNull = true))
+    assert(df.select(known_elements_not_null(nullArr)).head.isNullAt(0))
+    // non-array input fails analysis
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(known_elements_not_null(lit(1L))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
 }

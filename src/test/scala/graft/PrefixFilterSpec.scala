@@ -184,4 +184,27 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(got === brute(asSets, 600))
     assert(got === Set((1L, 2L, 600L), (3L, 4L, 1000L)))
   }
+
+  test("assumeDistinct=true with a containsNull=true SCHEMA on null-free " +
+      "sorted-distinct arrays analyzes and computes (r18 advice: the trusted " +
+      "branch narrows schema-only nullability zero-cost)") {
+    // Option-encoded but null-free by construction: the r18 containsNull
+    // rejection in sorted_intersect_count must not fail a TRUSTED caller
+    // whose arrays satisfy the contract — only the SCHEMA says nullable.
+    // The trusted branch must not pay array_compact's per-row scan either:
+    // it applies known_elements_not_null (identity eval, narrowed type).
+    val raw = Seq(
+      (1L, Seq[Option[Long]](Some(1L), Some(2L), Some(3L), Some(4L))),
+      (2L, Seq[Option[Long]](Some(2L), Some(3L), Some(4L), Some(5L))),
+      (3L, Seq[Option[Long]](Some(7L), Some(8L))),
+      (4L, Seq[Option[Long]](Some(7L), Some(8L))))
+    val df = raw.toDF("id", "sh")
+    assert(df.schema("sh").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val got = PrefixFilterOps.jaccardSelfJoin(df, "id", "sh", 3, 5,
+        assumeDistinct = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute(raw.map { case (id, s) => id -> s.flatten }, 600))
+    assert(got === Set((1L, 2L, 600L), (3L, 4L, 1000L)))
+  }
 }

@@ -70,14 +70,36 @@ under min-of-passes) — EXCEPT when the build cpu ratio itself is extreme
 hide in the quiet set; zpanel_build is timed once per run, so it is
 adjudicated like any entry (its rows:-1 sentinel compares by equality).
 
+  7. lineage_plans_per_sec (plain + contracted): the product's OWN
+     driver-side analysis loop — the one metric that had no verdict row
+     until r19, when the r18 driver's plain-mode 1221 plans/s (0.39x of
+     committed, below the 2503-3863 six-run same-tree band) sailed
+     through unexamined. Rate ratio r = cand/base per mode, normalized by
+     MULTIPLYING by calib_r (a hot candidate window depresses the rate,
+     so crediting the common-mode hotness back means r * calib_r — the
+     inverse of the cpu rule's division). Normalized < 0.45x ->
+     LINEAGE-REOPEN (counts toward exit); < 0.65x -> LINEAGE-SLOW
+     advisory; > 2.2x -> LINEAGE-FAST advisory (a different-machine /
+     different-protocol tell, never counts). Band width: same-tree
+     same-machine history spans 0.65x-1.54x across the r16-r18 six-run
+     windows (the max-of-3-windows estimator is JIT- and
+     contention-mode-sensitive); r19 also changed Bench's measurement to
+     INTERLEAVE the plain/contracted windows (the r18 protocol timed all
+     plain windows first, so any section-start transient — post-inventory
+     C2 recompilation, a contention burst — landed on plain alone, which
+     is exactly the asymmetric 0.39x/0.77x fingerprint the r18 driver
+     printed), so protocol-matched r19+ pairs should sit well inside the
+     band.
+
 Usage: python3 tools/adjudicate_bench.py COMMITTED.json CANDIDATE.json
        (either arg may be "git:REF" to read bench_details.json from a git
         revision, e.g. git:HEAD or git:920e879)
 Exit status: number of verdicts in {STRUCTURE, REOPEN, FRAGILE, BIMODAL,
-HEAP, FAILED, MISSING} (0 = all clear; HEAP is the counters-ABSENT arm of
-the heap-sensitive rule — HEAP-OK, the counters-checked arm, does not
-count). FRAGILE-OK / BIMODAL-OK / HEAP-OK / WALL / MEM / BUILD / NEW /
-FLOOR-UNCHECKED print but do not count."""
+HEAP, FAILED, MISSING, LINEAGE-REOPEN} (0 = all clear; HEAP is the
+counters-ABSENT arm of the heap-sensitive rule — HEAP-OK, the
+counters-checked arm, does not count). FRAGILE-OK / BIMODAL-OK / HEAP-OK /
+WALL / MEM / BUILD / NEW / FLOOR-UNCHECKED / LINEAGE-SLOW / LINEAGE-FAST
+print but do not count."""
 
 import json
 import subprocess
@@ -161,6 +183,10 @@ MEM_COMMON_MODE_LOUD = 2.0
 # exclude them from the common-mode normalizers exactly as they are
 # exempt from the per-entry rules (r16 advice)
 BUILD_LINES = ("shared_build", "dshared_build")
+# lineage throughput bands (docstring rule 7): rate ratios, LOWER = slower
+LINEAGE_REOPEN_RATIO = 0.45
+LINEAGE_SLOW_RATIO = 0.65
+LINEAGE_FAST_RATIO = 2.2
 
 
 def load(arg):
@@ -299,10 +325,17 @@ def adjudicate(name, base, cand, calib_r=None, wall_r=None, mem_r=None,
     loo_mem_r = mem_r
     if mem_sums is not None:
         msum_b, msum_c = mem_sums
-        lb = msum_b - (bm if isinstance(bm, (int, float)) and bm > 0 else 0)
-        lc = msum_c - (cm if isinstance(cm, (int, float)) and cm > 0 else 0)
-        if lb > 0 and lc > 0:
-            loo_mem_r = lc / lb
+        # subtract ONLY when the entry was accumulated into the sums in the
+        # first place — accumulation required peak_mem > 0 on BOTH sides, so
+        # the subtraction must be paired too: an entry with peak_mem on one
+        # side only would otherwise be subtracted from a sum that never
+        # included it, skewing loo_mem_r (r18 advice)
+        paired = (isinstance(bm, (int, float)) and bm > 0
+                  and isinstance(cm, (int, float)) and cm > 0)
+        if paired:
+            lb, lc = msum_b - bm, msum_c - cm
+            if lb > 0 and lc > 0:
+                loo_mem_r = lc / lb
     geometry_tell = loo_mem_r is not None and loo_mem_r >= MEM_COMMON_MODE_LOUD
     if name in HEAP_SENSITIVE and geometry_tell and r < HEAP_SENSITIVE[name]:
         return ("HEAP-OK" if counters else "HEAP",
@@ -422,6 +455,42 @@ def main():
         # (r14 advice, low)
         for name in sorted(set(cand_all.get(tier, {})) - set(base_all.get(tier, {}))):
             print(f"  NEW           {name}: absent from committed baseline")
+    # rule 7: lineage-engine throughput — the product's own analysis loop
+    # gets the same committed-vs-candidate treatment as the query entries
+    # (r18 verdict item 2: a 0.39x driver sample had no verdict row)
+    def lineage_rates(d):
+        v = d.get("lineage_plans_per_sec")
+        return v if isinstance(v, dict) else {}
+    bl, cl = lineage_rates(base_all), lineage_rates(cand_all)
+    for mode in sorted(set(bl) | set(cl)):
+        b, c = bl.get(mode), cl.get(mode)
+        if not (isinstance(b, (int, float)) and b > 0
+                and isinstance(c, (int, float)) and c > 0):
+            print(f"[lineage {mode}] present on one side only "
+                  f"(committed {b}, candidate {c}) — inspect manually")
+            continue
+        r = c / b
+        # a hot candidate window DEPRESSES a rate, so the common-mode
+        # credit multiplies (inverse of the cpu rule's division)
+        rn = r * calib_r if calib_r else r
+        desc = (f"[lineage {mode}] committed {b:.0f} candidate {c:.0f} "
+                f"plans/s ({r:.2f}x raw"
+                + (f", {rn:.2f}x calib-normalized" if calib_r else "") + ")")
+        if rn < LINEAGE_REOPEN_RATIO:
+            bad += 1
+            print(desc + f" < {LINEAGE_REOPEN_RATIO}x — LINEAGE-REOPEN: the "
+                  "product's own analysis loop regressed past the band; "
+                  "probe driver-side (graft.tools.LineageRateProbe)")
+        elif rn < LINEAGE_SLOW_RATIO:
+            print(desc + f" < {LINEAGE_SLOW_RATIO}x — LINEAGE-SLOW advisory "
+                  "(inside the multimodal estimator band; compare the other "
+                  "mode's ratio — asymmetry means a section-start transient "
+                  "under the pre-r19 sequential protocol)")
+        elif rn > LINEAGE_FAST_RATIO:
+            print(desc + f" > {LINEAGE_FAST_RATIO}x — LINEAGE-FAST advisory "
+                  "(different machine or measurement protocol)")
+        else:
+            print(desc)
     for tot in ("total_cpu_s", "heavy_total_cpu_s"):
         if tot in base_all and tot in cand_all:
             print(f"[{tot}] committed {base_all[tot]} candidate {cand_all[tot]} "
