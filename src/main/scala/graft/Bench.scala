@@ -586,18 +586,24 @@ object Bench {
         }
         warm += 1
       }
-      // best of three ~0.3 s windows per mode: a 5-rep window swung 2× on
-      // one GC pause, and even a 50-rep single window moved ±30% under
-      // container CPU contention — the max window is the least-contended
-      // one, the same reason query times take min-of-N. Windows for the
-      // two modes INTERLEAVE (plain, contracted, plain, …): the r18
+      // median-of-top-3 over five ~0.3 s windows per mode: a 5-rep window
+      // swung 2× on one GC pause, and even a 50-rep single window moved
+      // ±30% under container CPU contention — so the estimator reports
+      // the least-contended windows, the same reason query times take
+      // min-of-N. Through r19 this was max-of-3, whose same-tree spread
+      // was the widest band in the artifact (plain 1905-3720 plans/s
+      // across six runs, 0.51×-1.0×): ONE lucky JIT/contention window set
+      // the whole number. Five windows with the median of the best three
+      // keeps discarding the contended tail but stops a single outlier
+      // window from being the estimate (r19 verdict item 2). Windows for
+      // the two modes INTERLEAVE (plain, contracted, plain, …): the r18
       // protocol timed all plain windows first, so anything transient at
       // the section start — post-inventory C2 recompilation, a contention
       // burst — landed on plain ALONE, which is exactly the asymmetric
       // fingerprint the r18 driver printed (plain 0.39× of committed,
       // contracted 0.77×, no verdict row; r18 verdict item 2).
       // Interleaved, a section-start transient hits both modes' first
-      // window and the max-of-3 discards it for both.
+      // window and the top-3 selection discards it for both.
       def window(contracted: Boolean): Double = {
         val reps = 50
         System.gc()
@@ -609,8 +615,10 @@ object Bench {
         }
         reps * dfs.size / ((System.nanoTime() - t0) / 1e9)
       }
-      val samples = Seq.fill(3)((window(contracted = false), window(contracted = true)))
-      Seq("plain" -> samples.map(_._1).max, "contracted" -> samples.map(_._2).max)
+      val samples = Seq.fill(5)((window(contracted = false), window(contracted = true)))
+      def medianOfTop3(xs: Seq[Double]): Double = xs.sorted.takeRight(3).apply(1)
+      Seq("plain" -> medianOfTop3(samples.map(_._1)),
+        "contracted" -> medianOfTop3(samples.map(_._2)))
     }
     calibSamples += calibSpin()
     val calibCpu = calibSamples.sorted.apply(calibSamples.size / 2)

@@ -126,6 +126,32 @@ object S11FloorProbe {
       val full = cpuOf {
         graft.SparkEntry.queries("s11_knn_graph_ivf")(spark, dir).count()
       }
+      // r19 verdict lever (b): pin the top_k_pair aggregate under the
+      // SORT-BASED aggregation paths — sequential group order means each
+      // group's packed buffer stays cache-hot across consecutive updates,
+      // killing the hash-random probe pattern that is s11's measured
+      // CPI-contention mechanism. Two pins, measured in the SAME JVM/rep
+      // as the hash path so JIT mode and contention state are shared:
+      //   fbt128  — ObjectHashAggregateExec's own sort-based fallback at
+      //             the Spark-default 128-group threshold (the r12 path:
+      //             hash the first 128 groups, external-sort the rest);
+      //   sortagg — useObjectHashAggregateExec=false, i.e. a planner-level
+      //             SortAggregateExec with an explicit Sort below it.
+      // Both pay a sort of the ~3e8-row candidate stream to buy the
+      // sequential probe order; the question the r19 verdict asks is
+      // whether that price undercuts the hash path's contention tail.
+      // Conf set/reset around the action: physical planning happens at
+      // execution, so the toggle scopes exactly one run. Results are
+      // strategy-agnostic (the TopKPair sort-based-fallback spec pins it).
+      def pinned(key: String, v: String, restore: String): Double = {
+        spark.conf.set(key, v)
+        try cpuOf { graft.SparkEntry.queries("s11_knn_graph_ivf")(spark, dir).count() }
+        finally spark.conf.set(key, restore)
+      }
+      val fbt = pinned("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "128", sys.env.getOrElse("SPARK_GRAFT_FBT", "131072"))
+      val sortagg = pinned("spark.sql.execution.useObjectHashAggregateExec",
+        "false", "true")
       // verdict candidate (a): sort the candidate stream by group key so
       // the partial aggregate's buffer probes are sequential (each group's
       // buffer stays cache-hot) — measures whether the sort's own cost
@@ -144,7 +170,8 @@ object S11FloorProbe {
           .select(col("query_id"), posexplode(col("top"))).count()
       }
       println(f"== rep $rep: score_only cpu_s $so%.1f, explode_sum cpu_s $ex%.1f, " +
-        f"full_s11 cpu_s $full%.1f, sorted_topk cpu_s $sorted%.1f ==")
+        f"full_s11 cpu_s $full%.1f, sorted_topk cpu_s $sorted%.1f, " +
+        f"fbt128 cpu_s $fbt%.1f, sortagg cpu_s $sortagg%.1f ==")
     }
     spark.stop()
   }

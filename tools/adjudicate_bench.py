@@ -77,10 +77,16 @@ adjudicated like any entry (its rows:-1 sentinel compares by equality).
      through unexamined. Rate ratio r = cand/base per mode, normalized by
      MULTIPLYING by calib_r (a hot candidate window depresses the rate,
      so crediting the common-mode hotness back means r * calib_r — the
-     inverse of the cpu rule's division). Normalized < 0.45x ->
-     LINEAGE-REOPEN (counts toward exit); < 0.65x -> LINEAGE-SLOW
-     advisory; > 2.2x -> LINEAGE-FAST advisory (a different-machine /
-     different-protocol tell, never counts). Band width: same-tree
+     inverse of the cpu rule's division; credit is SKIPPED when calib_r
+     sits outside the CALIB_SANE band, mirroring the cpu rule's
+     suspect-calib warning). Normalized < 0.45x -> LINEAGE-REOPEN
+     (counts toward exit); raw < 0.33x -> LINEAGE-REOPEN regardless of
+     credit (the raw-floor backstop, r19 advice); < 0.65x ->
+     LINEAGE-SLOW advisory; > 2.2x -> LINEAGE-FAST advisory (a
+     different-machine / different-protocol tell, never counts). A mode
+     the committed artifact carried that the candidate omits counts
+     toward exit like a MISSING entry; a candidate-only mode prints as a
+     NEW-style advisory (r19 advice). Band width: same-tree
      same-machine history spans 0.65x-1.54x across the r16-r18 six-run
      windows (the max-of-3-windows estimator is JIT- and
      contention-mode-sensitive); r19 also changed Bench's measurement to
@@ -187,6 +193,11 @@ BUILD_LINES = ("shared_build", "dshared_build")
 LINEAGE_REOPEN_RATIO = 0.45
 LINEAGE_SLOW_RATIO = 0.65
 LINEAGE_FAST_RATIO = 2.2
+# raw-ratio backstop for rule 7, mirroring CPU_REOPEN_RAW_CAP: a raw rate
+# collapse below this floor REOPENs regardless of calib credit — a skewed
+# calib_r > 1 must never silently lift a genuine regression past the gate
+# (r19 advice, low)
+LINEAGE_REOPEN_RAW_FLOOR = 0.33
 
 
 def load(arg):
@@ -466,17 +477,44 @@ def main():
         b, c = bl.get(mode), cl.get(mode)
         if not (isinstance(b, (int, float)) and b > 0
                 and isinstance(c, (int, float)) and c > 0):
-            print(f"[lineage {mode}] present on one side only "
-                  f"(committed {b}, candidate {c}) — inspect manually")
+            if isinstance(b, (int, float)) and b > 0:
+                # base-present / candidate-absent is a regress-to-absent:
+                # the metric the committed artifact carried vanished, which
+                # must count toward exit exactly like a MISSING query entry
+                # (r19 advice, low)
+                bad += 1
+                print(f"[lineage {mode}] MISSING from candidate "
+                      f"(committed {b:.0f} plans/s) — the tracked metric "
+                      "vanished; counts toward exit")
+            else:
+                # candidate-only mode: inventory growth, NEW-style advisory
+                print(f"[lineage {mode}] NEW in candidate ({c} plans/s, "
+                      "absent from committed) — advisory only")
             continue
         r = c / b
         # a hot candidate window DEPRESSES a rate, so the common-mode
-        # credit multiplies (inverse of the cpu rule's division)
-        rn = r * calib_r if calib_r else r
+        # credit multiplies (inverse of the cpu rule's division). When the
+        # calib ratio itself is outside the sane band the normalization is
+        # SUSPECT (same reasoning as the cpu rule's warning): fall back to
+        # the raw ratio so a skewed calib_r > 1 cannot lift a genuinely
+        # regressed rate past the gate (r19 advice, low)
+        calib_ok = calib_r and CALIB_SANE_LO <= calib_r <= CALIB_SANE_HI
+        rn = r * calib_r if calib_ok else r
         desc = (f"[lineage {mode}] committed {b:.0f} candidate {c:.0f} "
                 f"plans/s ({r:.2f}x raw"
-                + (f", {rn:.2f}x calib-normalized" if calib_r else "") + ")")
-        if rn < LINEAGE_REOPEN_RATIO:
+                + (f", {rn:.2f}x calib-credited" if calib_ok else
+                   (", calib SUSPECT — raw ratio rules" if calib_r else ""))
+                + ")")
+        if r < LINEAGE_REOPEN_RAW_FLOOR:
+            # raw-ratio backstop, mirroring the cpu rule's
+            # CPU_REOPEN_RAW_CAP: no amount of common-mode credit may
+            # absorb a raw collapse past the floor (r19 advice, low)
+            bad += 1
+            print(desc + f" raw < {LINEAGE_REOPEN_RAW_FLOOR}x floor — "
+                  "LINEAGE-REOPEN: raw collapse past what any measured "
+                  "common-mode hotness explains; probe driver-side "
+                  "(graft.tools.LineageRateProbe)")
+        elif rn < LINEAGE_REOPEN_RATIO:
             bad += 1
             print(desc + f" < {LINEAGE_REOPEN_RATIO}x — LINEAGE-REOPEN: the "
                   "product's own analysis loop regressed past the band; "
