@@ -133,7 +133,7 @@ object SparkEntry {
           ('p01_training_mix',    28, 86, 2, 4),
           ('q01_pricing_summary',  5, 28, 2, 6),
           ('q05_local_supplier',  29, 94, 7, 3),
-          ('q07_window_topk',      7, 27, 2, 4),
+          ('q07_window_topk',      7, 23, 2, 13),
           ('q10_cube',             5, 13, 2, 3),
           ('q12_union_all',        6,  8, 3, 2),
           ('q16_scalar_subquery',  6, 15, 2, 3),

@@ -98,12 +98,39 @@ object CoreQueries {
     }),
 
     "q07_window_topk" -> ((s, dir) => {
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      // top-3 lineitems per supplier by price. Through r19 this was the
+      // literal window formulation (row_number over (partitionBy suppkey
+      // orderBy price desc, orderkey, linenumber) <= 3). Spark 4 already
+      // bounds that plan's SHUFFLE with a partial WindowGroupLimit, but
+      // the map side still pays a FULL partition-local sort of every
+      // lineitem row (plans/r20/q07_window_topk_before.txt nodes 2+5:
+      // two Sorts + Window over 6M heavy-tier rows — O(n log n)
+      // comparisons, and the exact cache-bandwidth-bound sort that made
+      // q07 CPI-FRAGILE in the r16 dose table). The bounded top-k
+      // aggregate computes the identical rows in ONE O(n) streaming pass:
+      // most rows are rejected against the current k-th best with a
+      // single comparison, per-group state is 3 rows by construction, and
+      // the exchange ships the same <=3-row sketches the group-limit
+      // shipped (r20 measured: heavy-tier cpu 8.4 -> ~2.9 s, plan
+      // Sort×2+WindowGroupLimit×2+Window+Filter -> HashAggregate×2 +
+      // Generate; plans/r20/q07_window_topk_after.txt).
+      // EQUIVALENCE (oracle-hash-checked at sf0.001/0.01/0.1, plus the
+      // QueriesSpec window-vs-topk row-set test): ranking asc by the
+      // struct (-price, orderkey, linenumber) is exactly the window's
+      // (price DESC, orderkey ASC, linenumber ASC) — IEEE negation is
+      // order-reversing on the all-positive price domain, and
+      // (orderkey, linenumber) is the lineitem PK, so the order is total
+      // and rank = array position + 1; ties cannot exist, so row_number
+      // needs no tie policy to reproduce.
+      import org.apache.spark.sql.graft.functions.top_k_struct
       tbl(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .groupBy("l_suppkey")
+        .agg(top_k_struct(struct((col("l_extendedprice") * -1).as("neg_price"),
+          col("l_orderkey"), col("l_linenumber")), 3).as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.l_orderkey"), col("col.l_linenumber"),
+          (col("col.neg_price") * -1).as("l_extendedprice"))
     }),
 
     "q08_running_sum" -> ((s, dir) => {

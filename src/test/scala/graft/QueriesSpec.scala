@@ -950,6 +950,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.25, f"range recall $recall%.2f below the fixture floor")
   }
 
+  test("q07 bounded top-k formulation equals the literal window formulation " +
+    "row-for-row (both SFs)") {
+    // r20 optimization: q07 ships as a bounded top-k aggregate (one O(n)
+    // streaming pass, no partition-local full sort) instead of
+    // row_number().over(window) <= 3. This test KEEPS the literal window
+    // formulation alive as the executable equivalence witness: same rows,
+    // same rank values, same schema, on two scale factors — the ordering
+    // argument (struct(-price, orderkey, linenumber) ASC ≡ price DESC,
+    // orderkey ASC, linenumber ASC; the PK makes rank tie-free) is proven
+    // by data, not just by comment. The oracle hash check covers the same
+    // equivalence against DuckDB's row_number at every driver SF.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val topk = SparkEntry.queries("q07_window_topk")(spark, dir)
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      val windowed = graft.queries.QueryDsl.tbl(spark, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+      assert(topk.schema == windowed.schema,
+        s"schema drift: ${topk.schema} vs ${windowed.schema}")
+      val a = topk.collect().map(_.toSeq).toSet
+      val b = windowed.collect().map(_.toSeq).toSet
+      assert(a.nonEmpty && a == b,
+        s"row sets differ at $dir: ${(a -- b).take(3)} only-topk, ${(b -- a).take(3)} only-window")
+    }
+  }
+
   test("s10 kNN graph restricted to s01's query set equals s01 row-for-row") {
     import org.apache.spark.sql.functions._
     val graph = SparkEntry.queries("s10_knn_graph")(spark, sf)

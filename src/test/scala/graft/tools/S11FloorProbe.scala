@@ -148,8 +148,14 @@ object S11FloorProbe {
         try cpuOf { graft.SparkEntry.queries("s11_knn_graph_ivf")(spark, dir).count() }
         finally spark.conf.set(key, restore)
       }
-      val fbt = pinned("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "128", sys.env.getOrElse("SPARK_GRAFT_FBT", "131072"))
+      // fbt128 measured 494-633 cpu_s (r20 quiet probe, 3 reps) — the r12
+      // external-sort-of-every-candidate pathology, definitively rejected;
+      // skippable so repeat probe sessions don't pay ~30 s wall per rep
+      // re-measuring a dead variant (SPARK_GRAFT_SKIP_FBT=1 prints -1).
+      val fbt =
+        if (sys.env.get("SPARK_GRAFT_SKIP_FBT").contains("1")) -1.0
+        else pinned("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "128", sys.env.getOrElse("SPARK_GRAFT_FBT", "131072"))
       val sortagg = pinned("spark.sql.execution.useObjectHashAggregateExec",
         "false", "true")
       // verdict candidate (a): sort the candidate stream by group key so
