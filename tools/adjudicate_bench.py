@@ -95,7 +95,15 @@ adjudicated like any entry (its rows:-1 sentinel compares by equality).
      C2 recompilation, a contention burst — landed on plain alone, which
      is exactly the asymmetric 0.39x/0.77x fingerprint the r18 driver
      printed), so protocol-matched r19+ pairs should sit well inside the
-     band.
+     band. r20 re-derivation under the median-of-top-3-of-5 estimator
+     (r19 verdict item 2): six-run same-tree spread tightened to
+     plain 1838-2250 = 1.22x, contracted 1498-2059 = 1.37x (was 1.95x),
+     i.e. worst same-tree pairwise ratio 0.73x (contracted). The
+     thresholds are KEPT at 0.45/0.65/2.2: SLOW at 0.65x sits just under
+     the observed same-tree worst case (0.73x) — raising it would turn a
+     measured quiet-band sample into a false alarm — and REOPEN must
+     stay clear of SLOW by the cross-host margin the driver adds on top
+     (the r19/r20 artifacts differ 1.15-1.37x on raw host speed alone).
 
 Usage: python3 tools/adjudicate_bench.py COMMITTED.json CANDIDATE.json
        (either arg may be "git:REF" to read bench_details.json from a git
@@ -114,7 +122,12 @@ import sys
 # measured burner coefficient > 1.2 at 2x oversubscription (BUILD_NOTES r14
 # coefficient table, all 15 large-cpu heavy entries probed; r16 extended
 # the table to every >=5 s-cpu entry — q07's window sort measured 1.27-1.29
-# steady, the same cache-bandwidth sensitivity class as s11's hash-agg)
+# steady, the same cache-bandwidth sensitivity class as s11's hash-agg).
+# r20 NOTE: q07's fragile mechanism (the partition-local window sort) was
+# REMOVED by the bounded top-k restructure (OPTIMIZATION_r20.md §1, heavy
+# cpu 8.4 -> 2.4); the tag stays one round as a conservative advisory —
+# the new ObjectHashAggregate kernel's own coefficient is unmeasured, and
+# the tag only softens cpu swings to advisories (counters still rule).
 CPI_FRAGILE = {"s11_knn_graph_ivf", "q07_window_topk"}
 # run-scoped JIT compile-shape bimodality — same adjudication semantics as
 # CPI_FRAGILE (counters rule the envelope, cpu advisory), different
