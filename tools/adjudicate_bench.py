@@ -140,7 +140,16 @@ CPI_FRAGILE = {"s11_knn_graph_ivf", "q07_window_topk"}
 # mode reads as the regression it would now be. (r16 verdict item 2;
 # history: BUILD_NOTES r15 "s10 7.5-19.5 across five runs, coefficient
 # ~0.73 i.e. NOT contention".)
-JIT_BIMODAL = set()
+# r20: q105 and d18 re-enter the set with fresh same-tree evidence under
+# the noop-sink timed action (which now measures their full kernels —
+# both were partially pruned under count(), OPTIMIZATION_r20.md §3a):
+# q105 main cpu 15.0 <-> 34.5 and d18 main cpu 11.9 <-> 21.1 across the
+# r20 band at bit-identical work counters — the r15-documented
+# per-merge-round/generated-class JIT churn class (same mechanism as
+# t20's NAMED bimodality), where whichever run catches the slow compile
+# shape reports ~2x cpu for identical work. Counters rule, as always:
+# a real regression moves shuffle/records, and that still counts.
+JIT_BIMODAL = {"q105_count_sketch", "d18_weighted_overlap"}
 # measured LARGE-HEAP allocation-geometry sensitivity (BUILD_NOTES r17):
 # the r16 driver ran Bench under a much larger JVM heap — fingerprinted
 # EXACTLY by peak_mem (a 64 GB-heap probe reproduces d22's 6279 MB to the
