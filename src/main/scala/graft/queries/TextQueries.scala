@@ -325,30 +325,25 @@ object TextQueries {
       // of docs get a deterministic looped phrase appended (the t15
       // synthetic-PII precedent: the same construction runs in the oracle,
       // and the REPETITION DETECTOR is what's under test).
+      // r21 (guide §1.2 step 1, §4): all three metrics are DOC-LOCAL, so
+      // the whole operator is ONE map-side pass through the native
+      // gopher_repetition_stats kernel — zero shuffles at any corpus size.
+      // The relational formulation it replaces (kept alive as the
+      // QueriesSpec equivalence witness) scanned documents 3×, tokenized
+      // 4×, built every gram as a string through interpreted lambdas, and
+      // paid 5 Exchanges + a Window sort; measured r21: main cpu_s
+      // 2.35-2.85 → ~0.1, plan 39 nodes → 4 (plans/r21/). Gram grouping
+      // moves to the chained-xxh64 hash domain (= string domain up to
+      // ~2^-64 collisions, the t10/d08 argument); oracle unchanged and
+      // hash-exact at sf0.001/0.01/0.1.
+      import org.apache.spark.sql.graft.functions.gopher_repetition_stats
       val aug = concat(col("text"), expr(
         "CASE WHEN doc_id % 10 = 0 THEN repeat(' loop alpha beta gamma delta', 3) ELSE '' END"))
-      val d = tbl(s, dir, "documents").select(col("doc_id"), toks(aug).as("tk"))
-      val base = d.select(col("doc_id"), size(col("tk")).as("n_tokens"),
-        expr("aggregate(tk, 0L, (a, t) -> a + length(t))").as("tok_chars"))
-      val top2 = d.filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max(col("c") * (length(col("g")) - 1)).as("top2_chars"))
-      val five = d.filter(size(col("tk")) >= 5)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(tk)-4), i -> concat_ws(' ', slice(tk, i, 5)))")))
-        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
-      val wc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "g")
-      val cov = five.withColumn("c", count(lit(1)).over(wc)).filter(col("c") >= 2)
-        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("cp"))
-        .distinct()
-        .groupBy("doc_id").agg(count(lit(1)).as("cov5"))
-      base.join(top2, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"), col("tok_chars"),
-          coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
-          coalesce(col("cov5"), lit(0L)).as("cov5"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), gopher_repetition_stats(aug).as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.tok_chars").as("tok_chars"),
+          col("st.top2_chars").as("top2_chars"), col("st.cov5").as("cov5"))
         .withColumn("top2_milli", expr("(1000L * top2_chars) DIV greatest(tok_chars, 1)"))
         .withColumn("dup5_cov_milli", expr("(1000L * cov5) DIV greatest(n_tokens, 1)"))
         .withColumn("verdict", expr("""

@@ -1560,6 +1560,159 @@ case class NearestPivots(child: Expression, centroids: Array[Float], dim: Int, k
     copy(child = newChild)
 }
 
+/** One-pass Gopher/MassiveText repetition statistics — t17's kernel.
+  *
+  * All three metrics are DOC-LOCAL functions of the token stream, so they
+  * never needed a shuffle: the relational formulation this replaces (r21,
+  * guide §1.2 step 1 — fix the algorithm first) scanned `documents` three
+  * times, tokenized the text four times (twice more inside pushed-down
+  * filter conditions), built every bigram/5-gram as a STRING through
+  * interpreted higher-order lambdas, and pushed (doc_id, gram) rows through
+  * five Exchanges plus a Window sort — per-corpus work for per-document
+  * answers. Here one tight JVM loop per row computes
+  *   - n_tokens, tok_chars (Σ per-token code-point lengths),
+  *   - top2_chars = max over bigram groups of count·(gram_chars − 1), and
+  *   - cov5 = |union of [p, p+4] over 5-gram starts whose gram occurs ≥ 2
+  *     times in the document| (each position counted once),
+  * staying inside WholeStageCodegen. Gram identity is the chained-xxh64
+  * hash of the token-hash sequence: hash-domain grouping equals
+  * string-domain grouping up to ~2^-64 collisions (the t10/d08 argument —
+  * token-boundary-aware, so ("ab","c") and ("a","bc") stay distinct), and
+  * the 3-SF oracle hash check plus the QueriesSpec equivalence test hold
+  * the old formulation as the executable witness. */
+object GopherOps {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def repetitionStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    // tokenize on single spaces (split(text, " ") + non-empty filter):
+    // per-token xxh64 over raw UTF-8 bytes + code-point length (count of
+    // non-continuation bytes == UTF8String.numChars == DuckDB LEN)
+    var cap = 16
+    var th = new Array[Long](cap)
+    var tl = new Array[Int](cap)
+    var m = 0
+    var tokChars = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          if (m == cap) {
+            cap *= 2
+            th = java.util.Arrays.copyOf(th, cap)
+            tl = java.util.Arrays.copyOf(tl, cap)
+          }
+          th(m) = XXH64.hashUnsafeBytes(
+            bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, ShingleOps.Seed)
+          var c = 0
+          var j = start
+          while (j < i) { if ((bytes(j) & 0xC0) != 0x80) c += 1; j += 1 }
+          tl(m) = c
+          tokChars += c
+          m += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    // top2_chars: max over bigram groups of count · (len(gram) − 1); with
+    // one separator space, len(gram) − 1 = len(tok_i) + len(tok_{i+1}).
+    // Counts come from a sorted copy collapsed to (unique, count) runs —
+    // O(m log m) worst case even on a document that repeats one gram
+    // m times (a per-occurrence run walk would be O(m²) there)
+    var top2 = 0L
+    if (m >= 2) {
+      val nb = m - 1
+      val bh = new Array[Long](nb)
+      var k = 0
+      while (k < nb) {
+        bh(k) = XXH64.hashLong(th(k + 1), XXH64.hashLong(th(k), ShingleOps.Seed))
+        k += 1
+      }
+      val sorted = java.util.Arrays.copyOf(bh, nb)
+      java.util.Arrays.sort(sorted)
+      val uniq = new Array[Long](nb)
+      val cnt = new Array[Int](nb)
+      var u = -1
+      k = 0
+      while (k < nb) {
+        if (u < 0 || sorted(k) != uniq(u)) { u += 1; uniq(u) = sorted(k); cnt(u) = 1 }
+        else cnt(u) += 1
+        k += 1
+      }
+      k = 0
+      while (k < nb) {
+        val idx = java.util.Arrays.binarySearch(uniq, 0, u + 1, bh(k))
+        val metric = cnt(idx).toLong * (tl(k) + tl(k + 1)).toLong
+        if (metric > top2) top2 = metric
+        k += 1
+      }
+    }
+    // cov5: 5-gram starts are 1-based and ascend, so the interval union of
+    // [p, p+4] spans is a single sweep with a covered-until watermark
+    var cov5 = 0L
+    if (m >= 5) {
+      val n5 = m - 4
+      val h5 = new Array[Long](n5)
+      var k = 0
+      while (k < n5) {
+        var hh = ShingleOps.Seed
+        var j = 0
+        while (j < 5) { hh = XXH64.hashLong(th(k + j), hh); j += 1 }
+        h5(k) = hh
+        k += 1
+      }
+      val sorted = java.util.Arrays.copyOf(h5, n5)
+      java.util.Arrays.sort(sorted)
+      // values occurring >= 2 times, ascending — membership by binary search
+      val dup = new Array[Long](n5)
+      var d = 0
+      k = 0
+      while (k < n5) {
+        var r = k
+        while (r + 1 < n5 && sorted(r + 1) == sorted(k)) r += 1
+        if (r > k) { dup(d) = sorted(k); d += 1 }
+        k = r + 1
+      }
+      if (d > 0) {
+        var coveredUntil = 0L
+        k = 0
+        while (k < n5) {
+          if (java.util.Arrays.binarySearch(dup, 0, d, h5(k)) >= 0) {
+            val p = (k + 1).toLong
+            cov5 += (p + 4) - math.max(coveredUntil, p - 1)
+            coveredUntil = p + 4
+          }
+          k += 1
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](m, tokChars, top2, cov5))
+  }
+}
+
+/** `gopher_repetition_stats(text)` —
+  * STRUCT<n_tokens INT, tok_chars BIGINT, top2_chars BIGINT, cov5 BIGINT>;
+  * see [[GopherOps.repetitionStats]]. */
+case class GopherRepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("tok_chars", LongType, nullable = false),
+    StructField("top2_chars", LongType, nullable = false),
+    StructField("cov5", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    GopherOps.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.GopherOps.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_repetition_stats"
+}
+
 /** Column-facing API + SQL registration for the native expressions. */
 object functions {
   import org.apache.spark.sql.{Column, SparkSession}
@@ -1603,6 +1756,9 @@ object functions {
 
   def normalize_text(c: Column): Column =
     ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(c)))
+
+  def gopher_repetition_stats(c: Column): Column =
+    ExpressionUtils.column(GopherRepetitionStats(ExpressionUtils.expression(c)))
 
   def bloom_count_hits(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
     ExpressionUtils.column(BloomCountHits(ExpressionUtils.expression(c), bf))
@@ -1725,6 +1881,7 @@ object functions {
       "vec_srp" -> (exprs => FloatVecSrp(exprs.head, intArg(exprs, 1, 32))),
       "vec_srp_md5" -> (exprs => FloatVecSrpMd5(exprs.head, intArg(exprs, 1, 32))),
       "normalize_text" -> (exprs => NormalizeText(exprs.head)),
+      "gopher_repetition_stats" -> (exprs => GopherRepetitionStats(exprs.head)),
       "cdc_chunk_hashes" ->
         (exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6))),
       "cdc_chunk_hashes_md5" ->

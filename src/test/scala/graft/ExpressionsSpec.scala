@@ -792,4 +792,55 @@ class ExpressionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("array"))
   }
+
+  test("gopher_repetition_stats ≡ a string-domain reference (edge cases: " +
+    "empty, <2/<5 tokens, overlapping duplicated 5-grams, multi-space, unicode)") {
+    // string-domain reference: grams are literal strings, counts by group,
+    // cov5 by explicit position-set union — exactly the relational
+    // formulation t17 shipped through r20 (the kernel's hash-domain
+    // grouping must agree on every case, including the overlap-union one)
+    def ref(text: String): (Int, Long, Long, Long) = {
+      val tk = text.split(" ", -1).filter(_.nonEmpty).toSeq
+      val m = tk.length
+      def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+      val tokChars = tk.map(cp).sum
+      val top2 = if (m < 2) 0L else {
+        val gs = (0 until m - 1).map(i => tk(i) + " " + tk(i + 1))
+        gs.groupBy(identity).values.map(g => g.size.toLong * (cp(g.head) - 1)).max
+      }
+      val cov5 = if (m < 5) 0L else {
+        val gs = (0 until m - 4).map(i => tk.slice(i, i + 5).mkString(" "))
+        val counts = gs.groupBy(identity).map { case (g, o) => g -> o.size }
+        (1 to m - 4).filter(p => counts(gs(p - 1)) >= 2)
+          .flatMap(p => p to p + 4).distinct.size.toLong
+      }
+      (m, tokChars, top2, cov5)
+    }
+    val cases = Seq(
+      "",                                   // no tokens
+      "one",                                // m = 1
+      "a b c d",                            // m < 5: top2 only
+      "x x x x x x",                        // one gram repeated: dense overlap
+      "a b c d e f a b c d e f",            // duplicated 5-grams, overlapping spans
+      "p q r s t u v p q r s t",            // duplicate at both ends
+      "  double   spaces  collapse ",       // empty-token filtering
+      "héllo wörld héllo wörld héllo wörld",// multi-byte code points
+      "loop alpha beta gamma delta loop alpha beta gamma delta loop alpha beta gamma delta",
+      "ab c d e f g a bc d e f g")          // token-boundary distinction: "ab c" ≠ "a bc"
+    val got = cases.toDF("t")
+      .select(gopher_repetition_stats($"t").as("st"))
+      .select($"st.n_tokens", $"st.tok_chars", $"st.top2_chars", $"st.cov5")
+      .collect()
+    cases.zip(got).foreach { case (text, row) =>
+      val (m, tc, t2, c5) = ref(text)
+      assert((row.getInt(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+        ((m, tc, t2, c5)), s"mismatch on '$text'")
+    }
+    // null-in-null-out and SQL registration
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(gopher_repetition_stats($"t")).head.isNullAt(0))
+    org.apache.spark.sql.graft.functions.registerAll(spark)
+    assert(spark.sql("SELECT gopher_repetition_stats('a b a b').top2_chars AS v")
+      .head.getLong(0) === 4L) // "a b" twice: 2 · (len("a b") − 1) = 2 · 2
+  }
 }

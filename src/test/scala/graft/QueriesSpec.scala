@@ -980,6 +980,61 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t17 one-pass native kernel equals the literal relational formulation " +
+    "row-for-row (both SFs)") {
+    // r21 optimization: t17 ships as ONE map-side pass through
+    // gopher_repetition_stats (zero shuffles) instead of the 3-scan /
+    // 5-Exchange / window pipeline. This test KEEPS the relational
+    // formulation alive as the executable equivalence witness — same rows,
+    // same schema, two scale factors — so the hash-domain-grouping argument
+    // (chained-xxh64 gram identity ≡ string gram identity up to ~2^-64)
+    // is proven by data, not just by comment. The oracle hash check covers
+    // the same equivalence against DuckDB at every driver SF.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val native = SparkEntry.queries("t17_gopher_repetition")(spark, dir)
+      val aug = concat(col("text"), expr(
+        "CASE WHEN doc_id % 10 = 0 THEN repeat(' loop alpha beta gamma delta', 3) ELSE '' END"))
+      def toks(c: org.apache.spark.sql.Column) = filter(split(c, " "), t => t =!= "")
+      val d = graft.queries.QueryDsl.tbl(spark, dir, "documents")
+        .select(col("doc_id"), toks(aug).as("tk"))
+      val base = d.select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        expr("aggregate(tk, 0L, (a, t) -> a + length(t))").as("tok_chars"))
+      val top2 = d.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c") * (length(col("g")) - 1)).as("top2_chars"))
+      val five = d.filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(tk)-4), i -> concat_ws(' ', slice(tk, i, 5)))")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("g"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "g")
+      val cov = five.withColumn("c", count(lit(1)).over(wc)).filter(col("c") >= 2)
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("cp"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("cov5"))
+      val relational = base.join(top2, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("tok_chars"),
+          coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+          coalesce(col("cov5"), lit(0L)).as("cov5"))
+        .withColumn("top2_milli", expr("(1000L * top2_chars) DIV greatest(tok_chars, 1)"))
+        .withColumn("dup5_cov_milli", expr("(1000L * cov5) DIV greatest(n_tokens, 1)"))
+        .withColumn("verdict", expr("""
+          CASE WHEN top2_milli > 200 THEN 'rep_2gram'
+               WHEN dup5_cov_milli > 300 THEN 'rep_5gram'
+               ELSE 'keep' END"""))
+      assert(native.schema.map(f => (f.name, f.dataType)) ===
+        relational.schema.map(f => (f.name, f.dataType)),
+        s"schema drift: ${native.schema} vs ${relational.schema}")
+      val a = native.collect().map(_.toSeq).toSet
+      val b = relational.collect().map(_.toSeq).toSet
+      assert(a.nonEmpty && a == b,
+        s"row sets differ at $dir: ${(a -- b).take(3)} only-native, ${(b -- a).take(3)} only-relational")
+    }
+  }
+
   test("s10 kNN graph restricted to s01's query set equals s01 row-for-row") {
     import org.apache.spark.sql.functions._
     val graph = SparkEntry.queries("s10_knn_graph")(spark, sf)
