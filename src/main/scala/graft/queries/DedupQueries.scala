@@ -890,15 +890,29 @@ object DedupQueries {
       // (bounded by the duplicated-doc subset — the d12 sparse-dup
       // assumption; at dense dup rates both sides would instead be
       // bucketed by doc_id so text still never re-shuffles).
+      // r21 (guide §1.2 step 1, §2.3, §4): window hashing moved to the
+      // native token_window_hashes expression — chained xxh64 over token
+      // hashes, one tight loop per document — where the old pipeline built
+      // a ~60-char string per position (slice → concat_ws) and md5-digested
+      // it, TWICE (the first-occurrence groupBy and the join probe each
+      // recomputed the whole wins subtree), carrying the full token array
+      // through the explode on both sides. Window identity moves from the
+      // 56-bit md5 prefix to 64-bit token-boundary-aware xxh64 — the same
+      // hash-domain-grouping argument as t10/d08 with strictly LOWER
+      // collision odds; no hash reaches the output, and the oracle
+      // (DuckDB's own md5 replay, unchanged) stays hash-exact at 3 SFs.
+      // The earliest-occurrence pass is now ONE window min over h instead
+      // of groupBy + self-join: wins is computed once, one Exchange
+      // replaces two, and the join's corpus-sized hash build (the entry's
+      // 4.3 GB heavy-tier peak) disappears — the per-h sort groups are
+      // bounded by a window's duplication multiplicity.
+      import org.apache.spark.sql.graft.functions.token_window_hashes
       val W = 10
       val d = tbl(s, dir, "documents")
         .select(col("doc_id"), filter(split(col("text"), " "), t => t =!= "").as("tk"))
-      val wins = d
-        .select(col("doc_id"), col("tk"), explode(expr(
-          s"slice(sequence(0, greatest(size(tk) - ${W - 1}, 0)), 2, greatest(size(tk) - ${W - 1}, 0))")).as("p"))
-        .select(col("doc_id"), col("p"),
-          conv(substring(md5(expr(s"concat_ws(' ', slice(tk, p, $W))")), 1, 14), 16, 10)
-            .cast("long").as("h"))
+      val wins = tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(token_window_hashes(col("text"), W)))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
       // earliest-occurrence key packs (doc_id, p) into one long with
       // DISJOINT bit fields — doc_id in the top 31 bits, position in the
       // low 32 — so the packing is collision-free and order-preserving for
@@ -912,9 +926,9 @@ object DedupQueries {
           |   doc_id * 4294967296L + p,
           |   CAST(raise_error(concat('d20 packed key overflow: doc_id=', doc_id,
           |                           ' p=', p)) AS BIGINT))""".stripMargin)
-      val first = wins.groupBy("h")
-        .agg(min(packed).as("fk"))
-      val rm = wins.join(first, "h")
+      val wmin = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val rm = wins
+        .withColumn("fk", min(packed).over(wmin))
         .filter(packed =!= col("fk"))
         .select(col("doc_id"), explode(expr(s"sequence(p, p + ${W - 1})")).as("cp"))
         .distinct()

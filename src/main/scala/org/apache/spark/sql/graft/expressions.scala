@@ -56,6 +56,32 @@ object ShingleOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Ordered, NON-distinct chained-xxh64 hashes of every n-token window of
+    * a space-tokenized string — position i (0-based) holds the hash of
+    * tokens[i..i+n-1]; EMPTY when the document has fewer than n tokens
+    * (d20's exhaustive-window semantics — unlike [[shingleHashes]], which
+    * collapses short docs to a whole-text shingle and dedups). One tight
+    * loop per row; hashing is token-boundary-aware, so window identity
+    * equals string identity of the space-joined gram up to ~2^-64
+    * collisions (r21: replaces d20's per-window slice→concat_ws→md5→conv
+    * pipeline, which built and digested a ~60-char string per position on
+    * BOTH sides of its first-occurrence join). */
+  def windowHashes(s: UTF8String, n: Int): ArrayData = {
+    val tokenHashes = hashTokens(s)
+    val m = tokenHashes.length
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val arr = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var h = Seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(tokenHashes(i + j), h); j += 1 }
+      arr(i) = h
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** MinHash signature over a (shingle-)hash array: sig(p) = min over h of
     * xxh64(h, seed=p). */
   def minhash(hashes: ArrayData, perms: Int): ArrayData = {
@@ -989,6 +1015,23 @@ case class TokenShingleHashes(child: Expression, n: Int = 3)
     copy(child = newChild)
 }
 
+/** `token_window_hashes(text, n)` — ordered non-distinct n-token window
+  * hashes; see [[ShingleOps.windowHashes]]. */
+case class TokenWindowHashes(child: Expression, n: Int = 10)
+  extends UnaryExpression {
+  require(n > 0, "window size must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.windowHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.ShingleOps.windowHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "token_window_hashes"
+}
+
 case class MinHashSignature(child: Expression, perms: Int = 32)
   extends UnaryExpression {
   require(perms > 0 && perms <= 1024, "perms must be in [1, 1024]")
@@ -1721,6 +1764,9 @@ object functions {
   def token_shingle_hashes(c: Column, n: Int = 3): Column =
     ExpressionUtils.column(TokenShingleHashes(ExpressionUtils.expression(c), n))
 
+  def token_window_hashes(c: Column, n: Int = 10): Column =
+    ExpressionUtils.column(TokenWindowHashes(ExpressionUtils.expression(c), n))
+
   def minhash_signature(c: Column, perms: Int = 32): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(c), perms))
 
@@ -1867,6 +1913,8 @@ object functions {
     Seq(
       "token_shingle_hashes" ->
         (exprs => TokenShingleHashes(exprs.head, intArg(exprs, 1, 3))),
+      "token_window_hashes" ->
+        (exprs => TokenWindowHashes(exprs.head, intArg(exprs, 1, 10))),
       "minhash_signature" ->
         (exprs => MinHashSignature(exprs.head, intArg(exprs, 1, 32))),
       "simhash64" -> (exprs => SimHash64(exprs.head)),
