@@ -371,7 +371,28 @@ object Bench {
         val obs = org.apache.spark.sql.Observation()
         fn(spark, dir).observe(obs, count(lit(1)).as("rows"))
           .write.format("noop").mode("overwrite").save()
-        obs.get("rows").asInstanceOf[Long]
+        // The CollectMetrics result arrives via the async listener bus, so
+        // an unbounded obs.get would HANG the whole bench on a dropped or
+        // stalled event — and timed()'s Throwable catch cannot rescue a
+        // hang, only an exception (r20 ADVICE). save() has already
+        // returned, so the metric is normally available immediately;
+        // poll getOrEmpty briefly and surface a drop as rows = -1 (the
+        // same "don't trust this column" sentinel the build lines use)
+        // instead of blocking forever — the wall time stays trustworthy.
+        import org.apache.spark.sql.graft.ListenerBusDrain.observed
+        var waitedMs = 0
+        var m = observed(obs)
+        while (m.isEmpty && waitedMs < 10000) {
+          Thread.sleep(50)
+          waitedMs += 50
+          m = observed(obs)
+        }
+        m.get("rows") match {
+          case Some(n: Long) => n
+          case _ =>
+            System.err.println(s"[bench] $name: observe metric not delivered in 10 s")
+            -1L
+        }
       }
     // a transiently-failed pass must not poison the min (math.min(v, -1)
     // would report a healthy query as broken): take the min over the
@@ -687,6 +708,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
+         |"timed_action":"noop_observe",
          |"total_cpu_s":${fmt(cpuTotal(results))},"heavy_total_cpu_s":${fmt(cpuTotal(heavy))},
          |"calib_cpu_s":${fmt(calibCpu)},"calib_cpu_samples":${calibSamples.map(fmt).mkString("[", ",", "]")},
          |"failed":${failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")},
@@ -742,6 +764,17 @@ object Bench {
         s""","calib_cpu_s":${fmt(calibCpu)}""" +
         s""","unattributed":${unattributedIds.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","lineage_plans_per_sec":${jsonMap(lineage)}""" +
+        // r21 (ADDITIONS-ONLY, verdict item 7): the driver's scaling block
+        // is wall-based, and at sf0.1 every headline wall is job-launch-
+        // floored (8-vs-32-core ratios ≈ 1 by construction) — the compute
+        // that actually parallelizes lives in the heavy tier's cpu_s,
+        // which only bench_details.json carried. Emitting the per-entry
+        // heavy cpu_s here puts compute scaling ON the machine-readable
+        // line at both core counts. Short ids; build lines excluded (they
+        // are bench accounting, not inventory entries).
+        s""","heavy_cpu_s":${jsonMap(
+          heavy.filter(h => h._2.cpuSec >= 0 && !h._1.endsWith("_build"))
+            .map { case (k, v) => shortId(k) -> v.cpuSec })}""" +
         s""","details":"$detailsFile"}"""
     require(line.length <= 1500,
       s"bench line grew to ${line.length} chars — the headline panel is " +

@@ -759,9 +759,19 @@ object DedupQueries {
       // (doc_id, fp) rows are unique and df is a plain count — the
       // countDistinct formulation paid a second corpus-pair shuffle plus a
       // single-task final dedup for a distinctness the expression already
-      // guarantees (same argument as t08's tf)
-      val dfs = f.groupBy("fp").agg(count(lit(1)).as("df"))
-      f.join(dfs, "fp")
+      // guarantees (same argument as t08's tf).
+      // r21 (guide §5, VERDICT item 3): df attaches as a count-over-fp
+      // WINDOW instead of groupBy + self-join — the join's build side
+      // hashed the ENTIRE (fp, df) table per task (the heavy tier's
+      // largest transient allocation, 8.5 GB peak across 32 tasks, and
+      // unboundable at 100 TB where the fingerprint table outgrows any
+      // heap). The window form shuffles f ONCE on fp (one Exchange
+      // replaces the join's two) and its only per-task state is the
+      // current fp group — bounded by a fingerprint's duplication
+      // multiplicity, spillable by sort. Same rows: count over the full
+      // fp partition IS df for every (doc_id, fp) row.
+      val wfp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      f.withColumn("df", count(lit(1)).over(wfp))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fingerprints"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_fps"))

@@ -25,4 +25,14 @@ object ListenerBusDrain {
   def drain(sc: SparkContext, timeoutMs: Long = 5000L): Boolean =
     try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
     catch { case _: java.util.concurrent.TimeoutException => false }
+
+  /** Non-blocking read of an [[org.apache.spark.sql.Observation]]'s
+    * metrics — `Observation.getOrEmpty` is `private[sql]`, and the public
+    * `get` blocks UNBOUNDEDLY on the same async listener bus this object
+    * exists to manage: a dropped/stalled CollectMetrics event would hang
+    * the whole bench run, and Bench.timed's Throwable catch cannot rescue
+    * a hang, only an exception (r20 ADVICE). Bench polls this in a
+    * bounded loop instead. */
+  def observed(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
 }

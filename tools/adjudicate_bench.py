@@ -125,10 +125,17 @@ import sys
 # steady, the same cache-bandwidth sensitivity class as s11's hash-agg).
 # r20 NOTE: q07's fragile mechanism (the partition-local window sort) was
 # REMOVED by the bounded top-k restructure (OPTIMIZATION_r20.md §1, heavy
-# cpu 8.4 -> 2.4); the tag stays one round as a conservative advisory —
-# the new ObjectHashAggregate kernel's own coefficient is unmeasured, and
-# the tag only softens cpu swings to advisories (counters still rule).
-CPI_FRAGILE = {"s11_knn_graph_ivf", "q07_window_topk"}
+# cpu 8.41 -> 2.4-2.9 across the round's reps); the tag stayed one round
+# as a conservative advisory while the new kernel's coefficient was
+# unmeasured.
+# r21: q07 RETIRED on clean evidence (the r20 verdict's retirement
+# condition): across every r20/r21 full run on the restructured kernel the
+# heavy cpu band is 2.0-3.2 s with bit-identical counters and no excursion
+# class (r20: 2.01-2.46 over ten runs + 2.66/3.16 on the 64 GB rehearsals;
+# r21: in-band every run, see OPTIMIZATION_r21.md "Round band") — and at
+# a ~2.5 s committed cpu the entry sits at the 3 s adjudication floor
+# anyway, so the normal bands now rule it like any other entry.
+CPI_FRAGILE = {"s11_knn_graph_ivf"}
 # run-scoped JIT compile-shape bimodality — same adjudication semantics as
 # CPI_FRAGILE (counters rule the envelope, cpu advisory), different
 # mechanism and label. EMPTY since r17: s10's pre-r16 slow mode (15-19.5
@@ -414,6 +421,26 @@ def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     base_all, cand_all = load(sys.argv[1]), load(sys.argv[2])
+    # PROTOCOL BOUNDARY (r20 ADVICE): the timed action changed in r20 from
+    # count() to the noop sink + observe — a cross-boundary compare (a
+    # pre-r20 committed artifact vs an r20+ candidate, reachable via
+    # git:REF) misreads the methodology delta as a regression on every
+    # count-pruned entry (t17 0.01 -> 6.24 cpu_s is protocol, not plan).
+    # r21+ artifacts self-identify via `timed_action`; an artifact without
+    # the tag that predates r20's noop band (BENCH_r01-r19) is
+    # count-protocol. There is no reliable in-artifact discriminator for
+    # the r20 band itself, so the warning names the boundary instead of
+    # guessing.
+    proto_b = base_all.get("timed_action")
+    proto_c = cand_all.get("timed_action")
+    if proto_b != proto_c:
+        print("[protocol WARNING] artifacts declare different timed-action "
+              f"protocols (committed={proto_b!r}, candidate={proto_c!r}). "
+              "If the untagged side predates the r20 count()->noop fix "
+              "(BENCH_r01-r19 / commits before 15226ad), every "
+              "count-pruned entry's cpu/counter delta below is METHODOLOGY, "
+              "not a plan change — adjudicate only same-protocol pairs "
+              "(r20+ vs r20+).")
     def calib(d):
         v = d.get("calib_cpu_s")
         return v if isinstance(v, (int, float)) and v > 0 else None
