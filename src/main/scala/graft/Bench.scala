@@ -152,19 +152,34 @@ object Bench {
           .forEach(p => { Files.deleteIfExists(p); () })
       }
     }))
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    (0 until copies).map { i =>
-      val text = if (i == 0) col("text") else regexp_replace(col("text"), lit(" "), lit(s" c$i"))
-      docs.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), text.as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_.unionAll(_))
-      .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    (0 until copies).map { i =>
-      emb.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
-        col("embedding"), col("label"))
-    }.reduce(_.unionAll(_))
-      .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    // r21 (guide §2.6 — overlap independent jobs): the six table writes
+    // are independent, so they run concurrently from driver threads and
+    // back-fill each other's task tails instead of idling the cluster
+    // between sequential write jobs. Each table's construction is
+    // UNCHANGED (same per-copy union, same partitioning, same file
+    // layout), so the heavy corpus is bit-identical to r20's and every
+    // downstream scan splits exactly as before — this is untimed setup
+    // wall only. (A single-scan exploded-copy form was considered per
+    // guide §6 and rejected: it collapses the 10-partition union layout
+    // to one output file, changing every heavy entry's scan parallelism —
+    // a corpus-layout change masquerading as a build speedup.)
+    def writeDocs(): Unit = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until copies).map { i =>
+        val text = if (i == 0) col("text") else regexp_replace(col("text"), lit(" "), lit(s" c$i"))
+        docs.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"), text.as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    }
+    def writeEmb(): Unit = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      (0 until copies).map { i =>
+        emb.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_.unionAll(_))
+        .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    }
     // the join/window/as-of families need their tables too. KEY columns
     // shift per copy so join fan-out and per-group populations scale like
     // a real 10× corpus — shared key values would instead multiply join
@@ -176,10 +191,17 @@ object Bench {
       }.reduce(_.unionAll(_))
         .write.mode("overwrite").parquet(tmp.resolve(s"$table.parquet").toString)
     }
-    scaled("orders", "o_orderkey", "o_custkey")
-    scaled("lineitem", "l_orderkey", "l_suppkey")
-    scaled("customer", "c_custkey")
-    scaled("events", "event_id", "user_id")
+    val jobs: Seq[() => Unit] = Seq(
+      () => writeDocs(),
+      () => writeEmb(),
+      () => scaled("orders", "o_orderkey", "o_custkey"),
+      () => scaled("lineitem", "l_orderkey", "l_suppkey"),
+      () => scaled("customer", "c_custkey"),
+      () => scaled("events", "event_id", "user_id"))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(jobs)(j => Future(j())), Duration.Inf)
     tmp.toString
   }
 

@@ -833,13 +833,22 @@ object CoreQueries {
     }),
 
     "q39_window_funcs" -> ((s, dir) => {
-      // lead/lag/first/ntile over a fully-deterministic order
+      // lead/lag/first/ntile over a fully-deterministic order.
+      // r21 window audit (guide §5): all four functions share ONE Window
+      // node over ONE Exchange; lag/lead are O(1) offset frames, ntile's
+      // whole-partition RowFrame is inherent (it needs the partition
+      // count). `first` defaulted to a growing RANGE frame, whose upper
+      // bound is re-derived by comparing the order expressions per row —
+      // the explicit ROWS frame below is an index increment instead, and
+      // is result-identical because the order is TOTAL (o_orderkey is
+      // unique, so a row's RANGE peers are exactly itself).
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       tbl(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
-          first(col("o_orderkey")).over(w).as("first_order"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_order"),
           ntile(4).over(w).as("quartile"))
     }),
 
@@ -1477,13 +1486,18 @@ object CoreQueries {
         .withColumn("jk", shiftright(col("n_baskets"), 62).cast("int"))
       val pf = baskets.select(explode(col("items")).as("part"))
         .groupBy("part").agg(count(lit(1)).as("cnt"))
+      // r21 (guide §4): the C(n,2) fan-out as TWO codegen'd Generates
+      // (posexplode the anchor, explode the tail slice) instead of one
+      // explode over nested interpreted transform-lambdas — the lambda
+      // form evaluated ~3 interpreted closures per emitted struct, which
+      // was the entry's hottest expression under the noop protocol. Pair
+      // set unchanged: anchor at 0-based pos pairs with every later
+      // element of the SAME sorted basket row (slice from pos+2,
+      // 1-based), exactly i<j over sort_array(items).
       val pairs = baskets.filter(size(col("items")) >= 2)
-        .select(explode(expr(
-          "flatten(transform(sequence(1, size(items) - 1), " +
-            "i -> transform(sequence(i + 1, size(items)), " +
-            "j -> struct(element_at(items, i) AS part_a, element_at(items, j) AS part_b))))"))
-          .as("p"))
-        .select(col("p.part_a"), col("p.part_b"))
+        .select(col("items"), posexplode(col("items")))
+        .select(col("col").as("part_a"), explode(expr(
+          "slice(items, pos + 2, size(items) - pos - 1)")).as("part_b"))
         .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_together"))
         .filter(col("n_together") >= 2)
       pairs

@@ -602,26 +602,25 @@ object TextQueries {
       // the scan — where a (doc_id, gram) group-by formulation (t17's, for
       // corpus metrics) would shuffle every document twice. Same 10%
       // looped-phrase augmentation as t17 so the remover has real work.
+      // r21 (guide §1.2 step 1, §4): the whole rewrite is ONE pass through
+      // the native dup_span_rewrite kernel. The higher-order formulation
+      // it replaces (kept alive as the QueriesSpec equivalence witness)
+      // was O(m²) PER DOCUMENT — array_position rescans the gram-string
+      // array from the front for every position, through interpreted
+      // lambdas, and the final index-aware filter paid O(m·|rm|)
+      // array_contains probes — where the kernel finds repeats in
+      // O(m log m) against the sorted gram-hash array and rewrites bytes
+      // directly. Measured sf0.1: main cpu_s 1.13-1.35 → ~0.1. Gram
+      // identity moves to the chained-xxh64 domain (the t10/d08
+      // argument); oracle unchanged and hash-exact at sf0.001/0.01/0.1.
+      import org.apache.spark.sql.graft.functions.dup_span_rewrite
       val aug = concat(col("text"), expr(
         "CASE WHEN doc_id % 10 = 0 THEN repeat(' loop alpha beta gamma delta', 3) ELSE '' END"))
-      // `slice(sequence(0, n), 2, n)` is the 1..n integer list that is
-      // EMPTY at n = 0 — Spark's sequence(1, 0) would run descending (and
-      // a sequence(1, 0, 1) constant would fold to a planning error), so
-      // every range here goes through the slice form
       tbl(s, dir, "documents")
-        .select(col("doc_id"), toks(aug).as("tk"))
-        .withColumn("gs", expr(
-          "transform(slice(sequence(0, greatest(size(tk) - 4, 0)), 2, greatest(size(tk) - 4, 0)), " +
-            "i -> concat_ws(' ', slice(tk, i, 5)))"))
-        .withColumn("rm", expr(
-          "array_distinct(flatten(transform(" +
-            "filter(slice(sequence(0, size(gs)), 2, size(gs)), " +
-            "p -> array_position(gs, element_at(gs, p)) < p), " +
-            "p -> sequence(p, p + 4))))"))
-        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
-          size(col("rm")).as("n_removed"),
-          expr("array_join(filter(tk, (t, i) -> NOT array_contains(rm, i + 1)), ' ')")
-            .as("clean_text"))
+        .select(col("doc_id"), dup_span_rewrite(aug, 5).as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.n_removed").as("n_removed"),
+          col("st.clean_text").as("clean_text"))
     }),
 
     "t24_score_lift" -> ((s, dir) => {

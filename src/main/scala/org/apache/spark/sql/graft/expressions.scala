@@ -1735,6 +1735,132 @@ object GopherOps {
   }
 }
 
+/** One-pass duplicated-5-gram span REMOVAL — t21's kernel (the rewrite
+  * sibling of [[GopherOps.repetitionStats]]): every n-gram occurrence
+  * whose gram already occurred EARLIER in the same document marks its
+  * token span [p, p+n-1] for removal; the first occurrence survives, and
+  * clean_text is the surviving tokens rejoined with single spaces.
+  * Doc-local like t17's metrics, but the higher-order formulation it
+  * replaces (r21) was O(m²) PER DOCUMENT: `array_position(gs,
+  * element_at(gs, p)) < p` rescans the gram-string array from the front
+  * for every position, with interpreted lambdas and string equality.
+  * Here repeats are found in O(m log m) against the sorted gram-hash
+  * array (first occurrence per duplicated value survives via a seen
+  * bitmap), and the rewrite is one byte-level pass. Gram identity is the
+  * chained-xxh64 hash domain (the t10/d08 argument); the QueriesSpec
+  * equivalence witness + 3-SF oracle hold the string-domain semantics. */
+object DupSpanOps {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def rewrite(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    // tokenize on single spaces, keeping byte ranges for the rewrite
+    var cap = 16
+    var th = new Array[Long](cap)
+    var ts = new Array[Int](cap)
+    var te = new Array[Int](cap)
+    var m = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          if (m == cap) {
+            cap *= 2
+            th = java.util.Arrays.copyOf(th, cap)
+            ts = java.util.Arrays.copyOf(ts, cap)
+            te = java.util.Arrays.copyOf(te, cap)
+          }
+          th(m) = XXH64.hashUnsafeBytes(
+            bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, ShingleOps.Seed)
+          ts(m) = start
+          te(m) = i
+          m += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val covered = new Array[Boolean](m)
+    var nRemoved = 0
+    if (m >= n) {
+      val ng = m - n + 1
+      val h = new Array[Long](ng)
+      var k = 0
+      while (k < ng) {
+        var hh = ShingleOps.Seed
+        var j = 0
+        while (j < n) { hh = XXH64.hashLong(th(k + j), hh); j += 1 }
+        h(k) = hh
+        k += 1
+      }
+      val sorted = java.util.Arrays.copyOf(h, ng)
+      java.util.Arrays.sort(sorted)
+      // duplicated values ascending + a first-occurrence-seen bitmap
+      val dup = new Array[Long](ng)
+      var d = 0
+      k = 0
+      while (k < ng) {
+        var r = k
+        while (r + 1 < ng && sorted(r + 1) == sorted(k)) r += 1
+        if (r > k) { dup(d) = sorted(k); d += 1 }
+        k = r + 1
+      }
+      if (d > 0) {
+        val seen = new Array[Boolean](d)
+        k = 0
+        while (k < ng) {
+          val idx = java.util.Arrays.binarySearch(dup, 0, d, h(k))
+          if (idx >= 0) {
+            if (seen(idx)) {
+              var j = k
+              while (j < k + n) {
+                if (!covered(j)) { covered(j) = true; nRemoved += 1 }
+                j += 1
+              }
+            } else seen(idx) = true
+          }
+          k += 1
+        }
+      }
+    }
+    // surviving tokens rejoined with single spaces (byte-level copy)
+    val out = new Array[Byte](bytes.length)
+    var w = 0
+    var k = 0
+    while (k < m) {
+      if (!covered(k)) {
+        if (w > 0) { out(w) = ' '; w += 1 }
+        System.arraycopy(bytes, ts(k), out, w, te(k) - ts(k))
+        w += te(k) - ts(k)
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](m, nRemoved,
+      UTF8String.fromBytes(java.util.Arrays.copyOf(out, w))))
+  }
+}
+
+/** `dup_span_rewrite(text, n)` —
+  * STRUCT<n_tokens INT, n_removed INT, clean_text STRING>;
+  * see [[DupSpanOps.rewrite]]. */
+case class DupSpanRewrite(child: Expression, n: Int = 5) extends UnaryExpression {
+  require(n > 0, "span size must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == StringType, "STRING", child.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    DupSpanOps.rewrite(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.DupSpanOps.rewrite($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "dup_span_rewrite"
+}
+
 /** `gopher_repetition_stats(text)` —
   * STRUCT<n_tokens INT, tok_chars BIGINT, top2_chars BIGINT, cov5 BIGINT>;
   * see [[GopherOps.repetitionStats]]. */
@@ -1805,6 +1931,9 @@ object functions {
 
   def gopher_repetition_stats(c: Column): Column =
     ExpressionUtils.column(GopherRepetitionStats(ExpressionUtils.expression(c)))
+
+  def dup_span_rewrite(c: Column, n: Int = 5): Column =
+    ExpressionUtils.column(DupSpanRewrite(ExpressionUtils.expression(c), n))
 
   def bloom_count_hits(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
     ExpressionUtils.column(BloomCountHits(ExpressionUtils.expression(c), bf))
@@ -1930,6 +2059,8 @@ object functions {
       "vec_srp_md5" -> (exprs => FloatVecSrpMd5(exprs.head, intArg(exprs, 1, 32))),
       "normalize_text" -> (exprs => NormalizeText(exprs.head)),
       "gopher_repetition_stats" -> (exprs => GopherRepetitionStats(exprs.head)),
+      "dup_span_rewrite" ->
+        (exprs => DupSpanRewrite(exprs.head, intArg(exprs, 1, 5))),
       "cdc_chunk_hashes" ->
         (exprs => CdcChunkHashes(exprs.head, intArg(exprs, 1, 16), intArg(exprs, 2, 6))),
       "cdc_chunk_hashes_md5" ->

@@ -843,4 +843,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT gopher_repetition_stats('a b a b').top2_chars AS v")
       .head.getLong(0) === 4L) // "a b" twice: 2 · (len("a b") − 1) = 2 · 2
   }
+
+  test("dup_span_rewrite ≡ a string-domain reference (first occurrence survives, " +
+    "overlapping spans, whitespace collapse, short docs)") {
+    def ref(text: String, n: Int): (Int, Int, String) = {
+      val tk = text.split(" ", -1).filter(_.nonEmpty).toSeq
+      val m = tk.length
+      val gs = (0 until math.max(m - n + 1, 0)).map(i => tk.slice(i, i + n).mkString(" "))
+      // p 1-based; repeat iff an earlier index holds the same gram string
+      val rm = (1 to gs.length).filter(p => gs.indexOf(gs(p - 1)) + 1 < p)
+        .flatMap(p => p until p + n).distinct
+      val clean = tk.zipWithIndex.collect { case (t, i) if !rm.contains(i + 1) => t }
+      (m, rm.size, clean.mkString(" "))
+    }
+    val cases = Seq(
+      "",
+      "a b c d",                                        // < n tokens
+      "x x x x x x x",                                  // dense self-overlap
+      "a b c d e f a b c d e f",                        // clean duplicate
+      "p q r s t u p q r s t u p q r s t u",            // triple occurrence
+      "  spaced   out  tokens a b c d e a b c d e ",
+      "one two three four five six seven eight nine")   // no repeats
+    val got = cases.toDF("t")
+      .select(dup_span_rewrite($"t", 5).as("st"))
+      .select($"st.n_tokens", $"st.n_removed", $"st.clean_text")
+      .collect()
+    cases.zip(got).foreach { case (text, row) =>
+      val (m, nr, clean) = ref(text, 5)
+      assert((row.getInt(0), row.getInt(1), row.getString(2)) === ((m, nr, clean)),
+        s"mismatch on '$text'")
+    }
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(dup_span_rewrite($"t")).head.isNullAt(0))
+  }
 }

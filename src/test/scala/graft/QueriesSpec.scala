@@ -1035,6 +1035,41 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t21 one-pass native rewrite equals the literal higher-order formulation " +
+    "row-for-row (both SFs)") {
+    // r21: t21 ships as one pass through dup_span_rewrite; this keeps the
+    // O(m²) array_position formulation alive as the executable equivalence
+    // witness (same rows, same schema, two SFs) — hash-domain repeat
+    // detection must agree with string-domain gram equality everywhere.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val native = SparkEntry.queries("t21_dedup_rewrite")(spark, dir)
+      val aug = concat(col("text"), expr(
+        "CASE WHEN doc_id % 10 = 0 THEN repeat(' loop alpha beta gamma delta', 3) ELSE '' END"))
+      val relational = graft.queries.QueryDsl.tbl(spark, dir, "documents")
+        .select(col("doc_id"), filter(split(aug, " "), t => t =!= "").as("tk"))
+        .withColumn("gs", expr(
+          "transform(slice(sequence(0, greatest(size(tk) - 4, 0)), 2, greatest(size(tk) - 4, 0)), " +
+            "i -> concat_ws(' ', slice(tk, i, 5)))"))
+        .withColumn("rm", expr(
+          "array_distinct(flatten(transform(" +
+            "filter(slice(sequence(0, size(gs)), 2, size(gs)), " +
+            "p -> array_position(gs, element_at(gs, p)) < p), " +
+            "p -> sequence(p, p + 4))))"))
+        .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+          size(col("rm")).as("n_removed"),
+          expr("array_join(filter(tk, (t, i) -> NOT array_contains(rm, i + 1)), ' ')")
+            .as("clean_text"))
+      assert(native.schema.map(f => (f.name, f.dataType)) ===
+        relational.schema.map(f => (f.name, f.dataType)),
+        s"schema drift: ${native.schema} vs ${relational.schema}")
+      val a = native.collect().map(_.toSeq).toSet
+      val b = relational.collect().map(_.toSeq).toSet
+      assert(a.nonEmpty && a == b,
+        s"row sets differ at $dir: ${(a -- b).take(3)} only-native, ${(b -- a).take(3)} only-relational")
+    }
+  }
+
   test("s10 kNN graph restricted to s01's query set equals s01 row-for-row") {
     import org.apache.spark.sql.functions._
     val graph = SparkEntry.queries("s10_knn_graph")(spark, sf)
