@@ -2019,9 +2019,10 @@ object CoreQueries {
       // single core (the QueryDsl.spread rationale — a no-op when the
       // scan already yields >= parallelism splits)
       val li = spread(tbl(s, dir, "lineitem").select(col("l_partkey").as("k")))
-      val rows = array((0 until dRows).map(i =>
-        struct(CountSketch.bucket(col("k"), i).as("b"),
-          CountSketch.sign(col("k"), i).as("g"))): _*)
+      // r21: the (bucket, sign) array comes from the native kernel —
+      // bit-identical cells (see CountSketch.pairs), ~3× less per-row
+      // hash-pipeline overhead on the build side
+      val rows = CountSketch.pairs(col("k"))
       val cells = li.select(posexplode(rows))
         .select(col("pos").as("i"), col("col.b").as("b"), col("col.g").as("g"))
         .groupBy("i", "b").agg(sum("g").as("cell"))

@@ -60,4 +60,16 @@ object CountSketch {
     * codegen shares the md5. */
   def sign(key: Column, i: Int): Column =
     lit(1) - lit(2) * (conv(substring(digest(key, i), 9, 8), 16, 10).cast("long") % 2)
+
+  /** All d (bucket, sign) pairs for a BIGINT key as ONE native-kernel
+    * array — ARRAY<STRUCT<b, g>> with exactly the [[bucket]]/[[sign]]
+    * values in hash-row order (r21, guide §4: the hex-column pipeline
+    * paid a fresh MessageDigest + hex encode + two substring/base-16
+    * reparses per (row, i); the kernel reads the digest bytes directly —
+    * ExpressionsSpec pins bit-parity against the column form, and
+    * SketchIngestSpec's independent bucket/sign recompute cross-checks
+    * every cell). Consumers posexplode it, so `pos` is the hash-row
+    * index i, exactly like the literal array-of-structs it replaces. */
+  def pairs(key: Column, d: Int = Rows, w: Int = Width): Column =
+    org.apache.spark.sql.graft.functions.count_sketch_pairs(key, d, w)
 }

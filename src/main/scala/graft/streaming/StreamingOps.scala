@@ -201,9 +201,7 @@ object StreamingOps {
     // here must stay cell-for-cell identical to q105's batch build
     import graft.queries.CountSketch
     updates
-      .select(col("delta"), posexplode(array((0 until d).map(i =>
-        struct(CountSketch.bucket(col("k"), i, w).as("b"),
-          CountSketch.sign(col("k"), i).as("g"))): _*)))
+      .select(col("delta"), posexplode(CountSketch.pairs(col("k"), d, w)))
       .select(col("pos").as("i"), col("col.b").as("b"),
         (col("delta") * col("col.g")).as("sg"))
       .groupBy("i", "b").agg(sum("sg").as("cell"))

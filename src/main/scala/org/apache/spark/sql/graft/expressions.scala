@@ -1861,6 +1861,59 @@ case class DupSpanRewrite(child: Expression, n: Int = 5) extends UnaryExpression
   override def prettyName: String = "dup_span_rewrite"
 }
 
+/** Count-Sketch hash family, one digest pass per (key, row) — the native
+  * kernel behind [[graft.queries.CountSketch.pairs]]. BIT-IDENTICAL to
+  * the md5-hex column pipeline it replaces (r21, guide §4):
+  * b_i = first 4 digest bytes of md5("i:k") as an unsigned 32-bit value
+  * mod w (== conv(substring(md5hex, 1, 8), 16, 10) % w) and
+  * g_i = 1 − 2·(low bit of byte 8) (== 1 − 2·(conv(substring(md5hex, 9,
+  * 8), 16, 10) % 2)), so every consumer's cells — q105's batch build, the
+  * streaming twin, the oracle replay — are cell-for-cell unchanged. What
+  * it removes is pure overhead per (row, i): a fresh MessageDigest
+  * (DigestUtils allocates one per md5() call), the 32-char hex encode,
+  * two substring allocations and two base-16 reparses. */
+object CountSketchOps {
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def pairs(k: Long, d: Int, w: Int): ArrayData = {
+    val md = Md5.get()
+    val rows = new Array[Any](d)
+    var i = 0
+    while (i < d) {
+      md.reset()
+      val dig = md.digest(
+        (i.toString + ":" + k.toString).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val b = (((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)) % w
+      val g = 1L - 2L * (dig(7) & 1L)
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(b, g)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `count_sketch_pairs(k, d, w)` — ARRAY<STRUCT<b BIGINT, g BIGINT>> of
+  * the d (bucket, sign) pairs for a BIGINT key; see [[CountSketchOps]]. */
+case class CountSketchPairs(child: Expression, d: Int, w: Int)
+  extends UnaryExpression {
+  require(d >= 1 && w >= 2, s"need d >= 1 rows and w >= 2 buckets, got d=$d w=$w")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.expect(child.dataType == LongType, "BIGINT", child.dataType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("g", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    CountSketchOps.pairs(input.asInstanceOf[Long], d, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.CountSketchOps.pairs($c, $d, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "count_sketch_pairs"
+}
+
 /** `gopher_repetition_stats(text)` —
   * STRUCT<n_tokens INT, tok_chars BIGINT, top2_chars BIGINT, cov5 BIGINT>;
   * see [[GopherOps.repetitionStats]]. */
@@ -1934,6 +1987,9 @@ object functions {
 
   def dup_span_rewrite(c: Column, n: Int = 5): Column =
     ExpressionUtils.column(DupSpanRewrite(ExpressionUtils.expression(c), n))
+
+  def count_sketch_pairs(c: Column, d: Int, w: Int): Column =
+    ExpressionUtils.column(CountSketchPairs(ExpressionUtils.expression(c), d, w))
 
   def bloom_count_hits(c: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
     ExpressionUtils.column(BloomCountHits(ExpressionUtils.expression(c), bf))

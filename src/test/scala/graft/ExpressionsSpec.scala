@@ -876,4 +876,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(Seq[Option[String]](None).toDF("t")
       .select(dup_span_rewrite($"t")).head.isNullAt(0))
   }
+
+  test("count_sketch_pairs is BIT-identical to the md5-hex bucket/sign column " +
+    "pipeline for every hash row (negative, zero, large keys)") {
+    import graft.queries.CountSketch
+    val keys = Seq(-987654321098L, -1L, 0L, 1L, 42L, 2500L, 999999999L, Long.MaxValue)
+    val df = keys.toDF("k")
+    val bgCols = Seq($"k") ++ (0 until CountSketch.Rows).flatMap(i =>
+      Seq(CountSketch.bucket($"k", i).as(s"b$i"),
+        CountSketch.sign($"k", i).cast("long").as(s"g$i")))
+    val viaColumns = df.select(bgCols: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 2 * CountSketch.Rows).map(r.getLong).toSeq).toMap
+    val viaKernel = df.select($"k", CountSketch.pairs($"k").as("p")).collect().map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .flatMap(s => Seq(s.getLong(0), s.getLong(1)))
+    }.toMap
+    keys.foreach { k =>
+      assert(viaKernel(k) === viaColumns(k), s"hash family drift for key $k")
+    }
+  }
 }
